@@ -1,0 +1,57 @@
+"""Per-key change-sequence deduplication (SURVEY.md §2.4 A7).
+
+The reference dedups extracted entities with ``distinctBy(_.read[String]
+("@id"))`` (reference: ExtractionPipelineBuilder.scala:90-91) and relies on
+its diff step for latest-state-wins. Our CDC engine needs the stronger
+form: keep, per key, the event with the maximum ``event_seq``.
+
+Two implementations, both correct; choose by shape:
+
+* ``dedupe_latest`` — ``groupBy(keys).agg(max_by(struct(cols), seq))``.
+  Hash aggregate with map-side partial aggregation: each map task first
+  collapses its local events per key, so the shuffle carries ≤ one row per
+  (key, map-task) — at 10^10 events with ~3 events/key this is the only
+  strategy that doesn't sort. **Default.**
+* ``dedupe_latest_window`` — ``row_number() over (partition by keys order
+  by seq desc) = 1``. Requires a full shuffle of *all* events plus a
+  per-partition sort; kept for parity testing and for when the full event
+  history per key is needed downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe_latest(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "event_seq",
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Latest event per key via max_by (partial-agg friendly).
+
+    ``tie_breakers``: extra ordering columns appended after seq for
+    deterministic winners when seqs can collide (e.g. replay duplicates).
+    """
+    order_cols = [F.col(seq_col)] + [F.col(c) for c in (tie_breakers or [])]
+    order = order_cols[0] if len(order_cols) == 1 else F.struct(*order_cols)
+    others = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(
+        *[F.max_by(F.col(c), order).alias(c) for c in others]
+    )
+
+
+def dedupe_latest_window(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "event_seq",
+) -> DataFrame:
+    """Latest event per key via row_number window (sort-based baseline)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

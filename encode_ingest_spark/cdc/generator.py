@@ -1,0 +1,166 @@
+"""Deterministic synthetic repo-file CDC data (BASELINE.json input_hint).
+
+Generates, entirely inside Spark (no driver-side row loops, no RNG state —
+every value is a pure function of a row index and a seed, so any subset of
+the stream can be regenerated bit-identically at any scale):
+
+* ``repo_files``  — base lake table ``(repo, path, commit, lang, content)``
+* ``repo_file_events`` — CDC log ``(op, event_seq, event_ts, repo, path,
+  commit, lang, content)`` with out-of-order delivery, updates, deletes and
+  Zipf-skewed hot repos (FIXTURES.md §§1-2).
+
+Determinism technique: ``spark.range(n)`` + column expressions only —
+``xxhash64(id, seed)`` drives every pseudo-random choice. This scales to
+10^10 rows (range is split across partitions; no data is ever on the
+driver) and is reproducible regardless of partitioning, cluster size, or
+task retries — the property the crash-resume tests rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["python", "scala", "java", "go", "rust", "sql", "md", "yaml"]
+
+
+def _h(seed: int, *cols) -> F.Column:
+    """Non-negative deterministic hash of (cols, seed)."""
+    return F.abs(F.xxhash64(*cols, F.lit(seed)))
+
+
+def _repo(idx: F.Column, n_repos: int, seed: int) -> F.Column:
+    """Zipf-ish skewed repo pick: ~30% of rows land on repo 0, ~15% on
+    repo 1, tail uniform — exercises hot-key handling (FIXTURES.md §1)."""
+    r = _h(seed + 1, idx) % 100
+    uniform = _h(seed + 2, idx) % F.lit(n_repos)
+    return F.concat(
+        F.lit("org"),
+        ((_h(seed + 3, idx) % 7)).cast("string"),
+        F.lit("/repo"),
+        F.when(r < 30, F.lit(0))
+        .when(r < 45, F.lit(1))
+        .when(r < 55, F.lit(2))
+        .otherwise(uniform)
+        .cast("string"),
+    )
+
+
+def _content(idx: F.Column, seed: int) -> F.Column:
+    """Deterministic pseudo-source text, 64-4096 chars: a repeated token
+    stream derived from the row hash. Cheap (repeat + concat, codegen'd)
+    but unique per (idx, seed) via the embedded hash header."""
+    h1 = _h(seed + 10, idx)
+    h2 = _h(seed + 11, idx)
+    reps = (h1 % 64 + 4).cast("int")
+    token = F.concat(
+        F.lit("def fn_"),
+        F.conv(h2.cast("string"), 10, 16),
+        F.lit("(x):\n    return x * "),
+        (h2 % 997).cast("string"),
+        F.lit("\n"),
+    )
+    header = F.concat(F.lit("# file-"), F.conv(h1.cast("string"), 10, 16), F.lit("\n"))
+    return F.concat(header, F.repeat(token, reps))
+
+
+def repo_files(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    n_repos: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Base table: one row per (repo, path, commit); pure column exprs."""
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    idx = F.col("id")
+    return df.select(
+        _repo(idx, n_repos, seed).alias("repo"),
+        F.concat(
+            F.lit("src/"),
+            (_h(seed + 4, idx) % 20).cast("string"),
+            F.lit("/f"),
+            idx.cast("string"),
+            F.lit("."),
+            F.element_at(F.array(*[F.lit(x) for x in LANGS]), (_h(seed + 5, idx) % 8 + 1).cast("int")),
+        ).alias("path"),
+        F.lpad(F.lower(F.conv(_h(seed + 6, idx).cast("string"), 10, 16)), 40, "0").alias(
+            "commit"
+        ),
+        F.element_at(
+            F.array(*[F.lit(x) for x in LANGS]), (_h(seed + 5, idx) % 8 + 1).cast("int")
+        ).alias("lang"),
+        _content(idx, seed).alias("content"),
+    )
+
+
+def repo_file_events(
+    spark: SparkSession,
+    n_keys: int,
+    events_per_key: int = 3,
+    seed: int = 42,
+    n_repos: int = 50,
+    delete_pct: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """CDC log: ``events_per_key`` events per key, shuffled delivery order.
+
+    Per key k and version v (0..events_per_key-1):
+      * event_seq = v * n_keys + k  (strictly increasing per key, globally
+        interleaved)
+      * op: first version 'insert'; later versions 'update', except
+        ~delete_pct% of keys whose LAST version is 'delete'
+      * content varies per version (update really changes the row)
+      * delivery order (row order) is a hash shuffle of (k, v) — within-
+        and across-batch out-of-order, the dedup test scenario
+    """
+    n = n_keys * events_per_key
+    df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    # shuffle: enumerate slots, map slot -> (k, v) via hash ranking
+    slot = F.col("id")
+    scrambled = _h(seed + 20, slot) % n  # not a permutation, but we only
+    # need *an* out-of-order delivery; (k, v) below is derived from slot
+    # directly so every (k, v) appears exactly once.
+    k = (slot % n_keys).cast("long")
+    v = F.floor(slot / n_keys).cast("long")
+    key_idx = k
+    is_deleted_key = (_h(seed + 21, key_idx) % 100) < delete_pct
+    last_v = events_per_key - 1
+    op = (
+        F.when(v == 0, F.lit("insert"))
+        .when((v == last_v) & is_deleted_key, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    content_idx = key_idx * F.lit(1000) + v  # distinct content per version
+    ev = df.select(
+        op.alias("op"),
+        (v * n_keys + k).alias("event_seq"),
+        F.to_timestamp(
+            F.from_unixtime(F.lit(1700000000) + (v * n_keys + k) + (_h(seed + 22, slot) % 120))
+        ).alias("event_ts"),
+        _repo(key_idx, n_repos, seed).alias("repo"),
+        F.concat(
+            F.lit("src/"),
+            (_h(seed + 4, key_idx) % 20).cast("string"),
+            F.lit("/f"),
+            key_idx.cast("string"),
+            F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(x) for x in LANGS]), (_h(seed + 5, key_idx) % 8 + 1).cast("int")
+            ),
+        ).alias("path"),
+        F.lpad(
+            F.lower(F.conv(_h(seed + 6, key_idx).cast("string"), 10, 16)), 40, "0"
+        ).alias("commit"),
+        F.when(op == "delete", F.lit(None)).otherwise(
+            F.element_at(
+                F.array(*[F.lit(x) for x in LANGS]), (_h(seed + 5, key_idx) % 8 + 1).cast("int")
+            )
+        ).alias("lang"),
+        F.when(op == "delete", F.lit(None)).otherwise(_content(content_idx, seed)).alias(
+            "content"
+        ),
+        scrambled.alias("_delivery_rank"),
+    )
+    # out-of-order delivery: sort by the hash rank, then drop it
+    return ev.orderBy("_delivery_rank").drop("_delivery_rank")

@@ -1,0 +1,32 @@
+"""Snapshot-versioned parquet lake-table format with CDC MERGE."""
+
+from .evolution import SchemaEvolutionError, align_to_schema, merge_schemas
+from .merge import EVENT_SEQ_COL, OP_COL, MergeResult, merge_into
+from .table import (
+    BUCKET_COL,
+    DELETED_COL,
+    SEQ_COL,
+    CommitConflictError,
+    DataFile,
+    LakeTable,
+    Manifest,
+    bucket_expr,
+)
+
+__all__ = [
+    "LakeTable",
+    "Manifest",
+    "DataFile",
+    "CommitConflictError",
+    "SchemaEvolutionError",
+    "MergeResult",
+    "merge_into",
+    "merge_schemas",
+    "align_to_schema",
+    "bucket_expr",
+    "BUCKET_COL",
+    "DELETED_COL",
+    "SEQ_COL",
+    "OP_COL",
+    "EVENT_SEQ_COL",
+]

@@ -1,0 +1,228 @@
+"""CDC MERGE INTO for LakeTable — partition-pruned copy-on-write upsert.
+
+Semantics (generalizing the reference's diff → soft-delete → append steps,
+reference: orchestration/templates/ingest-processed-data.yaml:86-172):
+
+Given a change batch with key columns, payload columns, an ``op`` column
+(``insert``/``update``/``upsert``/``delete``) and a per-key monotone
+``event_seq``, the post-merge table state holds, for every key, the row
+carried by the highest event_seq ever seen — materialized as a tombstone
+(``_deleted=true``) when that event is a delete. Tombstones are retained so
+a late, lower-seq update can never resurrect a deleted key; ``read()``
+filters them out.
+
+Execution strategy (the scale-critical part):
+
+1. **Dedup within batch** — ``groupBy(keys).agg(max_by(...))``: a hash
+   aggregate with map-side partial aggregation, NOT a window sort — at
+   10^10 events the partial agg collapses each key to one row before the
+   shuffle, and there is no full per-partition sort.
+2. **Prune** — the batch's distinct bucket ids (≤ num_buckets values,
+   computed with the same ``pmod(hash(keys), B)`` used on the write path)
+   select which table buckets participate. Untouched buckets' files are
+   carried into the new snapshot by reference — zero IO.
+3. **Merge = union + max_by, not a join** — current rows of touched
+   buckets (priority 0) are unioned with batch winners (priority 1) and
+   reduced with one hash aggregate per key, ordered by
+   ``(event_seq, priority)`` so an exact replay (equal seq) is won
+   deterministically by the incoming row. One shuffle total; a full-outer
+   join would shuffle both sides AND lose map-side combining. Skew note:
+   the grouping key is the full (repo, path, commit) tuple, so a hot
+   ``repo`` does NOT concentrate on one reducer — hashing the composite
+   key is itself the skew mitigation (cf. SURVEY.md §2.3 notes; repo-only
+   aggregations use operators/skew.py salting instead).
+4. **Write + atomic commit** — winners are written partitioned by bucket;
+   the new manifest swaps in the new files for touched buckets only. A
+   crash before commit leaves orphan data files and an unchanged CURRENT
+   pointer: replay is safe (exactly-once via the batch-id fence).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .evolution import align_to_schema
+from .table import BUCKET_COL, DELETED_COL, SEQ_COL, LakeTable, Manifest, bucket_expr
+
+OP_COL = "op"
+EVENT_SEQ_COL = "event_seq"
+EVENT_TS_COL = "event_ts"
+#: CDC envelope columns — stream metadata, never table payload
+#: (event_ts is consumed by the streaming layer's watermark, not stored)
+METADATA_COLS = (OP_COL, EVENT_SEQ_COL, EVENT_TS_COL)
+
+_PRIORITY = "_prio"
+_TARGET_LIVE = "_target_live"
+
+
+class MergeResult:
+    def __init__(self, manifest: Manifest, counts: dict[str, int], skipped: bool):
+        self.manifest = manifest
+        self.counts = counts
+        self.skipped = skipped
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"MergeResult(v={self.manifest.version}, counts={self.counts}, "
+            f"skipped={self.skipped})"
+        )
+
+
+def merge_into(
+    table: LakeTable,
+    batch: DataFrame,
+    source_id: str = "default",
+    batch_id: int | None = None,
+    offset_range: tuple[int, int] | None = None,
+    evolve: bool = True,
+) -> MergeResult:
+    """Apply one CDC batch to the table. See module docstring.
+
+    ``batch`` columns: table key cols + payload cols + ``op`` + ``event_seq``.
+    ``batch_id``: exactly-once fence — if the table has already committed a
+    batch with id >= batch_id for this source, the call is a no-op (the
+    reference's idempotency contract, ingest-processed-data.yaml:10-11).
+    ``evolve``: reconcile new/widened batch columns into the table schema
+    before merging (ALTER-then-MERGE, FIXTURES.md §2).
+    """
+    m = table.current_manifest()
+
+    # ---- exactly-once fence ----
+    if batch_id is not None:
+        wm = m.watermarks.get(source_id)
+        if wm is not None and wm.get("batch_id", -1) >= batch_id:
+            return MergeResult(m, {"inserted": 0, "updated": 0, "deleted": 0}, skipped=True)
+
+    # ---- schema evolution (metadata-only commit) ----
+    batch = batch.drop(EVENT_TS_COL)
+    if evolve:
+        m = table.evolve_schema(batch.drop(OP_COL, EVENT_SEQ_COL).schema)
+    schema = m.schema
+    keys = m.key_cols
+    data_cols = [f.name for f in schema.fields if f.name not in (SEQ_COL, DELETED_COL)]
+
+    # ---- normalize batch to table shape (payload nulled on deletes) ----
+    is_delete = F.col(OP_COL) == F.lit("delete")
+    payload = batch.select(
+        *[
+            (
+                F.when(is_delete & F.lit(c not in keys), F.lit(None))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in batch.columns
+                else F.lit(None).alias(c)
+            )
+            for c in data_cols
+        ],
+        F.col(EVENT_SEQ_COL).cast("long").alias(SEQ_COL),
+        is_delete.alias(DELETED_COL),
+    )
+    payload = align_to_schema(payload, schema)
+
+    # ---- 1. dedup within batch: one hash agg, map-side combined ----
+    non_key = [c for c in payload.columns if c not in keys]
+    seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
+    batch_winners = (
+        payload.groupBy(*keys)
+        .agg(*[F.max_by(F.col(c), seq_order).alias(c) for c in non_key])
+        .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # ---- 2. bucket pruning (≤ num_buckets scalars to the driver) ----
+    touched = sorted(r[0] for r in batch_winners.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        batch_winners.unpersist()
+        return _commit(
+            table, m, m.files, [], batch_id, source_id, offset_range,
+            {"inserted": 0, "updated": 0, "deleted": 0},
+        )
+
+    current = table.read(
+        buckets=touched, include_tombstones=True, include_internal=True
+    ).withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+
+    # ---- 3. union + per-key max_by ----
+    src = batch_winners.withColumn(_PRIORITY, F.lit(1))
+    tgt = current.withColumn(_PRIORITY, F.lit(0))
+    unioned = tgt.unionByName(src)
+    non_key_u = [c for c in unioned.columns if c not in keys]
+    order = F.struct(
+        F.coalesce(F.col(SEQ_COL), F.lit(-1)).alias("s"), F.col(_PRIORITY).alias("p")
+    )
+    merged = (
+        unioned.groupBy(*keys)
+        .agg(
+            *[F.max_by(F.col(c), order).alias(c) for c in non_key_u],
+            F.max(
+                F.when((F.col(_PRIORITY) == 0) & ~F.col(DELETED_COL), 1).otherwise(0)
+            ).alias(_TARGET_LIVE),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # ---- lineage counts (winner's _prio==1 ⇔ the batch changed this key) ----
+    won = F.col(_PRIORITY) == 1
+    cnt = merged.select(
+        F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 0), 1).otherwise(0)).alias("inserted"),
+        F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("updated"),
+        F.sum(F.when(won & F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("deleted"),
+    ).collect()[0]
+    counts = {
+        "inserted": int(cnt["inserted"] or 0),
+        "updated": int(cnt["updated"] or 0),
+        "deleted": int(cnt["deleted"] or 0),
+    }
+
+    # ---- 4. write touched buckets, commit new snapshot ----
+    out = merged.select(*data_cols, SEQ_COL, DELETED_COL, BUCKET_COL)
+    new_files = table._stage_write(out, m.current_schema_version)
+    merged.unpersist()
+    batch_winners.unpersist()
+    keep = [f for f in m.files if f.bucket not in set(touched)]
+    return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
+
+
+def _commit(
+    table: LakeTable,
+    m: Manifest,
+    keep_files,
+    new_files,
+    batch_id,
+    source_id,
+    offset_range,
+    counts,
+) -> MergeResult:
+    watermarks = dict(m.watermarks)
+    lineage = []
+    if batch_id is not None:
+        wm = {"batch_id": int(batch_id)}
+        if offset_range is not None:
+            wm["offset_end"] = int(offset_range[1])
+        watermarks[source_id] = wm
+        lineage.append(
+            {
+                "batch_id": int(batch_id),
+                "source_id": source_id,
+                "source_offset_start": int(offset_range[0]) if offset_range else -1,
+                "source_offset_end": int(offset_range[1]) if offset_range else -1,
+                "row_counts": counts,
+            }
+        )
+    nm = Manifest(
+        version=m.version + 1,
+        snapshot_id=m.snapshot_id + 1,
+        schemas=m.schemas,
+        current_schema_version=m.current_schema_version,
+        key_cols=m.key_cols,
+        num_buckets=m.num_buckets,
+        files=list(keep_files) + list(new_files),
+        watermarks=watermarks,
+        lineage=lineage,
+        parent_version=m.version,
+        properties=m.properties,
+    )
+    table._write_manifest(nm)
+    return MergeResult(nm, counts, skipped=False)

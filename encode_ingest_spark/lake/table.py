@@ -1,0 +1,500 @@
+"""LakeTable — a from-scratch snapshot-versioned parquet table format.
+
+The reference ingests into the Terra Data Repository, whose per-table
+incremental contract is: diff staged rows vs live state, soft-delete stale
+IDs, append new rows, idempotently (reference:
+orchestration/templates/ingest-processed-data.yaml:10-11,86-172). This
+module provides the storage half of that contract as a first-class table
+format, because no Iceberg/Delta jar ships in this environment — and the
+design mirrors what those formats do at 100 TB scale:
+
+* **Snapshot isolation / time travel** — every commit writes an immutable
+  manifest ``_meta/v{N}.manifest.json`` listing the data files of that
+  version; ``_meta/CURRENT`` is swapped atomically (``os.replace``). On a
+  real deployment the pointer swap is a catalog/metastore CAS — the
+  manifest layout is unchanged.
+* **Optimistic concurrency** — a manifest file is created with
+  ``O_CREAT|O_EXCL``; a concurrent writer racing to the same version loses
+  and gets ``CommitConflictError`` (the reference serializes tables for the
+  same reason, ingest-processed-data.yaml:18-19).
+* **Bucket partitioning** — rows are hash-bucketed on the merge key
+  (``pmod(hash(keys), num_buckets)``), so a CDC MERGE only rewrites the
+  buckets its batch touches (partition-pruned copy-on-write). Untouched
+  buckets are carried forward by reference — at 100 TB this is the
+  difference between rewriting gigabytes and rewriting everything.
+* **Schema evolution** — manifests carry a schema history; each data file
+  records the schema version it was written under. Readers align old files
+  to the current schema (missing column → null, widened type → cast), so
+  evolution never rewrites data (see lake/evolution.py).
+* **Exactly-once fencing** — the manifest stores per-source watermarks
+  ``{source_id: {batch_id, offset_end}}``. A replayed batch whose id is ≤
+  the watermark is skipped, which is the engine-side restatement of the
+  reference's "Idempotent; will not re-ingest or re-delete rows if the
+  state already matches" (ingest-processed-data.yaml:10-11).
+* **Lineage** — each commit embeds a lineage record (source offset range,
+  row counts, snapshot id, wall time), queryable as a DataFrame; the
+  analogue of the reference's TDR ``datarepo_load_history``
+  (hack/README.md:347).
+
+All data movement is Spark DataFrames; the driver only touches manifest
+JSON (KBs) and file renames — never row data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .evolution import align_to_schema, merge_schemas
+
+FORMAT_VERSION = 1
+BUCKET_COL = "_pb"
+DELETED_COL = "_deleted"
+SEQ_COL = "_seq"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same version first (optimistic CC)."""
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    bytes: int
+    schema_version: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "schema_version": self.schema_version,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "DataFile":
+        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"])
+
+
+@dataclass
+class Manifest:
+    version: int
+    snapshot_id: int
+    schemas: dict[int, str]  # schema_version -> StructType.json()
+    current_schema_version: int
+    key_cols: list[str]
+    num_buckets: int
+    files: list[DataFile] = field(default_factory=list)
+    watermarks: dict[str, dict[str, int]] = field(default_factory=dict)
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+    parent_version: int | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+    committed_at: float = 0.0
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schemas[self.current_schema_version]))
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "format_version": FORMAT_VERSION,
+            "version": self.version,
+            "snapshot_id": self.snapshot_id,
+            "schemas": {str(k): v for k, v in self.schemas.items()},
+            "current_schema_version": self.current_schema_version,
+            "key_cols": self.key_cols,
+            "num_buckets": self.num_buckets,
+            "files": [f.to_json() for f in self.files],
+            "watermarks": self.watermarks,
+            "lineage": self.lineage,
+            "parent_version": self.parent_version,
+            "properties": self.properties,
+            "committed_at": self.committed_at,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Manifest":
+        return Manifest(
+            version=d["version"],
+            snapshot_id=d["snapshot_id"],
+            schemas={int(k): v for k, v in d["schemas"].items()},
+            current_schema_version=d["current_schema_version"],
+            key_cols=d["key_cols"],
+            num_buckets=d["num_buckets"],
+            files=[DataFile.from_json(f) for f in d["files"]],
+            watermarks=d.get("watermarks", {}),
+            lineage=d.get("lineage", []),
+            parent_version=d.get("parent_version"),
+            properties=d.get("properties", {}),
+            committed_at=d.get("committed_at", 0.0),
+        )
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int) -> F.Column:
+    """Deterministic bucket id: pmod(hash(keys), B).
+
+    Same expression on the write path and the MERGE batch path, so a batch
+    row always lands in the bucket holding its current table row — this is
+    what makes partition-pruned merge correct.
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    """A bucket-partitioned, snapshot-versioned parquet table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------- paths ----------
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "_meta")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version:012d}.manifest.json")
+
+    # ---------- create / load ----------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """Create an empty table (v0). Internal columns are appended:
+
+        ``_seq``    long   — last-writer event sequence for the row's key
+        ``_deleted`` bool  — tombstone flag; tombstones are retained so a
+                             late, lower-seq update cannot resurrect a
+                             deleted key (FIXTURES.md §2 delete scenario)
+        """
+        for c in (BUCKET_COL, DELETED_COL, SEQ_COL):
+            if c in schema.fieldNames():
+                raise ValueError(f"column name {c} is reserved")
+        missing = [k for k in key_cols if k not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"key columns not in schema: {missing}")
+        # normalize to nullable (parquet-level reality; also prevents
+        # spurious schema-version churn when batches arrive with
+        # nullable variants of the same columns)
+        full = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            + [
+                T.StructField(SEQ_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
+        table = LakeTable(spark, root)
+        os.makedirs(table._meta_dir, exist_ok=False)
+        os.makedirs(table._data_dir, exist_ok=True)
+        manifest = Manifest(
+            version=0,
+            snapshot_id=0,
+            schemas={1: json.dumps(full.jsonValue())},
+            current_schema_version=1,
+            key_cols=list(key_cols),
+            num_buckets=num_buckets,
+            properties=properties or {},
+            committed_at=time.time(),
+        )
+        table._write_manifest(manifest)
+        return table
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeTable":
+        t = LakeTable(spark, root)
+        t.current_manifest()  # raises if absent
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_meta", "CURRENT"))
+
+    # ---------- manifest IO ----------
+    def current_version(self) -> int:
+        with open(os.path.join(self._meta_dir, "CURRENT")) as fh:
+            return int(fh.read().strip())
+
+    def current_manifest(self) -> Manifest:
+        return self.manifest_at(self.current_version())
+
+    def manifest_at(self, version: int) -> Manifest:
+        with open(self._manifest_path(version)) as fh:
+            return Manifest.from_json(json.load(fh))
+
+    def _write_manifest(self, manifest: Manifest) -> None:
+        """Commit protocol: O_EXCL manifest create (conflict detection),
+        fsync, then atomic CURRENT pointer swap via os.replace."""
+        manifest.committed_at = time.time()
+        path = self._manifest_path(manifest.version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"version {manifest.version} already committed at {path}"
+            ) from e
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = os.path.join(self._meta_dir, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(manifest.version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self._meta_dir, "CURRENT"))
+
+    # ---------- read ----------
+    def read(
+        self,
+        version: int | None = None,
+        buckets: Iterable[int] | None = None,
+        include_tombstones: bool = False,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Scan the table at a snapshot (default: current).
+
+        ``buckets`` restricts the scan to the named hash buckets —
+        manifest-level partition pruning: files for other buckets are never
+        opened, the parquet scan list is built on the driver from KB-sized
+        metadata. Old-schema files are aligned (null-fill / widen-cast) to
+        the current schema before union.
+        """
+        m = self.manifest_at(version if version is not None else self.current_version())
+        want = set(buckets) if buckets is not None else None
+        files = [f for f in m.files if want is None or f.bucket in want]
+        target_schema = m.schema
+        if not files:
+            df = self.spark.createDataFrame([], target_schema)
+        else:
+            by_ver: dict[int, list[DataFile]] = {}
+            for f in files:
+                by_ver.setdefault(f.schema_version, []).append(f)
+            parts: list[DataFrame] = []
+            for sv, group in sorted(by_ver.items()):
+                file_schema = T.StructType.fromJson(json.loads(m.schemas[sv]))
+                paths = [os.path.join(self.root, f.path) for f in group]
+                raw = self.spark.read.schema(file_schema).parquet(*paths)
+                parts.append(align_to_schema(raw, target_schema))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if not include_tombstones:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if not include_internal:
+            df = df.drop(SEQ_COL, DELETED_COL)
+        return df
+
+    def snapshots(self) -> list[Manifest]:
+        out = []
+        v = self.current_version()
+        while v is not None:
+            m = self.manifest_at(v)
+            out.append(m)
+            v = m.parent_version
+        return list(reversed(out))
+
+    def lineage_df(self) -> DataFrame:
+        """All lineage records across snapshots, as a DataFrame
+        (FIXTURES.md §3 shape)."""
+        rows = []
+        for m in self.snapshots():
+            for entry in m.lineage:
+                rows.append(
+                    (
+                        int(entry["batch_id"]),
+                        entry.get("source_id", ""),
+                        int(entry.get("source_offset_start", -1)),
+                        int(entry.get("source_offset_end", -1)),
+                        {k: int(v) for k, v in entry.get("row_counts", {}).items()},
+                        int(m.snapshot_id),
+                        float(m.committed_at),
+                    )
+                )
+        schema = (
+            "batch_id long, source_id string, source_offset_start long, "
+            "source_offset_end long, row_counts map<string,long>, "
+            "snapshot_id long, committed_at double"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    # ---------- write ----------
+    def _stage_write(self, df: DataFrame, schema_version: int) -> list[DataFile]:
+        """Write df (which must carry BUCKET_COL) into a staging dir
+        partitioned by bucket, then move files under data/. Returns the new
+        DataFile entries. Move = same-filesystem rename (no data copy)."""
+        stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        (
+            df.repartition(BUCKET_COL)  # one shuffle; files per bucket are contiguous
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(stage)
+        )
+        import pyarrow.parquet as pq
+
+        new_files: list[DataFile] = []
+        for bucket_dir in sorted(os.listdir(stage)):
+            if not bucket_dir.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(bucket_dir.split("=", 1)[1])
+            dest_dir = os.path.join(self._data_dir, f"{BUCKET_COL}={bucket}")
+            os.makedirs(dest_dir, exist_ok=True)
+            for fn in sorted(os.listdir(os.path.join(stage, bucket_dir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(stage, bucket_dir, fn)
+                rows = pq.ParquetFile(src).metadata.num_rows
+                if rows == 0:
+                    continue
+                dest_name = f"{uuid.uuid4().hex}.parquet"
+                dest = os.path.join(dest_dir, dest_name)
+                os.replace(src, dest)
+                new_files.append(
+                    DataFile(
+                        path=os.path.relpath(dest, self.root),
+                        bucket=bucket,
+                        rows=rows,
+                        bytes=os.path.getsize(dest),
+                        schema_version=schema_version,
+                    )
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return new_files
+
+    def overwrite(self, df: DataFrame) -> Manifest:
+        """Replace full table contents (bootstrap/backfill path)."""
+        m = self.current_manifest()
+        data_cols = [f.name for f in m.schema.fields if f.name not in (SEQ_COL, DELETED_COL)]
+        prepared = df
+        if SEQ_COL not in df.columns:
+            prepared = prepared.withColumn(SEQ_COL, F.lit(0).cast("long"))
+        if DELETED_COL not in df.columns:
+            prepared = prepared.withColumn(DELETED_COL, F.lit(False))
+        prepared = prepared.select(*data_cols, SEQ_COL, DELETED_COL).withColumn(
+            BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets)
+        )
+        new_files = self._stage_write(prepared, m.current_schema_version)
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=m.snapshot_id + 1,
+            schemas=m.schemas,
+            current_schema_version=m.current_schema_version,
+            key_cols=m.key_cols,
+            num_buckets=m.num_buckets,
+            files=new_files,
+            watermarks=m.watermarks,
+            lineage=[],
+            parent_version=m.version,
+            properties=m.properties,
+        )
+        self._write_manifest(nm)
+        return nm
+
+    def evolve_schema(self, incoming: T.StructType) -> Manifest:
+        """Reconcile the table schema with an incoming batch schema:
+        new columns are added (nullable), int→long / float→double widenings
+        are applied; anything else raises. Metadata-only commit — no data
+        files are rewritten (old files are aligned at read time)."""
+        m = self.current_manifest()
+        merged = merge_schemas(m.schema, incoming, protected=(SEQ_COL, DELETED_COL))
+        if json.dumps(merged.jsonValue()) == m.schemas[m.current_schema_version]:
+            return m  # no-op
+        new_sv = max(m.schemas) + 1
+        schemas = dict(m.schemas)
+        schemas[new_sv] = json.dumps(merged.jsonValue())
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=m.snapshot_id + 1,
+            schemas=schemas,
+            current_schema_version=new_sv,
+            key_cols=m.key_cols,
+            num_buckets=m.num_buckets,
+            files=m.files,
+            watermarks=m.watermarks,
+            lineage=[],
+            parent_version=m.version,
+            properties=m.properties,
+        )
+        self._write_manifest(nm)
+        return nm
+
+    # ---------- maintenance ----------
+    def orphan_files(self) -> list[str]:
+        """Data files on disk not referenced by any manifest (e.g. written
+        by a crashed merge before its commit). Safe to delete."""
+        referenced: set[str] = set()
+        for v in self._all_versions():
+            for f in self.manifest_at(v).files:
+                referenced.add(os.path.normpath(os.path.join(self.root, f.path)))
+        orphans = []
+        for dirpath, _dirnames, filenames in os.walk(self._data_dir):
+            for fn in filenames:
+                p = os.path.normpath(os.path.join(dirpath, fn))
+                if fn.endswith(".parquet") and p not in referenced:
+                    orphans.append(p)
+        return orphans
+
+    def remove_orphans(self) -> int:
+        orphans = self.orphan_files()
+        for p in orphans:
+            os.remove(p)
+        return len(orphans)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop manifests older than the last ``keep_last`` and delete data
+        files only they referenced. Time travel to expired versions stops
+        working (same contract as Iceberg's expire_snapshots)."""
+        versions = self._all_versions()
+        if len(versions) <= keep_last:
+            return 0
+        keep = set(versions[-keep_last:])
+        keep_files: set[str] = set()
+        for v in keep:
+            for f in self.manifest_at(v).files:
+                keep_files.add(f.path)
+        removed = 0
+        for v in versions:
+            if v in keep:
+                continue
+            for f in self.manifest_at(v).files:
+                if f.path not in keep_files:
+                    p = os.path.join(self.root, f.path)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed += 1
+            os.remove(self._manifest_path(v))
+        # re-root the parent chain of the oldest kept manifest
+        oldest = min(keep)
+        om = self.manifest_at(oldest)
+        if om.parent_version is not None and om.parent_version not in keep:
+            om.parent_version = None
+            os.remove(self._manifest_path(oldest))
+            self._write_manifest(om)
+        return removed
+
+    def _all_versions(self) -> list[int]:
+        out = []
+        for fn in os.listdir(self._meta_dir):
+            if fn.endswith(".manifest.json"):
+                out.append(int(fn[1:].split(".")[0]))
+        return sorted(out)

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is a single JVM, so ``spark.driver.memory`` is the only memory
+knob. The configuration below is what we would also ship for a real
+multi-executor cluster (spark-submit --py-files): AQE on for runtime
+re-planning (skew-join splitting, post-shuffle coalescing), shuffle
+partitions sized to cores rather than the 200 default, Arrow enabled for
+the vectorized pandas-UDF path, and a pinned UTC session timezone so
+results compare bit-for-bit against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "encode_ingest_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cores`` controls ``local[N]`` — the two-cluster-size scaling benchmark
+    runs the identical job at two values of N (e.g. 8 vs 32) to evidence
+    throughput scaling efficiency (BASELINE.md).
+    """
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,140 @@
+"""LakeTable format: create/read/overwrite, time travel, evolution, commits."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.lake import (
+    CommitConflictError,
+    LakeTable,
+    SchemaEvolutionError,
+    merge_schemas,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+KEYS = ["repo", "path", "commit"]
+
+
+def _mk(spark, tmp_path, rows=None):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    if rows:
+        t.overwrite(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_create_and_empty_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.read().count() == 0
+    assert t.read().columns == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_overwrite_and_read(spark, tmp_path):
+    rows = [("o/r", f"p{i}", "c" * 40, "python", f"body{i}") for i in range(10)]
+    t = _mk(spark, tmp_path, rows)
+    got = {r.path for r in t.read().collect()}
+    assert got == {f"p{i}" for i in range(10)}
+    # bucket pruning returns a subset union'ing back to the whole
+    m = t.current_manifest()
+    all_rows = 0
+    for b in range(m.num_buckets):
+        all_rows += t.read(buckets=[b]).count()
+    assert all_rows == 10
+
+
+def test_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("o/r", "p", "c" * 40, "go", "v1")])
+    v1 = t.current_version()
+    t.overwrite(spark.createDataFrame([("o/r", "p", "c" * 40, "go", "v2")], SCHEMA))
+    assert t.read().collect()[0].content == "v2"
+    assert t.read(version=v1).collect()[0].content == "v1"
+
+
+def test_commit_conflict(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    m = t.current_manifest()
+    m.version = t.current_version()  # deliberately collide
+    with pytest.raises(CommitConflictError):
+        t._write_manifest(m)
+
+
+def test_schema_merge_widening():
+    cur = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.FloatType()),
+        ]
+    )
+    inc = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.StringType(), False),
+        ]
+    )
+    merged = merge_schemas(cur, inc)
+    byname = {f.name: f for f in merged.fields}
+    assert isinstance(byname["a"].dataType, T.LongType)
+    assert isinstance(byname["b"].dataType, T.DoubleType)
+    assert isinstance(byname["c"].dataType, T.StringType)
+    assert byname["c"].nullable  # new columns always nullable
+
+
+def test_schema_merge_rejects_narrowing():
+    cur = T.StructType([T.StructField("a", T.StringType())])
+    inc = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(SchemaEvolutionError):
+        merge_schemas(cur, inc)
+
+
+def test_evolution_read_alignment(spark, tmp_path):
+    """Old files (no size_bytes) + evolved schema → nulls, no rewrite."""
+    t = _mk(spark, tmp_path, [("o/r", "p1", "c" * 40, "rust", "x")])
+    files_before = {f.path for f in t.current_manifest().files}
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("size_bytes", T.IntegerType(), True)]
+    )
+    t.evolve_schema(evolved)
+    files_after = {f.path for f in t.current_manifest().files}
+    assert files_before == files_after  # metadata-only commit
+    row = t.read().collect()[0]
+    assert row.size_bytes is None
+    # widen int -> long: again metadata-only
+    widened = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("size_bytes", T.LongType(), True)]
+    )
+    t.evolve_schema(widened)
+    assert dict(t.read().dtypes)["size_bytes"] == "bigint"
+
+
+def test_orphan_cleanup(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("o/r", "p1", "c" * 40, "md", "x")])
+    # simulate crashed writer: stray parquet in data dir
+    df = spark.createDataFrame([("o/r", "px", "c" * 40, "md", "junk")], SCHEMA)
+    stray_dir = tmp_path / "t" / "data" / "_pb=0"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    import shutil, glob, os
+
+    src = glob.glob(str(tmp_path / "stray" / "*.parquet"))[0]
+    os.makedirs(stray_dir, exist_ok=True)
+    shutil.copy(src, stray_dir / "orphan.parquet")
+    assert len(t.orphan_files()) == 1
+    assert t.remove_orphans() == 1
+    assert t.orphan_files() == []
+    assert t.read().count() == 1
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("o/r", "p", "c" * 40, "go", "v1")])
+    t.overwrite(spark.createDataFrame([("o/r", "p", "c" * 40, "go", "v2")], SCHEMA))
+    t.overwrite(spark.createDataFrame([("o/r", "p", "c" * 40, "go", "v3")], SCHEMA))
+    t.expire_snapshots(keep_last=1)
+    assert t.read().collect()[0].content == "v3"
+    assert len(t.snapshots()) == 1
