@@ -1,0 +1,197 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "events_per_sec": ...}
+
+Scaling mode (python bench.py --scaling): run the identical CDC
+merge job at two parallelism levels (default 8 and 32) in separate JVMs
+and print throughput at both + scaling efficiency — the sandbox evidence
+for the north rule's two-cluster-size criterion (see BASELINE.md).
+
+Queries are forced with the noop sink (format("noop")) so Catalyst cannot
+prune the computed columns the way a count() would.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# events for the CDC merge benchmark, keyed by scale dir suffix
+CDC_KEYS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+HEADLINE = [
+    "cdc_dedup_latest",
+    "cdc_final_state",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "j2_grouped_left_join",
+    "t3_quality_score",
+    "d4_minhash_lsh_pairs",
+    "s1_cosine_topk",
+]
+
+
+def _cdc_keys_for(sf_dir: str) -> int:
+    for suffix, n in CDC_KEYS.items():
+        if sf_dir.rstrip("/").endswith(suffix):
+            return n
+    return 20_000
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]:
+    """End-to-end CDC throughput: generate → dedup → MERGE commit, over
+    n_batches micro-batches. Returns (seconds, events)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    n_keys = _cdc_keys_for(sf_dir)
+    events = repo_file_events(spark, n_keys=n_keys, events_per_key=3, seed=42)
+    events = events.persist()
+    total = events.count()  # materialize generator outside the timed region
+
+    root = tempfile.mkdtemp(prefix="bench_lake_")
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema, ["repo", "path", "commit"], num_buckets=32
+    )
+    per_batch = total // n_batches + 1
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        batch = events.filter(
+            (F.col("event_seq") % n_batches) == i
+        )  # deterministic split, all batches same size class
+        merge_into(table, batch, batch_id=i + 1, offset_range=(i, i))
+    dt = time.perf_counter() - t0
+    events.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return dt, total
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from encode_ingest_spark.session import get_spark
+    from encode_ingest_spark.suite import QUERIES
+
+    spark = get_spark("bench", cores=cpus)
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once with a trivial action
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    merge_sec, n_events = bench_cdc_merge(spark, sf_dir)
+    timings["cdc_merge_e2e"] = round(merge_sec, 3)
+    events_per_sec = round(n_events / merge_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline query wall time (sum) at sf on local[%d]" % cpus,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "cdc_events": n_events,
+        "events_per_sec": events_per_sec,
+    }
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Run the CDC merge benchmark in two fresh JVMs at local[low] and
+    local[high]; report throughput + scaling efficiency
+    (eff = (thr_high/thr_low) / (high/low))."""
+    results = {}
+    for cores in (low, high):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores), "--cdc-only"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            timeout=1800,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    thr_low = results[low]["events_per_sec"]
+    thr_high = results[high]["events_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "metric": "CDC merge scaling efficiency local[%d] -> local[%d]" % (low, high),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput": {str(low): thr_low, str(high): thr_high},
+        "sf": sf_dir,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument("--scaling-high", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir, args.scaling_low, args.scaling_high)))
+        return
+    if args.cdc_only:
+        from encode_ingest_spark.session import get_spark
+
+        spark = get_spark("bench-cdc", cores=args.cores)
+        spark.range(1000).count()
+        sec, n = bench_cdc_merge(spark, args.sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc merge e2e",
+                    "value": round(sec, 3),
+                    "unit": "sec",
+                    "cdc_events": n,
+                    "events_per_sec": round(n / sec, 1),
+                    "cpus": args.cores,
+                    "sf": args.sf_dir,
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench(args.sf_dir, args.cores)))
+
+
+if __name__ == "__main__":
+    main()

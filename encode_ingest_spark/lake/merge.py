@@ -40,7 +40,7 @@ Execution strategy (the scale-critical part):
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .evolution import align_to_schema
@@ -152,34 +152,30 @@ def merge_into(
     order = F.struct(
         F.coalesce(F.col(SEQ_COL), F.lit(-1)).alias("s"), F.col(_PRIORITY).alias("p")
     )
-    merged = (
-        unioned.groupBy(*keys)
-        .agg(
-            *[F.max_by(F.col(c), order).alias(c) for c in non_key_u],
-            F.max(
-                F.when((F.col(_PRIORITY) == 0) & ~F.col(DELETED_COL), 1).otherwise(0)
-            ).alias(_TARGET_LIVE),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    merged = unioned.groupBy(*keys).agg(
+        *[F.max_by(F.col(c), order).alias(c) for c in non_key_u],
+        F.max(
+            F.when((F.col(_PRIORITY) == 0) & ~F.col(DELETED_COL), 1).otherwise(0)
+        ).alias(_TARGET_LIVE),
     )
 
-    # ---- lineage counts (winner's _prio==1 ⇔ the batch changed this key) ----
+    # ---- 4. write touched buckets; lineage counts ride along on the
+    # write job via the Observation API (no second pass over merged) ----
     won = F.col(_PRIORITY) == 1
-    cnt = merged.select(
+    obs = Observation()
+    out = merged.observe(
+        obs,
         F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 0), 1).otherwise(0)).alias("inserted"),
         F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("updated"),
         F.sum(F.when(won & F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("deleted"),
-    ).collect()[0]
-    counts = {
-        "inserted": int(cnt["inserted"] or 0),
-        "updated": int(cnt["updated"] or 0),
-        "deleted": int(cnt["deleted"] or 0),
-    }
-
-    # ---- 4. write touched buckets, commit new snapshot ----
-    out = merged.select(*data_cols, SEQ_COL, DELETED_COL, BUCKET_COL)
+    ).select(*data_cols, SEQ_COL, DELETED_COL, BUCKET_COL)
     new_files = table._stage_write(out, m.current_schema_version)
-    merged.unpersist()
+    got = obs.get
+    counts = {
+        "inserted": int(got["inserted"] or 0),
+        "updated": int(got["updated"] or 0),
+        "deleted": int(got["deleted"] or 0),
+    }
     batch_winners.unpersist()
     keep = [f for f in m.files if f.bucket not in set(touched)]
     return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)

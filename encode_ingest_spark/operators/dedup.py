@@ -1,0 +1,329 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Five dedup families, each a ``queries()`` entry with a DuckDB oracle
+(hashing via md5, bit-identical across engines — Spark's xxhash64/hash
+have no DuckDB twin):
+
+* exact         — sha2 of canonical text, keep min doc_id per group
+* n-gram Jaccard— exact set similarity on shingles (explode + join)
+* MinHash + LSH — shingle → k minhashes → band buckets → candidate pairs
+* SimHash       — 32-bit sign-sum sketch, near-dup = small Hamming dist
+* embedding     — cosine similarity over embedding vectors (see
+                  similarity.py for the ANN formulation)
+
+Scale notes per operator are inline; the common theme: shuffles carry
+signatures/buckets (tiny), never full documents, and pair generation is
+bounded by bucket size, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+# ---------------------------------------------------------------------------
+# shared: md5-based 60-bit hash (DuckDB twin:
+#   ('0x' || substr(md5(x), 1, 15))::BIGINT )
+# 15 hex chars = 60 bits — always positive, no sign divergence.
+# ---------------------------------------------------------------------------
+def md5_long(col: Column, salt: Column | None = None) -> Column:
+    src = col if salt is None else F.concat(salt, F.lit("|"), col)
+    return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
+
+
+def canonical_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles over canonical tokens, positional (NOT
+    deduped — min-hash is multiset-safe; Jaccard dedups relationally).
+
+    Linear construction: zip the token array against its shifts — each
+    lambda touches only its arguments. The naive per-index
+    ``slice(toks, i, n)`` form embeds the whole tokenization subtree
+    inside the lambda, which Spark's interpreted higher-order functions
+    re-evaluate PER ELEMENT (observed quadratic: ~2.5 ms/row on 300-word
+    docs). Docs shorter than n words yield their full token join so no
+    document is silently dropped."""
+    toks = tokens(canonical_text(col))
+    size = F.size(toks)
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.filter(grams, lambda x: x.isNotNull())
+    return (
+        F.when(size >= n, grams)
+        .when(size > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (canonicalized) docs: one row per
+    duplicated hash with the member ids. groupBy on a 64-hex string —
+    uniform keys, no skew; partial agg collapses singletons map-side."""
+    h = F.sha2(canonical_text(text_col), 256).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup_keep(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduplicated corpus: smallest id per canonical hash survives.
+    max_by/min_by keeps this one-shuffle (no self-join back)."""
+    h = F.sha2(canonical_text(text_col), 256)
+    others = [c for c in df.columns]
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(*[F.min_by(F.col(c), F.col(id_col)).alias(c) for c in others])
+        .drop("_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over shingle sets: explode shingles, self-join on the
+    shingle (only co-occurring docs meet), count intersections, derive
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale: the join key is a shingle — frequency-skewed. At corpus scale a
+    stop-shingle filter (drop shingles in >0.1% of docs) bounds bucket
+    fan-out; candidates per doc are bounded by shared-shingle counts, not
+    corpus size. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("sh")
+        )
+        .dropDuplicates(["doc_id", "sh"])  # set semantics, relationally —
+        # a hash shuffle beats per-row O(n²) array_distinct at scale
+        .localCheckpoint(eager=False)  # shared by self-join sides + sizes
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(col: Column | str, k: int = 16) -> Column:
+    """k-permutation MinHash: sig[i] = min over shingles of
+    md5_long(i || '|' || shingle). array<long> of length k; empty shingle
+    set → nulls (doc excluded from banding)."""
+    sh = shingles(col)
+
+    def hasher(i: int):
+        # NB: closure factory, not a default-arg lambda — pyspark treats a
+        # 2-param lambda as the (element, index) overload of transform.
+        return lambda s: md5_long(s, F.lit(str(i)))
+
+    return F.array(*[F.array_min(F.transform(sh, hasher(i))) for i in range(k)])
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16) -> DataFrame:
+    """Two chained projections: shingles once, then k mins over the
+    materialized shingle column — keeps the shingle expression out of the
+    k per-hash subtrees (whole-stage codegen evaluates `_sh` once/row)."""
+
+    def hasher(i: int):
+        return lambda s: md5_long(s, F.lit(str(i)))
+
+    sh_df = df.select(F.col(id_col).alias("doc_id"), shingles(text_col).alias("_sh"))
+    return sh_df.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform(F.col("_sh"), hasher(i))) for i in range(k)]
+        ).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding: split the k-long signature into ``bands`` bands of
+    k/bands rows; docs sharing any band value are candidates; candidates
+    are verified with the estimated Jaccard (fraction of equal signature
+    positions).
+
+    Scale: the shuffle key is (band_idx, band_hash) — a sketch, not text.
+    Bucket sizes follow true duplicate clusters; pair fan-out is quadratic
+    only within a bucket (i.e. within a near-dup cluster), which is the
+    point of LSH. Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k).filter(
+        ~F.exists("sig", lambda x: x.isNull())
+    )
+    # materialize signatures before the self-join: sketches are tiny
+    # (k longs/doc); recomputing text→shingle→k·md5 on BOTH join sides
+    # would dominate the query (observed 105s → ~2s at sf0.01)
+    sigs = sigs.localCheckpoint(eager=False)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+        / F.lit(k),
+        4,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash over canonical tokens: per bit b, sum +1/-1 by
+    token-hash bit; simhash bit = 1 iff the sum > 0. Pure higher-order
+    expressions: per row, over tokens × 32 bits. Cross-engine: token hash
+    is md5-based; bit test is integer shift+mask."""
+    toks = tokens(canonical_text(col))
+    th = F.transform(toks, lambda t: md5_long(t))
+
+    def bit_merge(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(th, F.lit(0), bit_merge(b)) for b in range(32)]
+    out = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banding trick for scale: split 32 bits into 4 bytes; pairs within
+    Hamming ≤ 3 share at least one exact byte (pigeonhole), so the join
+    key is (byte_idx, byte_value) — never all-pairs.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), simhash32(text_col).alias("sig")
+    ).localCheckpoint(eager=False)  # one long/doc; never recompute per join side
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * 8).bitwiseAND(F.lit(255)).alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.byte")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming32(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

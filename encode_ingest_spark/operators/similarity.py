@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the scale brief:
+
+* ``cosine_topk`` — brute-force exact top-k: candidate join + window
+  rank. Baseline and oracle-checkable. O(|Q|·|N|) — fine when the query
+  set is small or as the verifier of the ANN tier.
+* ``lsh_topk`` — random-hyperplane LSH (sign-random-projection): each
+  vector hashes to a ``nbits``-bit bucket (md5-derived deterministic
+  hyperplanes), candidates = same bucket OR neighboring band, exact
+  cosine re-rank within candidates. The shuffle carries (bucket, id,
+  vector); pair fan-out bounded by bucket population — the scale path,
+  same shape as an IVF coarse quantizer.
+
+Cosine is computed with sequential fold (``F.aggregate``) over
+``zip_with`` products in double precision — deterministic
+left-to-right IEEE summation, matching the DuckDB oracle's
+``list_dot_product`` formulation after rounding to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (excluding self).
+
+    Tie-break: (cosine desc, neighbor id asc) — fully deterministic, so
+    result sets are reproducible and oracle-comparable. The corpus side
+    streams; only the query side is broadcast.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    n = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    scored = (
+        n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits))
+        .drop("_qv", "_nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+def _hyperplane(dim: int, bit: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j ∈ {-1,+1} from
+    md5(seed|bit|j) parity — reproducible across engines and runs with no
+    RNG state."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{seed}|{bit}|{j}".encode()).hexdigest(), 16) % 2 == 0 else -1.0
+        for j in range(dim)
+    ]
+
+
+def srp_bucket(vec: Column, dim: int, nbits: int = 8, seed: int = 42) -> Column:
+    """Sign-random-projection bucket id: bit b = sign(<v, h_b>) packed to
+    an int. Hyperplanes are plan literals — no join, no broadcast var."""
+    bucket = F.lit(0)
+    for b in range(nbits):
+        h = _hyperplane(dim, b, seed)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in h]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nbits: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket (or differ in one
+    bit — multi-probe), exact cosine re-rank within candidates.
+
+    Recall/cost dial: nbits down → bigger buckets → higher recall & cost.
+    """
+    nb = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        srp_bucket(F.col(vec_col), dim, nbits, seed).alias("_nb"),
+    )
+    # multi-probe: query probes its own bucket plus all 1-bit flips
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        srp_bucket(F.col(vec_col), dim, nbits, seed).alias("_qb0"),
+    ).select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.array(
+                F.col("_qb0"), *[F.col("_qb0").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)]
+            )
+        ).alias("_qb"),
+    )
+    cand = nb.join(F.broadcast(qb), (F.col("_nb") == F.col("_qb")) & (F.col("query_id") != F.col("neighbor_id")))
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits)
+    ).select("query_id", "neighbor_id", "cos").dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+    Brute-force formulation (the oracle); swap the join for an SRP-bucket
+    equi-join (srp_bucket) at corpus scale."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), round_digits))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

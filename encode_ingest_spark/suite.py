@@ -1,0 +1,1370 @@
+"""Operator query suite — the driver correctness gate.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text). Each entry pairs a
+Spark DataFrame query (callable (spark, sf_dir) → DataFrame) with an ANSI
+SQL oracle DuckDB runs on the same parquet tables.
+
+Cross-engine determinism rules used throughout:
+* money aggregates → DECIMAL(18,2) (exact, associative in both engines)
+* double outputs → round(x, 4..6); double pipelines mirror the exact
+  operation order (left-assoc folds) so IEEE results are bit-equal
+* hashes → md5 (identical hex in both engines); 60-bit ints via
+  conv/substr (Spark) == ('0x'||substr)::BIGINT (DuckDB)
+* arrays in outputs → canonical sorted '|'-joined strings
+* every computed column aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .cdc import dedupe_latest, dedupe_latest_window, repo_file_events
+from .functions import modality_expr
+from .operators import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    lang_id,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash32,
+    simhash_pairs,
+    bpe_ish_token_count,
+    fingerprint,
+    punct_ratio,
+    salted_agg,
+    stopword_ratio,
+    token_count,
+)
+from .operators.text import LANG_STOPWORDS
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ===========================================================================
+# CDC core (events: event_id=seq, user_id/event_type=key, value=payload)
+# ===========================================================================
+
+@q(
+    "cdc_dedup_latest",
+    """
+    SELECT user_id, event_type,
+           max(event_id) AS last_event_id,
+           round(arg_max(value, event_id), 4) AS last_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def cdc_dedup_latest(spark, sf_dir):
+    """A7 — per-key latest via max_by hash agg (partial-agg, no sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.round(F.max_by("value", "event_id"), 4).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "cdc_dedup_window",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           round(value, 4) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_dedup_window(spark, sf_dir):
+    """A7 window formulation (sort-based parity baseline)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    out = dedupe_latest_window(ev, ["user_id", "event_type"], "event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@q(
+    "cdc_final_state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           round(value, 4) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'click'
+    """,
+)
+def cdc_final_state(spark, sf_dir):
+    """Tombstone semantics: latest event per key wins; if it is the
+    'delete' op ('click' stands in) the key is absent from final state —
+    the merge_into read-path contract (lake/merge.py)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    latest = dedupe_latest(ev, ["user_id"], "event_id")
+    return latest.filter(F.col("event_type") != "click").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@q(
+    "cdc_batch_lineage",
+    """
+    SELECT event_id // 1000 AS batch_id, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_keys,
+           min(event_id) AS offset_start, max(event_id) AS offset_end
+    FROM events GROUP BY event_id // 1000
+    """,
+)
+def cdc_batch_lineage(spark, sf_dir):
+    """Lineage rollup shape: per-batch offset ranges + row counts
+    (FIXTURES.md §3)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy((F.floor(F.col("event_id") / 1000)).alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.min("event_id").alias("offset_start"),
+        F.max("event_id").alias("offset_end"),
+    )
+
+
+@q(
+    "cdc_staged_vs_live",
+    """
+    WITH thr AS (SELECT (min(event_id) + max(event_id)) // 2 AS t FROM events),
+    live AS (
+      SELECT user_id, arg_max(round(value, 4), event_id) AS v
+      FROM events WHERE event_id < (SELECT t FROM thr) GROUP BY user_id),
+    staged AS (
+      SELECT user_id, arg_max(round(value, 4), event_id) AS v
+      FROM events WHERE event_id >= (SELECT t FROM thr) GROUP BY user_id)
+    SELECT s.user_id AS user_id,
+           CASE WHEN l.user_id IS NULL THEN 'new' ELSE 'changed' END AS change_type
+    FROM staged s LEFT JOIN live l ON s.user_id = l.user_id
+    WHERE l.user_id IS NULL OR s.v <> l.v
+    """,
+)
+def cdc_staged_vs_live(spark, sf_dir):
+    """J16/S7 — the reference's staged-vs-live diff
+    (ingest-processed-data.yaml:86-116) as a relational query: rows to
+    append are keys that are new or changed vs live state."""
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    thr = (lo + hi) // 2
+    def latest(df):
+        return df.groupBy("user_id").agg(
+            F.max_by(F.round("value", 4), F.col("event_id")).alias("v")
+        )
+    live = latest(ev.filter(F.col("event_id") < thr))
+    staged = latest(ev.filter(F.col("event_id") >= thr))
+    j = staged.alias("s").join(live.alias("l"), "user_id", "left")
+    return j.filter(
+        F.col("l.v").isNull() | (F.col("s.v") != F.col("l.v"))
+    ).select(
+        "user_id",
+        F.when(F.col("l.v").isNull(), F.lit("new")).otherwise(F.lit("changed")).alias(
+            "change_type"
+        ),
+    )
+
+
+@q(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-level salted aggregation == plain aggregation (exact decimal
+    sums make the equivalence bit-for-bit)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.round("value", 2).cast("decimal(18,2)")
+    )
+    out = salted_agg(ev, ["event_type"], {"n": ("count", "*"), "sum_value": ("sum", "v")})
+    return out.select("event_type", "n", F.col("sum_value").cast("decimal(38,2)"))
+
+
+# ===========================================================================
+# Scalar functions (F-group) over TPC-H-ish tables
+# ===========================================================================
+
+@q(
+    "f1_transform_id",
+    """
+    SELECT c_custkey,
+           regexp_extract('/customers/C' || CAST(c_custkey AS VARCHAR) || '/',
+                          '^/[^/]+/([^/]+)/$', 1) AS minted_id
+    FROM customer
+    """,
+)
+def f1_transform_id(spark, sf_dir):
+    from .functions import transform_id
+
+    c = _t(spark, sf_dir, "customer")
+    raw = F.concat(F.lit("/customers/C"), F.col("c_custkey").cast("string"), F.lit("/"))
+    return c.select("c_custkey", transform_id(raw).alias("minted_id"))
+
+
+@q(
+    "f2_composite_id",
+    """
+    SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+             AS activity_id,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def f2_composite_id(spark, sf_dir):
+    from .functions import composite_id
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        composite_id(
+            F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("activity_id"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@q(
+    "f3_url_prefix",
+    """
+    SELECT p_partkey,
+           'https://www.encodeproject.org' || '/parts/' || CAST(p_partkey AS VARCHAR) || '/'
+             AS xref
+    FROM part
+    """,
+)
+def f3_url_prefix(spark, sf_dir):
+    from .functions import to_encode_url
+
+    p = _t(spark, sf_dir, "part")
+    path = F.concat(F.lit("/parts/"), F.col("p_partkey").cast("string"), F.lit("/"))
+    return p.select("p_partkey", to_encode_url(path).alias("xref"))
+
+
+@q(
+    "f4_age_bounds",
+    """
+    WITH ages AS (
+      SELECT c_custkey,
+             CASE c_custkey % 4
+               WHEN 0 THEN '90 or above'
+               WHEN 1 THEN CAST(c_custkey % 97 AS VARCHAR) || '-'
+                           || CAST(c_custkey % 97 + 5 AS VARCHAR)
+               WHEN 2 THEN CAST(c_custkey % 97 AS VARCHAR)
+               ELSE NULL END AS age
+      FROM customer)
+    SELECT c_custkey, age,
+      CASE WHEN age IS NULL THEN NULL
+           WHEN age = '90 or above' THEN 90.0
+           WHEN contains(age, '-') THEN CAST(string_split(age, '-')[1] AS DOUBLE)
+           ELSE CAST(age AS DOUBLE) END AS age_lower_bound,
+      CASE WHEN age IS NULL OR age = '90 or above' THEN NULL
+           WHEN contains(age, '-') THEN CAST(string_split(age, '-')[2] AS DOUBLE)
+           ELSE CAST(age AS DOUBLE) END AS age_upper_bound
+    FROM ages
+    """,
+)
+def f4_age_bounds(spark, sf_dir):
+    from .functions import age_lower_bound, age_upper_bound
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    n = (k % 97).cast("string")
+    age = (
+        F.when(k % 4 == 0, F.lit("90 or above"))
+        .when(k % 4 == 1, F.concat(n, F.lit("-"), (k % 97 + 5).cast("string")))
+        .when(k % 4 == 2, n)
+        .otherwise(F.lit(None))
+    )
+    return c.select(
+        "c_custkey",
+        age.alias("age"),
+        age_lower_bound(age).alias("age_lower_bound"),
+        age_upper_bound(age).alias("age_upper_bound"),
+    )
+
+
+@q(
+    "f5_audit_color",
+    """
+    SELECT event_id,
+      CASE lvl WHEN 40 THEN 'yellow' WHEN 50 THEN 'orange'
+               WHEN 60 THEN 'red' ELSE 'white' END AS color
+    FROM (SELECT event_id,
+                 CASE WHEN value >= 150 THEN 60 WHEN value >= 100 THEN 50
+                      WHEN value >= 50 THEN 40 ELSE 10 END AS lvl
+          FROM events)
+    """,
+)
+def f5_audit_color(spark, sf_dir):
+    from .functions import audit_color
+
+    ev = _t(spark, sf_dir, "events")
+    lvl = (
+        F.when(F.col("value") >= 150, 60)
+        .when(F.col("value") >= 100, 50)
+        .when(F.col("value") >= 50, 40)
+        .otherwise(10)
+    )
+    return ev.select("event_id", audit_color(lvl).alias("color"))
+
+
+@q(
+    "f6_modality_dict",
+    """
+    WITH terms AS (
+      SELECT c_custkey,
+             ['RNA-seq', 'WGS', 'Hi-C', 'made-up assay'][(c_custkey % 4) + 1] AS term
+      FROM customer)
+    SELECT c_custkey, term,
+      CASE term WHEN 'RNA-seq' THEN 'Transcriptomic_NonTargeted'
+                WHEN 'WGS' THEN 'Genomic_Genotyping_Whole Genomic'
+                WHEN 'Hi-C' THEN 'Epigenomic_3D Contact Maps'
+                ELSE '!' || term END AS data_modality
+    FROM terms
+    """,
+)
+def f6_modality_dict(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    term = F.element_at(
+        F.array(F.lit("RNA-seq"), F.lit("WGS"), F.lit("Hi-C"), F.lit("made-up assay")),
+        (F.col("c_custkey") % 4 + 1).cast("int"),
+    )
+    return c.select(
+        "c_custkey", term.alias("term"), modality_expr(term).alias("data_modality")
+    )
+
+
+@q(
+    "f7_file_type",
+    """
+    SELECT p_partkey,
+      CASE cat WHEN 'raw data' THEN 'Sequence' WHEN 'alignment' THEN 'Alignment'
+               ELSE 'Other' END AS file_type
+    FROM (SELECT p_partkey,
+                 ['raw data', 'alignment', 'signal'][(p_size % 3) + 1] AS cat
+          FROM part)
+    """,
+)
+def f7_file_type(spark, sf_dir):
+    from .functions import file_type
+
+    p = _t(spark, sf_dir, "part")
+    cat = F.element_at(
+        F.array(F.lit("raw data"), F.lit("alignment"), F.lit("signal")),
+        (F.col("p_size") % 3 + 1).cast("int"),
+    )
+    return p.select("p_partkey", file_type(cat).alias("file_type"))
+
+
+@q(
+    "f9_paired_end",
+    """
+    SELECT l_orderkey, l_linenumber,
+      CASE raw WHEN '1' THEN 1 WHEN '2' THEN 2 ELSE NULL END AS paired_end
+    FROM (SELECT l_orderkey, l_linenumber,
+                 ['1', '2', '1,2', 'bogus'][(l_linenumber % 4) + 1] AS raw
+          FROM lineitem)
+    """,
+)
+def f9_paired_end(spark, sf_dir):
+    from .functions import paired_end
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = F.element_at(
+        F.array(F.lit("1"), F.lit("2"), F.lit("1,2"), F.lit("bogus")),
+        (F.col("l_linenumber") % 4 + 1).cast("int"),
+    )
+    return li.select("l_orderkey", "l_linenumber", paired_end(raw).alias("paired_end"))
+
+
+@q(
+    "f13_date_midnight",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS obtained_date
+    FROM orders
+    """,
+)
+def f13_date_midnight(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", F.to_date("o_orderdate").alias("obtained_date"))
+
+
+@q(
+    "f17_path_surgery",
+    """
+    SELECT p_partkey,
+      lower(regexp_replace(p_name, '\\s+', '-', 'g')) AS slug,
+      regexp_extract(p_name, '([^/]*)$', 1) AS base,
+      regexp_replace('s3://bucket/' || CAST(p_partkey AS VARCHAR), '^s3://', 'gs://')
+        AS gs_path
+    FROM part
+    """,
+)
+def f17_path_surgery(spark, sf_dir):
+    from .functions import basename, s3_to_gs, slugify
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        slugify("p_name").alias("slug"),
+        basename("p_name").alias("base"),
+        s3_to_gs(F.concat(F.lit("s3://bucket/"), F.col("p_partkey").cast("string"))).alias(
+            "gs_path"
+        ),
+    )
+
+
+@q(
+    "f18_single_or_null",
+    """
+    SELECT l_orderkey AS o_orderkey,
+      CASE WHEN count(DISTINCT l_returnflag) = 1 THEN min(l_returnflag)
+           ELSE NULL END AS the_flag
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def f18_single_or_null(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    return li.groupBy("o_orderkey").agg(
+        F.when(F.countDistinct("l_returnflag") == 1, F.min("l_returnflag"))
+        .otherwise(F.lit(None))
+        .alias("the_flag")
+    )
+
+
+@q(
+    "p1_scrub_unknown",
+    """
+    SELECT o_orderkey,
+      CASE WHEN o_orderpriority = 'unknown' THEN NULL
+           ELSE o_orderpriority END AS priority,
+      CASE WHEN o_orderstatus = 'unknown' THEN NULL
+           ELSE o_orderstatus END AS status
+    FROM orders
+    """,
+)
+def p1_scrub_unknown(spark, sf_dir):
+    from .functions import scrub_unknown
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        scrub_unknown("o_orderpriority").alias("priority"),
+        scrub_unknown("o_orderstatus").alias("status"),
+    )
+
+
+@q(
+    "p3_partition_split",
+    """
+    SELECT (event_type LIKE 's%') AS is_s, count(*) AS n
+    FROM events GROUP BY (event_type LIKE 's%')
+    """,
+)
+def p3_partition_split(spark, sf_dir):
+    """P3 — predicate partition by string prefix
+    (ExtractionPipelineBuilder.scala:302-306,378-385) as a single-pass
+    grouped count."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").startswith("s").alias("is_s")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# Joins (J-group)
+# ===========================================================================
+
+@q(
+    "j1_left_join_broadcast",
+    """
+    SELECT c_custkey, c_name, n_name
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def j1_left_join_broadcast(spark, sf_dir):
+    """J1/J6 — left join against a tiny dim, explicitly broadcast
+    (organisms are tiny → broadcast, SURVEY §2.3 notes)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left").select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@q(
+    "j2_grouped_left_join",
+    """
+    SELECT o.o_orderkey,
+           coalesce(g.lines, '') AS lines,
+           coalesce(g.n_lines, 0) AS n_lines
+    FROM orders o LEFT JOIN (
+      SELECT l_orderkey,
+             array_to_string(list_sort(array_agg(l_linenumber)), '|') AS lines,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey) g
+    ON o.o_orderkey = g.l_orderkey
+    """,
+)
+def j2_grouped_left_join(spark, sf_dir):
+    """J2/J12 — left join against a pre-aggregated (collect_list) side:
+    aggregate-then-join so the shuffle carries one row per key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("l_linenumber"))).alias("lines"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = o.join(g, o.o_orderkey == g.l_orderkey, "left")
+    return j.select(
+        "o_orderkey",
+        F.coalesce("lines", F.lit("")).alias("lines"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+    )
+
+
+@q(
+    "j3_explode_inner_join",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS parts_value
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def j3_explode_inner_join(spark, sf_dir):
+    """J3 — flatMap-then-inner-join (explode of the per-order partkey set
+    then join on the target): distinct partkeys per order, priced."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("partkeys")
+    )
+    exploded = per_order.select(
+        F.col("l_orderkey").alias("o_orderkey"), F.explode("partkeys").alias("pk")
+    )
+    j = exploded.join(p, exploded.pk == p.p_partkey)
+    return j.groupBy("o_orderkey").agg(
+        F.sum(dec("p_retailprice")).cast("decimal(38,2)").alias("parts_value")
+    )
+
+
+@q(
+    "j8_dedup_join",
+    """
+    SELECT l_orderkey, min(l_partkey) AS first_partkey
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def j8_dedup_join(spark, sf_dir):
+    """J8 — join + distinctBy(key): deterministic winner via min_by
+    (dropDuplicates keeps an arbitrary row; min_by keeps the contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", "l_partkey").alias("first_partkey")
+    )
+
+
+@q(
+    "j14_overlap_join",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS c_custkey,
+             list_sort(list_distinct(array_agg(o_orderpriority))) AS prios
+      FROM orders GROUP BY o_custkey),
+    grp AS (SELECT * FROM (VALUES
+      ('hot',  ['1-URGENT', '2-HIGH']),
+      ('med',  ['3-MEDIUM']),
+      ('cold', ['4-NOT SPECIFIED', '5-LOW'])) AS t(grp, members))
+    SELECT c.c_custkey, g.grp
+    FROM cust c JOIN grp g ON list_has_any(c.prios, g.members)
+    """,
+)
+def j14_overlap_join(spark, sf_dir):
+    """J14 — broadcast nested-loop join with arrays_overlap predicate
+    (the reference's file×libraries side-input scan,
+    FileTransformations.scala:66-85)."""
+    from .operators import broadcast_overlap_join
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sort_array(F.array_distinct(F.collect_list("o_orderpriority"))).alias("prios")
+    )
+    groups = spark.createDataFrame(
+        [
+            ("hot", ["1-URGENT", "2-HIGH"]),
+            ("med", ["3-MEDIUM"]),
+            ("cold", ["4-NOT SPECIFIED", "5-LOW"]),
+        ],
+        "grp string, members array<string>",
+    )
+    j = broadcast_overlap_join(cust, groups, "prios", "members")
+    return j.select("c_custkey", "grp")
+
+
+@q(
+    "j15_anti_join_orphans",
+    """
+    SELECT DISTINCT l_partkey AS orphan_key
+    FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey > 100)
+    """,
+)
+def j15_anti_join_orphans(spark, sf_dir):
+    """J15/U6 — referential-integrity orphan check as left_anti
+    (hack/check_for_missing_files.sh:16-27)."""
+    li = _t(spark, sf_dir, "lineitem")
+    parent = _t(spark, sf_dir, "part").filter(F.col("p_partkey") > 100)
+    fks = li.select(F.col("l_partkey").alias("orphan_key")).distinct()
+    return fks.join(parent, fks.orphan_key == parent.p_partkey, "left_anti")
+
+
+@q(
+    "j10_multi_join_chain",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, c.c_mktsegment, n.n_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def j10_multi_join_chain(spark, sf_dir):
+    """J10 — 2 inner joins then a left join (stepRun⋈stepVersion⋈step⟕files
+    shape, TransformationPipelineBuilder.scala:488-522), flat column
+    namespace instead of nested tuples."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select("l_orderkey", "l_linenumber", "o_orderstatus", "c_mktsegment", "n_name")
+    )
+
+
+# ===========================================================================
+# Aggregations / sorts / set ops (A/O/U groups)
+# ===========================================================================
+
+@q(
+    "a1_collect_per_key",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(array_agg(c_custkey)), '|') AS members,
+           count(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a1_collect_per_key(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("c_custkey"))).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "a2_regroup_concat",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list_distinct(flatten(array_agg(m)))), '|')
+             AS all_members
+    FROM (SELECT c_nationkey, c_mktsegment, array_agg(c_custkey) AS m
+          FROM customer GROUP BY c_nationkey, c_mktsegment)
+    GROUP BY c_nationkey
+    """,
+)
+def a2_regroup_concat(spark, sf_dir):
+    """A2 — two-level group-concat (pipeline-runs shape)."""
+    c = _t(spark, sf_dir, "customer")
+    l1 = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.collect_list("c_custkey").alias("m")
+    )
+    return l1.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            "|", F.sort_array(F.array_distinct(F.flatten(F.collect_list("m"))))
+        ).alias("all_members")
+    )
+
+
+@q(
+    "a3_distinct_by",
+    """
+    SELECT c_nationkey, min(c_custkey) AS c_custkey,
+           arg_min(c_name, c_custkey) AS c_name
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a3_distinct_by(spark, sf_dir):
+    from .operators import distinct_by
+
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_name")
+    return distinct_by(c, ["c_nationkey"], prefer_min="c_custkey")
+
+
+@q(
+    "a4_audit_summarize",
+    """
+    SELECT user_id,
+      CASE max(lvl) WHEN 40 THEN 'yellow' WHEN 50 THEN 'orange'
+                    WHEN 60 THEN 'red' ELSE 'white' END AS color,
+      array_to_string(list_sort(list_distinct(array_agg(event_type))), '|') AS labels
+    FROM (SELECT user_id, event_type,
+                 CASE WHEN value >= 150 THEN 60 WHEN value >= 100 THEN 50
+                      WHEN value >= 50 THEN 40 ELSE 10 END AS lvl
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def a4_audit_summarize(spark, sf_dir):
+    """A4 — audit summarization as a relational rollup: max level → color,
+    distinct sorted categories (CommonTransformations.scala:74-102)."""
+    from .functions import audit_color
+
+    ev = _t(spark, sf_dir, "events")
+    lvl = (
+        F.when(F.col("value") >= 150, 60)
+        .when(F.col("value") >= 100, 50)
+        .when(F.col("value") >= 50, 40)
+        .otherwise(10)
+    )
+    return ev.withColumn("lvl", lvl).groupBy("user_id").agg(
+        audit_color(F.max("lvl")).alias("color"),
+        F.concat_ws(
+            "|", F.sort_array(F.array_distinct(F.collect_list("event_type")))
+        ).alias("labels"),
+    )
+
+
+@q(
+    "o_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def o_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@q(
+    "u1_union_by_name",
+    """
+    SELECT src, count(*) AS n FROM (
+      SELECT 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'done' AS src FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY src
+    """,
+)
+def u1_union_by_name(spark, sf_dir):
+    from .operators import union_by_name
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.lit("open").alias("src"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.lit("done").alias("src"))
+    return union_by_name([a, b]).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "u3_array_ops",
+    """
+    SELECT o_orderkey,
+      coalesce(array_to_string(list_sort(list_intersect(flags, ['A', 'R'])), '|'), '') AS inter,
+      coalesce(array_to_string(list_sort(list_filter(flags, f -> f <> 'N')), '|'), '') AS except_n,
+      array_to_string(list_sort(list_distinct(list_concat(flags, ['X', 'A']))), '|')
+        AS with_extra
+    FROM (SELECT l_orderkey AS o_orderkey,
+                 list_sort(list_distinct(array_agg(l_returnflag))) AS flags
+          FROM lineitem GROUP BY l_orderkey)
+    """,
+)
+def u3_array_ops(spark, sf_dir):
+    """U3/U4/U5 — array intersect / except / distinct-concat."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sort_array(F.array_distinct(F.collect_list("l_returnflag"))).alias("flags")
+    )
+    return base.select(
+        "o_orderkey",
+        F.concat_ws(
+            "|", F.sort_array(F.array_intersect("flags", F.array(F.lit("A"), F.lit("R"))))
+        ).alias("inter"),
+        F.concat_ws(
+            "|", F.sort_array(F.array_except("flags", F.array(F.lit("N"))))
+        ).alias("except_n"),
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.array_distinct(F.concat("flags", F.array(F.lit("X"), F.lit("A"))))
+            ),
+        ).alias("with_extra"),
+    )
+
+
+# ===========================================================================
+# TPC-H-style analytical queries (bench headliners)
+# ===========================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS sum_disc_price,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+        )
+        .cast("decimal(38,4)")
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
+# Text analysis / dedup / similarity over documents & embeddings
+# (SQL oracles generated to mirror the Spark expressions operation-for-
+#  operation so double/hash results are bit-identical)
+# ===========================================================================
+
+# shared DuckDB fragments
+_SQL_TOKS_RAW = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
+_SQL_CANON = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+_SQL_TOKS_CANON = (
+    r"list_filter(regexp_split_to_array(trim(lower(" + _SQL_CANON + r")), '\s+'),"
+    r" x -> x <> '')"
+)
+_SQL_MD5LONG = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_SQL_SHINGLES = (
+    "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),"
+    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
+    " WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]"
+    " ELSE []::VARCHAR[] END"
+)
+_SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in LANG_STOPWORDS.items()}
+
+
+@q(
+    "t1_token_stats",
+    f"""
+    SELECT doc_id,
+      len({_SQL_TOKS_RAW}) AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces,
+      round(CASE WHEN len(text) > 0
+                 THEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / len(text)
+                 ELSE 0.0 END, 4) AS punct_ratio,
+      round(CASE WHEN len({_SQL_TOKS_RAW}) > 0
+                 THEN len(list_filter({_SQL_TOKS_RAW},
+                          t -> list_contains({_SW['en']}, t))) / len({_SQL_TOKS_RAW})
+                 ELSE 0.0 END, 4) AS stopword_ratio
+    FROM documents
+    """,
+)
+def t1_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_pieces"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return (
+        f"len(list_filter({_SQL_TOKS_RAW}, t -> list_contains({_SW[lang]}, t)))"
+    )
+
+
+@q(
+    "t2_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_sql_lang_score('de')} AS s_de, {_sql_lang_score('en')} AS s_en,
+             {_sql_lang_score('es')} AS s_es, {_sql_lang_score('fr')} AS s_fr
+      FROM documents),
+    win AS (
+      SELECT doc_id, greatest(s_de, s_en, s_es, s_fr) AS g, s_de, s_en, s_es, s_fr
+      FROM s)
+    SELECT lang_pred, count(*) AS n_docs FROM (
+      SELECT doc_id,
+        CASE WHEN g = 0 THEN 'und'
+             WHEN s_fr = g THEN 'fr' WHEN s_es = g THEN 'es'
+             WHEN s_en = g THEN 'en' ELSE 'de' END AS lang_pred
+      FROM win)
+    GROUP BY lang_pred
+    """,
+)
+def t2_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@q(
+    "t3_quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id, text,
+        CAST(len({_SQL_TOKS_RAW}) AS DOUBLE) AS n_tok,
+        CASE WHEN len(text) > 0
+             THEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / len(text)
+             ELSE 0.0 END AS punct,
+        CASE WHEN len({_SQL_TOKS_RAW}) > 0
+             THEN len(list_filter({_SQL_TOKS_RAW},
+                      t -> list_contains({_SW['en']}, t))) / len({_SQL_TOKS_RAW})
+             ELSE 0.0 END AS sw,
+        CASE WHEN len({_SQL_TOKS_RAW}) > 0
+             THEN list_sum(list_transform({_SQL_TOKS_RAW}, t -> len(t))) / len({_SQL_TOKS_RAW})
+             ELSE 0.0 END AS mlen
+      FROM documents)
+    SELECT doc_id,
+      round(least(n_tok / 100.0, 1.0) * 0.3
+            + least(sw / 0.3, 1.0) * 0.3
+            + greatest(0.0, 1.0 - punct * 2) * 0.2
+            + (CASE WHEN mlen >= 3 AND mlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2,
+            4) AS quality
+    FROM m
+    """,
+)
+def t3_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@q(
+    "t4_fingerprint",
+    f"SELECT doc_id, md5({_SQL_CANON}) AS fp FROM documents",
+)
+def t4_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@q(
+    "d1_exact_dedup_groups",
+    f"""
+    SELECT content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id,
+           array_to_string(list_sort(array_agg(doc_id)), '|') AS doc_ids
+    FROM (SELECT doc_id, sha256({_SQL_CANON}) AS content_hash FROM documents)
+    GROUP BY content_hash HAVING count(*) > 1
+    """,
+)
+def d1_exact_dedup_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = exact_dedup_groups(d, "doc_id", "text")
+    return g.select(
+        "content_hash",
+        "n_docs",
+        "keep_doc_id",
+        F.concat_ws("|", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
+            "doc_ids"
+        ),
+    )
+
+
+@q(
+    "d2_ngram_jaccard_pairs",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS_CANON} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM
+             (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM tk)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    """,
+)
+def d2_ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _sql_minhash_list(k: int = 16) -> str:
+    mins = ", ".join(
+        "coalesce(list_min(list_transform(sh, s -> "
+        + _SQL_MD5LONG.format(x=f"'{i}' || '|' || s")
+        + ")), -1)"
+        for i in range(k)
+    )
+    return f"[{mins}]"
+
+
+@q(
+    "d3_minhash_signatures",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS_CANON} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tk)
+    SELECT doc_id,
+           array_to_string(list_transform({_sql_minhash_list()},
+                           x -> CAST(x AS VARCHAR)), ',') AS sig
+    FROM sh
+    """,
+)
+def d3_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", k=16)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform("sig", lambda x: F.coalesce(x, F.lit(-1)).cast("string")),
+        ).alias("sig"),
+    )
+
+
+@q(
+    "d4_minhash_lsh_pairs",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS_CANON} AS tk FROM documents),
+    shl AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tk),
+    sigs AS (SELECT doc_id, {_sql_minhash_list()} AS sig FROM shl
+             WHERE len(sh) > 0),
+    banded AS (
+      SELECT doc_id, sig, b.band AS band,
+             array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 4)
+             AS est_jaccard
+    FROM cand
+    WHERE round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 4) >= 0.5
+    """,
+)
+def d4_minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=16, bands=4, threshold=0.5)
+
+
+def _sql_simhash_expr() -> str:
+    terms = " + ".join(
+        "(CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {2**b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@q(
+    "d5_simhash",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS_CANON} AS tk FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(tk, t -> {_SQL_MD5LONG.format(x='t')}) AS hs
+           FROM tk)
+    SELECT doc_id, {_sql_simhash_expr()} AS simhash FROM th
+    """,
+)
+def d5_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32("text").alias("simhash"))
+
+
+@q(
+    "d6_simhash_pairs",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS_CANON} AS tk FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(tk, t -> {_SQL_MD5LONG.format(x='t')}) AS hs
+           FROM tk),
+    sigs AS (SELECT doc_id, {_sql_simhash_expr()} AS sig FROM th),
+    banded AS (
+      SELECT doc_id, sig, b.band AS band, (sig >> (b.band * 8)) & 255 AS byte
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def d6_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    p = simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def _sql_norm(a: str, dim: int) -> str:
+    return "sqrt(" + " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+_EMB_DIM = 64  # embeddings.parquet vector length (TESTDATA.md, all scales)
+
+
+@q(
+    "s1_cosine_topk",
+    f"""
+    WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+                FROM embeddings WHERE vec_id < 8),
+    nv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS n
+           FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_sql_dot('q', 'n', _EMB_DIM)}
+                   / ({_sql_norm('q', _EMB_DIM)} * {_sql_norm('n', _EMB_DIM)}), 6)
+               AS cos
+      FROM qv, nv WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def s1_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = cosine_topk(e, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+@q(
+    "s2_embedding_near_dup",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_dot('a.e', 'b.e', _EMB_DIM)}
+                 / ({_sql_norm('a.e', _EMB_DIM)} * {_sql_norm('b.e', _EMB_DIM)}), 6)
+             AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round({_sql_dot('a.e', 'b.e', _EMB_DIM)}
+                / ({_sql_norm('a.e', _EMB_DIM)} * {_sql_norm('b.e', _EMB_DIM)}), 6) >= 0.3
+    """,
+)
+def s2_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.3)
+
+
+# ===========================================================================
+# Non-SQL-expressible entries (rows-only checks): streaming CDC pipeline,
+# multimodal plumbing, LSH ANN (approximate — no exact SQL twin)
+# ===========================================================================
+
+def cdc_repo_pipeline(spark, sf_dir):
+    """Flagship CDC slice as a pure DataFrame pipeline: deterministic
+    generator → per-key dedup → tombstone filter → live per-repo rollup.
+    (The lake MERGE variant writes to disk; exercised in pytest.)"""
+    ev = repo_file_events(spark, n_keys=2000, events_per_key=3, seed=42)
+    latest = dedupe_latest(ev, ["repo", "path", "commit"], "event_seq")
+    live = latest.filter(F.col("op") != "delete")
+    return live.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.max("event_seq").alias("max_seq"),
+    )
+
+
+def m1_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary media → mapInPandas feature
+    extraction (deterministic fake decoder)."""
+    from .operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64, seed=42)
+    return extract_features(media, decode_stub="fake").select(
+        "media_id",
+        "kind",
+        F.round("feat_mean", 4).alias("feat_mean"),
+        F.round("feat_std", 4).alias("feat_std"),
+        "feat_dim",
+        "decoder",
+    )
+
+
+def s3_lsh_topk(spark, sf_dir):
+    """ANN path (SRP-LSH buckets + exact re-rank) — approximate by
+    design, so no SQL oracle; the exact-vs-ANN recall check lives in
+    pytest."""
+    from .operators import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = lsh_topk(e, queries, dim=_EMB_DIM, k=5, nbits=8)
+    return out.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+QUERIES["cdc_repo_pipeline"] = cdc_repo_pipeline
+QUERIES["m1_media_features"] = m1_media_features
+QUERIES["s3_lsh_topk"] = s3_lsh_topk
