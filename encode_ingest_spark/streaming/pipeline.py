@@ -1,0 +1,140 @@
+"""Streaming CDC pipeline: event-log tail → foreachBatch → MERGE.
+
+This is the engine-side collapse of the reference's whole Argo DAG
+(weekly extract → diff → soft-delete → append,
+orchestration/templates/ingest-encode-data.yaml:12-33 and
+ingest-processed-data.yaml:86-172) into one Structured Streaming query:
+
+    readStream(event log) → foreachBatch(dedup → MERGE INTO lake table)
+
+Exactly-once is two fences deep:
+1. **Spark checkpoint** — source offsets per epoch; on restart the same
+   epoch replays with the same epoch_id.
+2. **Table watermark fence** — merge_into records (source_id, batch_id
+   = epoch_id) in the committed manifest; a replayed epoch whose id is
+   already committed is a no-op (lake/merge.py). This covers the crash
+   window BETWEEN merge-commit and checkpoint-commit, which Spark's
+   checkpoint alone cannot (the reference states the same contract:
+   "Idempotent; will not re-ingest or re-delete rows if the state
+   already matches", ingest-processed-data.yaml:10-11).
+
+Replay mode: ``trigger(availableNow=True)`` drains the backlog in rate-
+limited micro-batches and terminates — the batch "reconverge to identical
+state" guarantee of the reference's diff step.
+
+Operational caveat (verified by probe): fence batch-ids derive from
+checkpoint-scoped epoch ids. Replaying a LOST checkpoint against the same
+``source_id`` is safe only while the event log is unchanged (replayed
+epochs fence off, observed live); if new files were added first, fresh
+epoch ids could collide with committed ones and be wrongly skipped. A
+rebuilt checkpoint must therefore use a NEW ``source_id`` — the same
+contract as Delta's txnAppId/txnVersion pairing, and the engine-side
+analogue of the reference's timestamped staging prefixes
+(cron-workflow.yaml:19-28).
+
+Late data: correctness never depends on event-time windows — the per-key
+``event_seq`` in the MERGE condition ignores stale events; an optional
+watermark on ``event_ts`` exists only to bound any future event-time
+state (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake import LakeTable
+from ..lake.merge import MergeResult, merge_into
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("event_ts", T.TimestampType(), True),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+class CdcStreamPipeline:
+    """Tail a file-based change log (parquet files appended to a
+    directory — the sandbox stand-in for a Kafka/binlog tail; the source
+    swap is one line) and MERGE each micro-batch into a LakeTable."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        events_dir: str,
+        checkpoint_dir: str,
+        source_id: str = "stream",
+        schema: T.StructType = EVENT_SCHEMA,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.table = table
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.source_id = source_id
+        self.schema = schema
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batch_results: list[MergeResult] = []  # per-run observability
+
+    def _stream_df(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.events_dir)
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        res = merge_into(
+            self.table,
+            batch,
+            source_id=self.source_id,
+            batch_id=int(epoch_id) + 1,  # fence ids are 1-based, epoch is 0-based
+            offset_range=(int(epoch_id), int(epoch_id)),
+        )
+        self.batch_results.append(res)
+
+    def run_available_now(self, spark: SparkSession, timeout_sec: int = 600) -> int:
+        """Drain the current backlog and stop (replay / catch-up mode).
+        Returns the number of micro-batches that performed a merge."""
+        self.batch_results = []
+        query = (
+            self._stream_df(spark)
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            if query.isActive:  # pragma: no cover - timeout safety
+                query.stop()
+        return len([r for r in self.batch_results if not r.skipped])
+
+    def last_committed_batch(self) -> int:
+        wm = self.table.current_manifest().watermarks.get(self.source_id)
+        return -1 if wm is None else wm.get("batch_id", -1)
+
+
+def write_event_files(
+    df: DataFrame, events_dir: str, n_files: int, order_col: str = "event_seq"
+) -> None:
+    """Test/bench helper: lay a DataFrame down as n parquet files the
+    stream will pick up as separate trigger units (with
+    maxFilesPerTrigger=1). Files are hash-split so versions of one key
+    spread across micro-batches — the out-of-order cross-batch case."""
+    (
+        df.withColumn("_f", F.pmod(F.hash(order_col), F.lit(n_files)))
+        .repartition(n_files, "_f")
+        .drop("_f")
+        .write.mode("append")
+        .parquet(events_dir)
+    )

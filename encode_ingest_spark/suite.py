@@ -1368,3 +1368,123 @@ def s3_lsh_topk(spark, sf_dir):
 QUERIES["cdc_repo_pipeline"] = cdc_repo_pipeline
 QUERIES["m1_media_features"] = m1_media_features
 QUERIES["s3_lsh_topk"] = s3_lsh_topk
+
+
+# ===========================================================================
+# Entity-split layer (reference §2.10 / FIXTURES.md §5) — the same
+# projection/rollup/composite-id shapes the repo-file split uses, applied
+# to the documents table so DuckDB can oracle them.
+# ===========================================================================
+
+@q(
+    "e1_entity_file_split",
+    """
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS file_id,
+           'doc_' || CAST(doc_id AS VARCHAR) AS label,
+           lang AS file_format,
+           n_chars AS size_bytes,
+           sha256(text) AS content_sha256,
+           source AS container_id,
+           source || '_' || lang AS activity_id,
+           'ENCODE-REPO' AS part_of_dataset_id
+    FROM documents
+    """,
+)
+def e1_entity_file_split(spark, sf_dir):
+    """File-entity projection: minted PK, label, typed payload columns,
+    FK columns, constant dataset link + per-row sha256 invariant
+    (the file.table.json column conventions)."""
+    from .functions import composite_id
+
+    d = _t(spark, sf_dir, "documents")
+    fid = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    return d.select(
+        fid.alias("file_id"),
+        fid.alias("label"),
+        F.col("lang").alias("file_format"),
+        F.col("n_chars").alias("size_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.col("source").alias("container_id"),
+        composite_id("source", "lang").alias("activity_id"),
+        F.lit("ENCODE-REPO").alias("part_of_dataset_id"),
+    )
+
+
+@q(
+    "e2_entity_container_rollup",
+    """
+    SELECT source AS container_id,
+           count(*) AS n_files,
+           array_to_string(list_sort(list_distinct(array_agg(lang))), '|')
+             AS languages,
+           sum(n_chars) AS total_chars,
+           count(DISTINCT lang) AS n_languages
+    FROM documents GROUP BY source
+    """,
+)
+def e2_entity_container_rollup(spark, sf_dir):
+    """Container-entity rollup (repo ≈ biosample shape): set-style
+    aggregates per container (A5 in-record set-dedup +
+    A1 groupByKey-collect)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.col("source").alias("container_id")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.concat_ws("|", F.sort_array(F.collect_set("lang"))).alias("languages"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_languages"),
+    )
+
+
+@q(
+    "e3_entity_activity_split",
+    """
+    SELECT source || '_' || lang AS activity_id,
+           source AS container_id,
+           'Commit' AS activity_type,
+           array_to_string(list_sort(array_agg('doc_' || CAST(doc_id AS VARCHAR))), '|')
+             AS generated_file_id,
+           count(*) AS n_files
+    FROM documents GROUP BY source, lang
+    """,
+)
+def e3_entity_activity_split(spark, sf_dir):
+    """Activity entity with composite id {container}_{group} and a
+    generated-file FK array (AlignmentActivityTransformations.scala:18-20
+    composite-id pattern + A1 collect)."""
+    from .functions import composite_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        composite_id("source", "lang").alias("activity_id"),
+        F.col("source").alias("container_id"),
+    ).agg(
+        F.lit("Commit").alias("activity_type"),
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(F.concat(F.lit("doc_"), F.col("doc_id").cast("string")))
+            ),
+        ).alias("generated_file_id"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+
+
+@q(
+    "e4_referential_integrity",
+    """
+    SELECT count(*) AS n_orphans FROM (
+      SELECT DISTINCT source FROM documents
+      WHERE source NOT IN (
+        SELECT source FROM documents GROUP BY source HAVING count(*) >= 2))
+    """,
+)
+def e4_referential_integrity(spark, sf_dir):
+    """Orphan-count formulation of the FK QC check
+    (hack/check_for_missing_files.sh): children whose parent set (here:
+    containers with >=2 docs) lacks them — exercised end-to-end on the
+    repo split in pytest; this SQL-twin version keeps it oracle-graded."""
+    d = _t(spark, sf_dir, "documents")
+    parents = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    fks = d.select("source").distinct()
+    orphans = fks.join(parents, "source", "left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))

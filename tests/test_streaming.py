@@ -1,0 +1,141 @@
+"""Streaming CDC pipeline: availableNow replay, checkpoint resume,
+crash-between-merge-and-checkpoint idempotence (FIXTURES.md §2)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.cdc import repo_file_events
+from encode_ingest_spark.lake import LakeTable, merge_into
+from encode_ingest_spark.streaming import CdcStreamPipeline
+from encode_ingest_spark.streaming.pipeline import write_event_files
+
+from tests.test_cdc_merge import SCHEMA, KEYS, assert_state_matches, table_state
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    ev = repo_file_events(spark, n_keys=300, events_per_key=3, seed=42)
+    return table, events_dir, ckpt, ev
+
+
+def test_stream_available_now_matches_oracle(spark, env):
+    table, events_dir, ckpt, ev = env
+    write_event_files(ev, events_dir, n_files=5)
+    pipe = CdcStreamPipeline(table, events_dir, ckpt, max_files_per_trigger=1)
+    n = pipe.run_available_now(spark)
+    assert n >= 2  # really processed multiple micro-batches
+    assert_state_matches(table, ev.toPandas())
+    # lineage: one row per merged epoch, no duplicates
+    lin = table.lineage_df().toPandas()
+    assert lin.batch_id.is_unique
+
+
+def test_stream_restart_is_noop_then_processes_new_files(spark, env):
+    table, events_dir, ckpt, ev = env
+    pdf = ev.toPandas()
+    half = len(pdf) // 2
+    first = spark.createDataFrame(pdf.iloc[:half], ev.schema)
+    second = spark.createDataFrame(pdf.iloc[half:], ev.schema)
+
+    write_event_files(first, events_dir, n_files=3)
+    pipe = CdcStreamPipeline(table, events_dir, ckpt, max_files_per_trigger=1)
+    pipe.run_available_now(spark)
+    state1 = table_state(table)
+    v1 = table.current_version()
+
+    # restart with no new data: checkpoint says all files consumed
+    n = pipe.run_available_now(spark)
+    assert n == 0
+    assert table.current_version() == v1
+    pd.testing.assert_frame_equal(table_state(table), state1)
+
+    # append new files; only they are processed
+    write_event_files(second, events_dir, n_files=3)
+    n = pipe.run_available_now(spark)
+    assert n >= 1
+    assert_state_matches(table, pdf)
+
+
+def test_crash_between_merge_and_checkpoint(spark, env):
+    """The double-fence scenario: a merge commits but Spark dies before
+    the checkpoint commit → on restart the same epoch replays with the
+    same epoch_id → table fence skips it → state identical, lineage has
+    no duplicate batch rows."""
+    table, events_dir, ckpt, ev = env
+    write_event_files(ev, events_dir, n_files=4)
+    pipe = CdcStreamPipeline(table, events_dir, ckpt, max_files_per_trigger=1)
+
+    crashed = {}
+
+    orig_apply = pipe._apply_batch
+
+    def crashing_apply(batch, epoch_id):
+        orig_apply(batch, epoch_id)  # merge COMMITS to the table...
+        if epoch_id == 1 and not crashed.get(1):
+            crashed[1] = True
+            raise RuntimeError("simulated crash after merge, before checkpoint")
+
+    pipe._apply_batch = crashing_apply
+    with pytest.raises(Exception):
+        pipe.run_available_now(spark)
+
+    # restart clean
+    pipe._apply_batch = orig_apply
+    pipe.run_available_now(spark)
+    assert_state_matches(table, ev.toPandas())
+    lin = table.lineage_df().toPandas()
+    assert lin.batch_id.is_unique  # the replayed epoch didn't double-commit
+    # and at least one merge was fenced off as a replay
+    assert any(r.skipped for r in pipe.batch_results)
+
+
+def test_stream_schema_evolution_between_runs(spark, env):
+    """New column arrives in later files: stream restarted with the wider
+    schema ALTERs then MERGEs; old rows null-filled."""
+    table, events_dir, ckpt, ev = env
+    pdf = ev.toPandas()
+    first = spark.createDataFrame(pdf.iloc[:300], ev.schema)
+    write_event_files(first, events_dir, n_files=2)
+    pipe = CdcStreamPipeline(table, events_dir, ckpt, max_files_per_trigger=1)
+    pipe.run_available_now(spark)
+
+    # second wave with size_bytes, in a NEW directory/stream (schema of a
+    # file stream is fixed at start — the restart picks up the new shape)
+    wide_schema = T.StructType(
+        list(ev.schema.fields) + [T.StructField("size_bytes", T.LongType(), True)]
+    )
+    wide = spark.createDataFrame(
+        [
+            (
+                "insert",
+                10_000_000,
+                None,
+                "org0/repo0",
+                "src/0/brand-new.py",
+                "f" * 40,
+                "python",
+                "print('hi')",
+                4096,
+            )
+        ],
+        wide_schema,
+    )
+    events_dir2 = events_dir + "_v2"
+    ckpt2 = ckpt + "_v2"
+    write_event_files(wide, events_dir2, n_files=1)
+    pipe2 = CdcStreamPipeline(
+        table, events_dir2, ckpt2, source_id="stream_v2", schema=wide_schema
+    )
+    pipe2.run_available_now(spark)
+
+    dt = dict(table.read().dtypes)
+    assert dt["size_bytes"] == "bigint"
+    got = {r.path: r for r in table.read().filter(F.col("repo") == "org0/repo0").collect()}
+    assert got["src/0/brand-new.py"].size_bytes == 4096
