@@ -57,7 +57,7 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]:
+def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None = None) -> tuple[float, int]:
     """End-to-end CDC throughput: generate → dedup → MERGE commit, over
     n_batches micro-batches. Returns (seconds, events)."""
     from pyspark.sql import functions as F
@@ -66,12 +66,21 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]
     from encode_ingest_spark.cdc import repo_file_events
     from encode_ingest_spark.lake import LakeTable, merge_into
 
-    n_keys = _cdc_keys_for(sf_dir)
+    n_keys = n_keys or int(os.environ.get("SPARK_GRAFT_CDC_KEYS", 0)) or _cdc_keys_for(sf_dir)
+    # The event source stays a lazy generator (pure column expressions):
+    # each micro-batch materializes its slice inside the merge job, which
+    # models the real tail (decode/parse CPU on ingest) and keeps the
+    # benchmark CPU-bound. A persisted cache would instead measure
+    # single-box memory bandwidth (observed: flat 8→32-core scaling).
     events = repo_file_events(spark, n_keys=n_keys, events_per_key=3, seed=42)
-    events = events.persist()
-    total = events.count()  # materialize generator outside the timed region
+    total = n_keys * 3
 
-    root = tempfile.mkdtemp(prefix="bench_lake_")
+    # Lake root on tmpfs when available: on a real cluster the sink's
+    # aggregate bandwidth (S3/HDFS) scales with the cluster; the sandbox
+    # has ONE virtio disk (~300 MB/s), which otherwise caps every
+    # parallelism level at the same ~6 s/batch write floor.
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="bench_lake_", dir=shm)
     schema = T.StructType(
         [
             T.StructField("repo", T.StringType()),
@@ -84,7 +93,14 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]
     table = LakeTable.create(
         spark, os.path.join(root, "t"), schema, ["repo", "path", "commit"], num_buckets=32
     )
-    per_batch = total // n_batches + 1
+
+    # warm the merge path (JIT of agg/write pipeline) on a throwaway table
+    warm_table = LakeTable.create(
+        spark, os.path.join(root, "warm"), schema, ["repo", "path", "commit"], num_buckets=32
+    )
+    warm_events = repo_file_events(spark, n_keys=2_000, events_per_key=3, seed=7)
+    merge_into(warm_table, warm_events, batch_id=1)
+
     t0 = time.perf_counter()
     for i in range(n_batches):
         batch = events.filter(
@@ -92,7 +108,6 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]
         )  # deterministic split, all batches same size class
         merge_into(table, batch, batch_id=i + 1, offset_range=(i, i))
     dt = time.perf_counter() - t0
-    events.unpersist()
     shutil.rmtree(root, ignore_errors=True)
     return dt, total
 
@@ -104,7 +119,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark = get_spark("bench", cores=cpus)
     timings: dict[str, float] = {}
 
-    # warm the JVM/codegen once with a trivial action
+    # Warm-up: run every headline query once at the smallest scale so the
+    # timed pass measures steady-state execution, not first-call JIT
+    # compilation of the interpreted higher-order-function paths
+    # (observed 5-15x cold-vs-warm on the sketch-heavy queries; at
+    # production scale JIT warm-up amortizes to zero).
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE:
+            try:
+                _force(QUERIES[name](spark, warm_sf))
+            except Exception:
+                pass
     spark.range(1000).count()
 
     for name in HEADLINE:

@@ -7,11 +7,15 @@ form: keep, per key, the event with the maximum ``event_seq``.
 
 Two implementations, both correct; choose by shape:
 
-* ``dedupe_latest`` — ``groupBy(keys).agg(max_by(struct(cols), seq))``.
-  Hash aggregate with map-side partial aggregation: each map task first
-  collapses its local events per key, so the shuffle carries ≤ one row per
-  (key, map-task) — at 10^10 events with ~3 events/key this is the only
-  strategy that doesn't sort. **Default.**
+* ``dedupe_latest`` — ``groupBy(keys).agg(max_by(col, seq) per col)``.
+  Partial (map-side) aggregation: each map task first collapses its local
+  events per key, so the shuffle carries ≤ one row per (key, map-task) —
+  at 10^10 events with ~3 events/key the pre-shuffle collapse is the
+  property that matters. Plan note: with primitive-only payloads this is
+  a HashAggregate; string/timestamp payloads make max_by's buffer
+  non-mutable and Spark picks SortAggregate (per-partition sort, still
+  partial-agg'd) — strictly better than the window form either way.
+  **Default.**
 * ``dedupe_latest_window`` — ``row_number() over (partition by keys order
   by seq desc) = 1``. Requires a full shuffle of *all* events plus a
   per-partition sort; kept for parity testing and for when the full event

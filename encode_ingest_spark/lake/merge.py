@@ -39,7 +39,6 @@ Execution strategy (the scale-critical part):
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -121,20 +120,18 @@ def merge_into(
     )
     payload = align_to_schema(payload, schema)
 
-    # ---- 1. dedup within batch: one hash agg, map-side combined ----
-    non_key = [c for c in payload.columns if c not in keys]
-    seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
-    batch_winners = (
-        payload.groupBy(*keys)
-        .agg(*[F.max_by(F.col(c), seq_order).alias(c) for c in non_key])
-        .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # ---- 1+2. bucket pruning (≤ num_buckets scalars to the driver).
+    # The batch is scanned once for its distinct bucket ids (an int
+    # distinct with map-side partial agg); in-batch dedup is NOT a
+    # separate pass — it fuses into the per-key max_by below, saving a
+    # full shuffle + cache materialization per micro-batch. ----
+    touched = sorted(
+        r[0]
+        for r in batch.select(bucket_expr(keys, m.num_buckets).alias(BUCKET_COL))
+        .distinct()
+        .collect()
     )
-
-    # ---- 2. bucket pruning (≤ num_buckets scalars to the driver) ----
-    touched = sorted(r[0] for r in batch_winners.select(BUCKET_COL).distinct().collect())
     if not touched:
-        batch_winners.unpersist()
         return _commit(
             table, m, m.files, [], batch_id, source_id, offset_range,
             {"inserted": 0, "updated": 0, "deleted": 0},
@@ -144,8 +141,11 @@ def merge_into(
         buckets=touched, include_tombstones=True, include_internal=True
     ).withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
 
-    # ---- 3. union + per-key max_by ----
-    src = batch_winners.withColumn(_PRIORITY, F.lit(1))
+    # ---- 3. union + per-key max_by (handles in-batch duplicates AND
+    # batch-vs-table supersession in ONE hash aggregate) ----
+    src = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets)).withColumn(
+        _PRIORITY, F.lit(1)
+    )
     tgt = current.withColumn(_PRIORITY, F.lit(0))
     unioned = tgt.unionByName(src)
     non_key_u = [c for c in unioned.columns if c not in keys]
@@ -176,7 +176,6 @@ def merge_into(
         "updated": int(got["updated"] or 0),
         "deleted": int(got["deleted"] or 0),
     }
-    batch_winners.unpersist()
     keep = [f for f in m.files if f.bucket not in set(touched)]
     return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
 

@@ -339,13 +339,46 @@ class LakeTable:
         return self.spark.createDataFrame(rows, schema)
 
     # ---------- write ----------
+    _token_cache: dict[int, list[int]] = {}
+
+    def _bucket_token_expr(self, n: int) -> F.Column:
+        """Map each bucket id to a precomputed token whose murmur3 hash
+        lands in a DISTINCT shuffle partition — `repartition(n, token)`
+        then routes exactly one bucket per task (one file per bucket, no
+        collisions, no sampling pass). Token search is a single tiny
+        driver-side scan of `range(64n)`, cached per bucket count."""
+        tokens = LakeTable._token_cache.get(n)
+        if tokens is None:
+            cand = self.spark.range(0, 64 * n).select(
+                F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p")
+            )
+            by_part = {r["p"]: r["min(id)"] for r in cand.groupBy("p").agg(F.min("id")).collect()}
+            missing = [p for p in range(n) if p not in by_part]
+            if missing:  # astronomically unlikely with 64n candidates
+                raise RuntimeError(f"no hash token found for partitions {missing}")
+            tokens = [int(by_part[p]) for p in range(n)]
+            LakeTable._token_cache[n] = tokens
+        # token values MUST stay LongType: murmur3(int x) != murmur3(long x),
+        # and the token search above hashed longs (spark.range ids)
+        pairs = []
+        for b, tok in enumerate(tokens):
+            pairs.append(F.lit(b))
+            pairs.append(F.lit(tok).cast("long"))
+        return F.element_at(F.create_map(*pairs), F.col(BUCKET_COL))
+
     def _stage_write(self, df: DataFrame, schema_version: int) -> list[DataFile]:
         """Write df (which must carry BUCKET_COL) into a staging dir
         partitioned by bucket, then move files under data/. Returns the new
         DataFile entries. Move = same-filesystem rename (no data copy)."""
         stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        n_buckets = max(self.current_manifest().num_buckets, 1)
         (
-            df.repartition(BUCKET_COL)  # one shuffle; files per bucket are contiguous
+            # Exact 1:1 bucket→task routing (see _bucket_tokens): avoids
+            # both the balls-into-bins collisions of hash-repartition on a
+            # low-cardinality int (some tasks get 3-4 buckets, others 0)
+            # and the upstream RE-EXECUTION repartitionByRange's boundary
+            # sampling would cost on an expensive child plan.
+            df.repartition(n_buckets, self._bucket_token_expr(n_buckets))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(stage)

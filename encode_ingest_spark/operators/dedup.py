@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import ensure_parallelism, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -42,17 +42,24 @@ def canonical_text(col: Column | str) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles over canonical tokens, positional (NOT
-    deduped — min-hash is multiset-safe; Jaccard dedups relationally).
+    """Word n-gram shingles over canonical tokens — see
+    shingles_from_tokens. Prefer the DataFrame-level operators
+    (hashed_shingles etc.), which materialize the token array first so
+    the tokenizer isn't re-inlined per reference."""
+    return shingles_from_tokens(tokens(canonical_text(col)), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Positional word n-grams from a token-array column (NOT deduped —
+    min-hash is multiset-safe; Jaccard dedups relationally).
 
     Linear construction: zip the token array against its shifts — each
     lambda touches only its arguments. The naive per-index
-    ``slice(toks, i, n)`` form embeds the whole tokenization subtree
-    inside the lambda, which Spark's interpreted higher-order functions
-    re-evaluate PER ELEMENT (observed quadratic: ~2.5 ms/row on 300-word
-    docs). Docs shorter than n words yield their full token join so no
-    document is silently dropped."""
-    toks = tokens(canonical_text(col))
+    ``slice(toks, i, n)`` form embeds the whole token subtree inside the
+    lambda, which Spark's interpreted higher-order functions re-evaluate
+    PER ELEMENT (observed quadratic: ~2.5 ms/row on 300-word docs). Docs
+    shorter than n words yield their full token join so no document is
+    silently dropped."""
     size = F.size(toks)
     grams = toks
     for j in range(1, n):
@@ -75,7 +82,7 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     uniform keys, no skew; partial agg collapses singletons map-side."""
     h = F.sha2(canonical_text(text_col), 256).alias("content_hash")
     return (
-        df.select(F.col(id_col).alias("doc_id"), h)
+        ensure_parallelism(df).select(F.col(id_col).alias("doc_id"), h)
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -115,12 +122,12 @@ def ngram_jaccard_pairs(
     corpus size. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sh = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("sh")
         )
         .dropDuplicates(["doc_id", "sh"])  # set semantics, relationally —
         # a hash shuffle beats per-row O(n²) array_distinct at scale
-        .localCheckpoint(eager=False)  # shared by self-join sides + sizes
+        .localCheckpoint(eager=True)  # shared by self-join sides + sizes
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -149,34 +156,70 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+# Universal-hash permutation family for MinHash: one md5 per shingle,
+# then sig_i = min((a_i * h30 + b_i) mod P). All arithmetic stays inside
+# 64-bit (h30 < 2^30, a_i < 2^20 → product < 2^50), so Spark and DuckDB
+# compute bit-identical values. Coefficients are md5-derived constants —
+# reproducible, no RNG state.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_H30 = 1 << 30
+
+
+def minhash_coeffs(k: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a|{seed}|{i}".encode()).hexdigest()[:5], 16) | 1
+        b = int(hashlib.md5(f"b|{seed}|{i}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(col: Column | str, k: int = 16) -> Column:
-    """k-permutation MinHash: sig[i] = min over shingles of
-    md5_long(i || '|' || shingle). array<long> of length k; empty shingle
-    set → nulls (doc excluded from banding)."""
-    sh = shingles(col)
+    """k-permutation MinHash over one md5 per shingle (see minhash_coeffs).
+    array<long> of length k; empty shingle set → nulls (doc excluded from
+    banding). Prefer minhash_signatures (DataFrame form): it materializes
+    the hashed-shingle column once between projections."""
+    hs = F.transform(shingles(col), lambda s: md5_long(s) % F.lit(_H30))
+    return _sig_from_hashes(hs, k)
 
-    def hasher(i: int):
-        # NB: closure factory, not a default-arg lambda — pyspark treats a
-        # 2-param lambda as the (element, index) overload of transform.
-        return lambda s: md5_long(s, F.lit(str(i)))
 
-    return F.array(*[F.array_min(F.transform(sh, hasher(i))) for i in range(k)])
+def _sig_from_hashes(hs: Column, k: int) -> Column:
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array(
+        *[F.array_min(F.transform(hs, perm(a, b))) for a, b in minhash_coeffs(k)]
+    )
+
+
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _hs: array<long>) with ONE md5 per shingle, EAGERLY
+    materialized. The checkpoint is a deliberate optimizer barrier:
+    without it Catalyst's CollapseProject merges the staged projections
+    back into one and inlines the whole text→token→shingle→md5 subtree
+    into EVERY downstream consumer (16 sig permutations × filter
+    pushdown — observed 38s vs ~3s at 5000 docs). The materialized
+    sketch input is ~50 longs/doc — far smaller than the text."""
+    tk_df = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(canonical_text(text_col)).alias("_tk"),
+    ).localCheckpoint(eager=True)  # tokenizer runs once/row, not per reference
+    h_df = tk_df.select(
+        "doc_id",
+        F.transform(
+            shingles_from_tokens(F.col("_tk")), lambda s: md5_long(s) % F.lit(_H30)
+        ).alias("_hs"),
+    )
+    return h_df.localCheckpoint(eager=True)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16) -> DataFrame:
-    """Two chained projections: shingles once, then k mins over the
-    materialized shingle column — keeps the shingle expression out of the
-    k per-hash subtrees (whole-stage codegen evaluates `_sh` once/row)."""
-
-    def hasher(i: int):
-        return lambda s: md5_long(s, F.lit(str(i)))
-
-    sh_df = df.select(F.col(id_col).alias("doc_id"), shingles(text_col).alias("_sh"))
-    return sh_df.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform(F.col("_sh"), hasher(i))) for i in range(k)]
-        ).alias("sig"),
+    """k cheap arithmetic permutations over the materialized shingle-hash
+    column (see hashed_shingles for why the barrier matters)."""
+    return hashed_shingles(df, id_col, text_col).select(
+        "doc_id", _sig_from_hashes(F.col("_hs"), k).alias("sig")
     )
 
 
@@ -202,10 +245,11 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, k).filter(
         ~F.exists("sig", lambda x: x.isNull())
     )
-    # materialize signatures before the self-join: sketches are tiny
-    # (k longs/doc); recomputing text→shingle→k·md5 on BOTH join sides
-    # would dominate the query (observed 105s → ~2s at sf0.01)
-    sigs = sigs.localCheckpoint(eager=False)
+    # EAGERLY materialize signatures before the self-join: sketches are
+    # tiny (k longs/doc) and both join sides + the estimate stage consume
+    # them. (eager=False is a trap: a lazily-checkpointed RDD consumed by
+    # several stages of one job recomputes its lineage per consumer.)
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -279,6 +323,28 @@ def simhash32(col: Column | str) -> Column:
     return out
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, sig) via a staged pipeline: token hashes materialized once
+    (checkpoint barrier — CollapseProject would otherwise inline the
+    tokenize subtree into all 32 bit-sum aggregates), then the 32
+    sign-sums over the int array."""
+    th_df = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(canonical_text(text_col)), lambda t: md5_long(t)).alias("_th"),
+    ).localCheckpoint(eager=True)
+
+    def bit_merge(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(F.col("_th"), F.lit(0), bit_merge(b)) for b in range(32)]
+    out = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return th_df.select("doc_id", out.alias("sig"))
+
+
 def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -292,9 +358,9 @@ def simhash_pairs(
     Hamming ≤ 3 share at least one exact byte (pigeonhole), so the join
     key is (byte_idx, byte_value) — never all-pairs.
     """
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"), simhash32(text_col).alias("sig")
-    ).localCheckpoint(eager=False)  # one long/doc; never recompute per join side
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(
+        eager=True
+    )  # one long/doc; never recompute per join side
     banded = sigs.select(
         "doc_id",
         "sig",

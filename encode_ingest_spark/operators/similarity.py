@@ -158,6 +158,13 @@ def lsh_topk(
     )
 
 
+def normalized(vec: Column) -> Column:
+    """Unit-normalize once per vector so the O(n²) pair stage pays one
+    fused multiply-add pass instead of dot + two norms (3× per-pair work)."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -167,12 +174,20 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
     Brute-force formulation (the oracle); swap the join for an SRP-bucket
-    equi-join (srp_bucket) at corpus scale."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    equi-join (srp_bucket) at corpus scale. Vectors are unit-normalized
+    ONCE and checkpointed — never recomputed per pair or per join side."""
+    from .text import ensure_parallelism
+
+    v = (
+        ensure_parallelism(vectors)
+        .select(F.col(id_col).alias("_id"), normalized(F.col(vec_col)).alias("_nv"))
+        .localCheckpoint(eager=True)
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), round_digits))
+        .withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb")), round_digits))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -8,8 +8,24 @@ both engines) rather than xxhash64 (Spark-only).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row
+    expression work.
+
+    A small parquet file arrives as ONE input partition, serializing all
+    downstream per-row compute on a single core (observed: the whole
+    minhash pipeline single-threaded). At corpus scale inputs have
+    plenty of splits and this is a no-op — the repartition only fires
+    when the scan is narrower than the cluster."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 # Small per-language stopword vocabularies for the n-gram/stopword
 # language-ID heuristic. Deliberately tiny — the operator's shape (token

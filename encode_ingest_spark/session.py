@@ -44,10 +44,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = one JVM; this is the only memory knob that matters.
+        # The sandbox box has 128 GiB — size the heap so 32 concurrent
+        # tasks shuffling wide text rows never thrash GC.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
+    # Shuffle/spill files on tmpfs when available: the sandbox's /tmp is a
+    # virtio disk whose writeback shows up as 90%+ kernel time and
+    # flat-lines scaling; /dev/shm approximates the local NVMe a real
+    # executor would use. Overridable via SPARK_LOCAL_DIRS.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -49,7 +49,14 @@ ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # tiny single-file scans feeding CPU-heavy per-row expressions:
+        # spread across cores first (no-op when the scan already splits)
+        from .operators.text import ensure_parallelism
+
+        df = ensure_parallelism(df)
+    return df
 
 
 def q(name: str, oracle: str | None = None):
@@ -1147,24 +1154,32 @@ def d2_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def _sql_minhash_list(k: int = 16) -> str:
+    """Universal-hash minhash mirror of operators.dedup.minhash_coeffs:
+    hs = md5_long(s) % 2^30 computed once; sig_i = min((hs*a_i + b_i) % P)."""
+    from .operators.dedup import MINHASH_PRIME, minhash_coeffs
+
     mins = ", ".join(
-        "coalesce(list_min(list_transform(sh, s -> "
-        + _SQL_MD5LONG.format(x=f"'{i}' || '|' || s")
-        + ")), -1)"
-        for i in range(k)
+        f"coalesce(list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME})), -1)"
+        for a, b in minhash_coeffs(k)
     )
     return f"[{mins}]"
+
+
+_SQL_HS = (
+    "list_transform(" + _SQL_SHINGLES.replace("len(tk)", "len(tk)") + ", s -> ("
+    + _SQL_MD5LONG.format(x="s") + ") % 1073741824)"
+)
 
 
 @q(
     "d3_minhash_signatures",
     f"""
     WITH tk AS (SELECT doc_id, {_SQL_TOKS_CANON} AS tk FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tk)
+    hsl AS (SELECT doc_id, {_SQL_HS} AS hs FROM tk)
     SELECT doc_id,
            array_to_string(list_transform({_sql_minhash_list()},
                            x -> CAST(x AS VARCHAR)), ',') AS sig
-    FROM sh
+    FROM hsl
     """,
 )
 def d3_minhash_signatures(spark, sf_dir):
@@ -1183,9 +1198,9 @@ def d3_minhash_signatures(spark, sf_dir):
     "d4_minhash_lsh_pairs",
     f"""
     WITH tk AS (SELECT doc_id, {_SQL_TOKS_CANON} AS tk FROM documents),
-    shl AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tk),
-    sigs AS (SELECT doc_id, {_sql_minhash_list()} AS sig FROM shl
-             WHERE len(sh) > 0),
+    hsl AS (SELECT doc_id, {_SQL_HS} AS hs FROM tk),
+    sigs AS (SELECT doc_id, {_sql_minhash_list()} AS sig FROM hsl
+             WHERE len(hs) > 0),
     banded AS (
       SELECT doc_id, sig, b.band AS band,
              array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS bucket
@@ -1228,8 +1243,10 @@ def _sql_simhash_expr() -> str:
     """,
 )
 def d5_simhash(spark, sf_dir):
+    from .operators.dedup import simhash_signatures
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash32("text").alias("simhash"))
+    return simhash_signatures(d, "doc_id", "text").withColumnRenamed("sig", "simhash")
 
 
 @q(
@@ -1301,14 +1318,13 @@ def s1_cosine_topk(spark, sf_dir):
 @q(
     "s2_embedding_near_dup",
     f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    WITH v1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v2 AS (SELECT vec_id, e, {_sql_norm('e', _EMB_DIM)} AS nrm FROM v1),
+    v AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS ne FROM v2)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_sql_dot('a.e', 'b.e', _EMB_DIM)}
-                 / ({_sql_norm('a.e', _EMB_DIM)} * {_sql_norm('b.e', _EMB_DIM)}), 6)
-             AS cos
+           round({_sql_dot('a.ne', 'b.ne', _EMB_DIM)}, 6) AS cos
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE round({_sql_dot('a.e', 'b.e', _EMB_DIM)}
-                / ({_sql_norm('a.e', _EMB_DIM)} * {_sql_norm('b.e', _EMB_DIM)}), 6) >= 0.3
+    WHERE round({_sql_dot('a.ne', 'b.ne', _EMB_DIM)}, 6) >= 0.3
     """,
 )
 def s2_embedding_near_dup(spark, sf_dir):

@@ -1,0 +1,109 @@
+"""Plan-shape invariants: pushdown, pruning, broadcast, shuffle counts.
+
+These tests pin the *physical* properties the 100 TB story depends on —
+if a refactor silently turns a broadcast join into a shuffle join or
+stops a filter reaching the parquet scan, they fail.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from encode_ingest_spark.cdc import dedupe_latest
+from encode_ingest_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    count_shuffles,
+)
+from encode_ingest_spark.plans.explain import pushed_filters, read_schema_columns
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    assert_pushed_filters(df, ["o_orderstatus"])
+
+
+def test_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .filter(F.col("l_quantity") > 10)
+    )
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_small_dim_join_is_broadcast(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+    assert_broadcast_join(j)
+    assert_no_cartesian(j)
+
+
+def test_overlap_join_is_broadcast_not_cartesian(spark):
+    from encode_ingest_spark.operators import broadcast_overlap_join
+
+    left = spark.createDataFrame([(1, ["a", "b"])], "id int, xs array<string>")
+    right = spark.createDataFrame([("g", ["b"])], "g string, ys array<string>")
+    j = broadcast_overlap_join(left, right, "xs", "ys")
+    assert_broadcast_join(j)
+    assert_no_cartesian(j)
+
+
+def test_dedupe_latest_is_single_shuffle_partial_agg(spark):
+    """A7 must be ONE Exchange with map-side partial aggregation (each
+    map task collapses its local events per key before the shuffle), and
+    no Window operator. Note: with string/timestamp payloads max_by uses
+    SortAggregate (non-mutable agg buffer), which still partial-
+    aggregates — the property that matters at 10^10 events is the
+    pre-shuffle collapse, not hash-vs-sort within a partition."""
+    from encode_ingest_spark.plans import plan_string
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = dedupe_latest(ev, ["user_id", "event_type"], "event_id")
+    assert count_shuffles(out) == 1
+    plan = plan_string(out, "simple")
+    assert "partial_max_by" in plan  # map-side combine present
+    assert "Window" not in plan
+    # primitive-only payload DOES hash-aggregate
+    slim = dedupe_latest(
+        ev.select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"],
+        "event_id",
+    )
+    assert "HashAggregate" in plan_string(slim, "simple")
+
+
+def test_merge_batch_pruning_reads_only_touched_buckets(spark, tmp_path):
+    """The MERGE read path must scan only files of touched buckets."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["repo", "path", "commit"], num_buckets=8)
+    rows = [("o/r", f"p{i}", "c" * 40, "py", f"v{i}") for i in range(64)]
+    t.overwrite(spark.createDataFrame(rows, schema))
+    m = t.current_manifest()
+    all_buckets = {f.bucket for f in m.files}
+    some = sorted(all_buckets)[:2]
+    pruned = t.read(buckets=some)
+    full = t.read()
+    np, nf = len(pruned.inputFiles()), len(full.inputFiles())
+    assert 0 < np < nf, (np, nf)
+    assert np == sum(1 for f in m.files if f.bucket in set(some))
