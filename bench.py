@@ -188,6 +188,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
@@ -201,7 +202,7 @@ def main() -> None:
 
         spark = get_spark("bench-cdc", cores=args.cores)
         spark.range(1000).count()
-        sec, n = bench_cdc_merge(spark, args.sf_dir)
+        sec, n = bench_cdc_merge(spark, args.sf_dir, n_batches=args.batches)
         print(
             json.dumps(
                 {

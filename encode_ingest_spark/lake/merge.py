@@ -76,6 +76,7 @@ def merge_into(
     batch_id: int | None = None,
     offset_range: tuple[int, int] | None = None,
     evolve: bool = True,
+    prune_buckets: bool | None = None,
 ) -> MergeResult:
     """Apply one CDC batch to the table. See module docstring.
 
@@ -121,21 +122,31 @@ def merge_into(
     payload = align_to_schema(payload, schema)
 
     # ---- 1+2. bucket pruning (≤ num_buckets scalars to the driver).
-    # The batch is scanned once for its distinct bucket ids (an int
-    # distinct with map-side partial agg); in-batch dedup is NOT a
-    # separate pass — it fuses into the per-key max_by below, saving a
-    # full shuffle + cache materialization per micro-batch. ----
-    touched = sorted(
-        r[0]
-        for r in batch.select(bucket_expr(keys, m.num_buckets).alias(BUCKET_COL))
-        .distinct()
-        .collect()
-    )
-    if not touched:
-        return _commit(
-            table, m, m.files, [], batch_id, source_id, offset_range,
-            {"inserted": 0, "updated": 0, "deleted": 0},
+    # The probe scans the batch once for its distinct bucket ids (an int
+    # distinct, map-side combined) — an EXTRA job per micro-batch. It
+    # pays only when the target is much larger than a batch's bucket
+    # footprint (the steady state at 10^10 rows: thousands of buckets,
+    # few touched). Auto mode skips the probe while the table is small
+    # relative to its bucket count — a wide batch would touch every
+    # bucket anyway, and the probe job was ~40% of per-batch fixed cost.
+    # In-batch dedup is never a separate pass either way — it fuses into
+    # the per-key max_by below. ----
+    if prune_buckets is None:
+        prune_buckets = len(m.files) > 4 * m.num_buckets
+    if prune_buckets:
+        touched = sorted(
+            r[0]
+            for r in batch.select(bucket_expr(keys, m.num_buckets).alias(BUCKET_COL))
+            .distinct()
+            .collect()
         )
+        if not touched:
+            return _commit(
+                table, m, m.files, [], batch_id, source_id, offset_range,
+                {"inserted": 0, "updated": 0, "deleted": 0},
+            )
+    else:
+        touched = list(range(m.num_buckets))
 
     current = table.read(
         buckets=touched, include_tombstones=True, include_internal=True

@@ -119,37 +119,63 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nbits: int = 8,
+    n_tables: int = 6,
+    multi_probe: bool = True,
     seed: int = 42,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an SRP bucket (or differ in one
-    bit — multi-probe), exact cosine re-rank within candidates.
+    """Approximate top-k: standard multi-table SRP-LSH — L independent
+    hash tables of nbits each; candidates share a bucket in ANY table
+    (miss probability decays as (1-p)^L, which single-table multi-probe
+    cannot match on weakly-clustered embeddings); exact cosine re-rank
+    within candidates.
 
-    Recall/cost dial: nbits down → bigger buckets → higher recall & cost.
+    Scale/recall dials: nbits up → smaller buckets (cheaper, lower per-
+    table recall); n_tables up → recall at L× shuffle rows per vector
+    (the shuffle carries (table, bucket, id, vec) — sketches + one vector
+    copy per table, never all-pairs). multi_probe adds the query's 1-bit
+    neighbor buckets per table.
     """
+    def buckets_for(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    srp_bucket(vec, dim, nbits, seed + 1000 * t).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     nb = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_nv"),
-        srp_bucket(F.col(vec_col), dim, nbits, seed).alias("_nb"),
-    )
-    # multi-probe: query probes its own bucket plus all 1-bit flips
-    qb = queries.select(
+        F.explode(buckets_for(F.col(vec_col))).alias("_b"),
+    ).select("neighbor_id", "_nv", F.col("_b.tbl").alias("_ntbl"), F.col("_b.bkt").alias("_nb"))
+
+    q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        srp_bucket(F.col(vec_col), dim, nbits, seed).alias("_qb0"),
-    ).select(
-        "query_id",
-        "_qv",
-        F.explode(
-            F.array(
-                F.col("_qb0"), *[F.col("_qb0").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)]
-            )
-        ).alias("_qb"),
+        F.explode(buckets_for(F.col(vec_col))).alias("_b"),
+    ).select("query_id", "_qv", F.col("_b.tbl").alias("_qtbl"), F.col("_b.bkt").alias("_qb0"))
+    probes = [F.col("_qb0")]
+    if multi_probe:
+        probes += [F.col("_qb0").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)]
+    qb = q0.select(
+        "query_id", "_qv", "_qtbl", F.explode(F.array(*probes)).alias("_qb")
     )
-    cand = nb.join(F.broadcast(qb), (F.col("_nb") == F.col("_qb")) & (F.col("query_id") != F.col("neighbor_id")))
-    scored = cand.withColumn(
-        "cos", F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits)
-    ).select("query_id", "neighbor_id", "cos").dropDuplicates(["query_id", "neighbor_id"])
+    cand = nb.join(
+        F.broadcast(qb),
+        (F.col("_ntbl") == F.col("_qtbl"))
+        & (F.col("_nb") == F.col("_qb"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = (
+        cand.select("query_id", "neighbor_id", "_qv", "_nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits))
+        .select("query_id", "neighbor_id", "cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
