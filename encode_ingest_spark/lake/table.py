@@ -366,12 +366,14 @@ class LakeTable:
             pairs.append(F.lit(tok).cast("long"))
         return F.element_at(F.create_map(*pairs), F.col(BUCKET_COL))
 
-    def _stage_write(self, df: DataFrame, schema_version: int) -> list[DataFile]:
+    def _stage_write(
+        self, df: DataFrame, schema_version: int, num_buckets: int | None = None
+    ) -> list[DataFile]:
         """Write df (which must carry BUCKET_COL) into a staging dir
         partitioned by bucket, then move files under data/. Returns the new
         DataFile entries. Move = same-filesystem rename (no data copy)."""
         stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
-        n_buckets = max(self.current_manifest().num_buckets, 1)
+        n_buckets = max(num_buckets or self.current_manifest().num_buckets, 1)
         (
             # Exact 1:1 bucket→task routing (see _bucket_tokens): avoids
             # both the balls-into-bins collisions of hash-repartition on a
@@ -531,3 +533,74 @@ class LakeTable:
             if fn.endswith(".manifest.json"):
                 out.append(int(fn[1:].split(".")[0]))
         return sorted(out)
+
+    def rebucket(self, new_num_buckets: int) -> "Manifest":
+        """Change the bucket count — THE growth maintenance op for this
+        format. Copy-on-write keeps at most one file per bucket, so the
+        small-file compaction other formats need does not apply here;
+        what must evolve instead is bucket granularity: at 10^10 rows a
+        32-bucket layout means multi-TB rewrites per touched bucket, so
+        operators double the bucket count as the table grows (same role
+        as Iceberg's bucket-transform spec evolution). Full one-time
+        rewrite, atomically committed; fences/lineage carry over."""
+        m = self.current_manifest()
+        if new_num_buckets == m.num_buckets:
+            return m
+        df = self.read(include_tombstones=True, include_internal=True).withColumn(
+            BUCKET_COL, bucket_expr(m.key_cols, new_num_buckets)
+        )
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=m.snapshot_id + 1,
+            schemas=m.schemas,
+            current_schema_version=m.current_schema_version,
+            key_cols=m.key_cols,
+            num_buckets=new_num_buckets,
+            files=[],
+            watermarks=m.watermarks,
+            lineage=[],
+            parent_version=m.version,
+            properties=m.properties,
+        )
+        # _stage_write consults current_manifest().num_buckets for
+        # routing; write with an explicit override instead
+        new_files = self._stage_write(df, m.current_schema_version, num_buckets=new_num_buckets)
+        nm.files = new_files
+        self._write_manifest(nm)
+        return nm
+
+    def purge_tombstones(self, min_seq: int) -> "Manifest":
+        """GC tombstone rows whose seq is below ``min_seq`` — safe once
+        the source guarantees no event below that horizon can still
+        arrive (the streaming watermark contract). Rewrites only buckets
+        that actually hold expired tombstones (manifest-pruned)."""
+        m = self.current_manifest()
+        full = self.read(include_tombstones=True, include_internal=True)
+        expired = full.filter(
+            F.col(DELETED_COL) & (F.coalesce(F.col(SEQ_COL), F.lit(-1)) < min_seq)
+        ).withColumn(BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets))
+        dirty = sorted(r[0] for r in expired.select(BUCKET_COL).distinct().collect())
+        if not dirty:
+            return m
+        kept_rows = self.read(
+            buckets=dirty, include_tombstones=True, include_internal=True
+        ).filter(
+            ~(F.col(DELETED_COL) & (F.coalesce(F.col(SEQ_COL), F.lit(-1)) < min_seq))
+        ).withColumn(BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets))
+        new_files = self._stage_write(kept_rows, m.current_schema_version)
+        keep = [f for f in m.files if f.bucket not in set(dirty)]
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=m.snapshot_id + 1,
+            schemas=m.schemas,
+            current_schema_version=m.current_schema_version,
+            key_cols=m.key_cols,
+            num_buckets=m.num_buckets,
+            files=keep + new_files,
+            watermarks=m.watermarks,
+            lineage=[],
+            parent_version=m.version,
+            properties=m.properties,
+        )
+        self._write_manifest(nm)
+        return nm

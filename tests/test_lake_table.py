@@ -138,3 +138,52 @@ def test_expire_snapshots(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert t.read().collect()[0].content == "v3"
     assert len(t.snapshots()) == 1
+
+
+def test_rebucket(spark, tmp_path):
+    """Growing the bucket count rewrites the layout without changing
+    state; subsequent merges route correctly under the new layout."""
+    from encode_ingest_spark.lake import merge_into
+
+    t = _mk(spark, tmp_path)
+    sch = "op string, event_seq long, repo string, path string, commit string, lang string, content string"
+    rows = [("insert", i, "o/r", f"p{i}", "c" * 40, "py", f"v{i}") for i in range(40)]
+    merge_into(t, spark.createDataFrame(rows, sch), batch_id=1)
+    before = sorted((r.path, r.content) for r in t.read().collect())
+    assert t.current_manifest().num_buckets == 4
+
+    t.rebucket(16)
+    m = t.current_manifest()
+    assert m.num_buckets == 16
+    assert m.watermarks  # fences carried over
+    after = sorted((r.path, r.content) for r in t.read().collect())
+    assert before == after
+
+    # merges keep working under the new layout (routing uses 16 buckets)
+    up = [("update", 100, "o/r", "p0", "c" * 40, "py", "v0-new")]
+    merge_into(t, spark.createDataFrame(up, sch), batch_id=2)
+    got = {r.path: r.content for r in t.read().collect()}
+    assert got["p0"] == "v0-new" and len(got) == 40
+
+
+def test_purge_tombstones(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_into
+
+    t = _mk(spark, tmp_path)
+    sch = "op string, event_seq long, repo string, path string, commit string, lang string, content string"
+    rows = [("insert", i, "o/r", f"p{i}", "c" * 40, "py", f"v{i}") for i in range(10)]
+    merge_into(t, spark.createDataFrame(rows, sch), batch_id=1)
+    dels = [("delete", 100 + i, "o/r", f"p{i}", "c" * 40, None, None) for i in range(5)]
+    merge_into(t, spark.createDataFrame(dels, sch), batch_id=2)
+    with_t = t.read(include_tombstones=True).count()
+    assert with_t == 10  # 5 live + 5 tombstones
+
+    t.purge_tombstones(min_seq=105)  # horizon passes seqs 100..104
+    assert t.read(include_tombstones=True).count() == 5
+    assert t.read().count() == 5  # live rows untouched
+    # a late update BELOW the horizon may now resurrect — by contract the
+    # caller only purges below the source watermark, so this cannot
+    # happen in a correct pipeline; a NEWER update still applies:
+    up = [("update", 200, "o/r", "p0", "c" * 40, "py", "back")]
+    merge_into(t, spark.createDataFrame(up, sch), batch_id=3)
+    assert t.read().count() == 6
