@@ -1,5 +1,6 @@
 """Structured-Streaming CDC tail → exactly-once lake MERGE."""
 
-from .pipeline import CdcStreamPipeline, EVENT_SCHEMA
+from .pipeline import EVENT_SCHEMA, CdcStreamPipeline
+from .stateful import compact_changelog
 
-__all__ = ["CdcStreamPipeline", "EVENT_SCHEMA"]
+__all__ = ["CdcStreamPipeline", "EVENT_SCHEMA", "compact_changelog"]

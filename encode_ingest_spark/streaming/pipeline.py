@@ -76,6 +76,7 @@ class CdcStreamPipeline:
         source_id: str = "stream",
         schema: T.StructType = EVENT_SCHEMA,
         max_files_per_trigger: int | None = None,
+        compact: bool = False,
     ):
         self.table = table
         self.events_dir = events_dir
@@ -83,13 +84,19 @@ class CdcStreamPipeline:
         self.source_id = source_id
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
+        self.compact = compact
         self.batch_results: list[MergeResult] = []  # per-run observability
 
     def _stream_df(self, spark: SparkSession) -> DataFrame:
         reader = spark.readStream.schema(self.schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        return reader.parquet(self.events_dir)
+        df = reader.parquet(self.events_dir)
+        if self.compact:
+            from .stateful import compact_changelog
+
+            df = compact_changelog(df, self.table.current_manifest().key_cols)
+        return df
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         res = merge_into(
@@ -99,6 +106,12 @@ class CdcStreamPipeline:
             batch_id=int(epoch_id) + 1,  # fence ids are 1-based, epoch is 0-based
             offset_range=(int(epoch_id), int(epoch_id)),
         )
+        if res.skipped and self.compact:
+            # a fence-skipped merge launches NO job; with a stateful
+            # operator upstream the micro-batch plan must still be
+            # materialized or the state store never commits and the
+            # query hangs before the next epoch (observed live)
+            batch.count()
         self.batch_results.append(res)
 
     def run_available_now(self, spark: SparkSession, timeout_sec: int = 600) -> int:
