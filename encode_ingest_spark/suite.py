@@ -1504,3 +1504,66 @@ def e4_referential_integrity(spark, sf_dir):
     fks = d.select("source").distinct()
     orphans = fks.join(parents, "source", "left_anti")
     return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive pushdown filters + one
+    exact-decimal aggregate — the canonical predicate-pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("decimal(38,4)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "w1_windowed_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w1_windowed_agg(spark, sf_dir):
+    """Event-time tumbling window (SURVEY §2.9 late-data machinery): the
+    same F.window used with a watermark in streaming, exercised in batch
+    where DuckDB's date_trunc is the exact oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n",
+            F.col("total"),
+        )
+    )

@@ -107,3 +107,11 @@ def test_merge_batch_pruning_reads_only_touched_buckets(spark, tmp_path):
     np, nf = len(pruned.inputFiles()), len(full.inputFiles())
     assert 0 < np < nf, (np, nf)
     assert np == sum(1 for f in m.files if f.bucket in set(some))
+
+
+def test_q6_filters_all_pushed(spark):
+    """TPC-H Q6 shape: every conjunct must reach the parquet scan."""
+    from encode_ingest_spark.suite import QUERIES
+
+    df = QUERIES["q6_forecast_revenue"](spark, SF)
+    assert_pushed_filters(df, ["l_shipdate", "l_discount", "l_quantity"])
