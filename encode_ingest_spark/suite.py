@@ -1567,3 +1567,86 @@ def w1_windowed_agg(spark, sf_dir):
             F.col("total"),
         )
     )
+
+
+@q(
+    "f14_dynamic_field_select",
+    """
+    SELECT c_custkey,
+      CASE WHEN org = 'human' THEN h_ls WHEN org = 'mouse' THEN m_ls
+           ELSE NULL END AS life_stage
+    FROM (SELECT c_custkey,
+                 ['human', 'mouse', 'fly'][(c_custkey % 3) + 1] AS org,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'adult' ELSE 'child' END AS h_ls,
+                 'embryonic' AS m_ls
+          FROM customer)
+    """,
+)
+def f14_dynamic_field_select(spark, sf_dir):
+    """F14 — life-stage field selection by organism: the reference reads
+    a dynamic field name s"${organism}_life_stage"
+    (BiosampleTransformations.scala:46-48,72); relationally a coalesced
+    when-cascade over the known organisms."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    org = F.element_at(
+        F.array(F.lit("human"), F.lit("mouse"), F.lit("fly")), (k % 3 + 1).cast("int")
+    )
+    h_ls = F.when(k % 2 == 0, F.lit("adult")).otherwise(F.lit("child"))
+    m_ls = F.lit("embryonic")
+    life = (
+        F.when(org == "human", h_ls)
+        .when(org == "mouse", m_ls)
+        .otherwise(F.lit(None))
+    )
+    return c.select("c_custkey", life.alias("life_stage"))
+
+
+@q(
+    "f16_cons_array",
+    """
+    SELECT o_orderkey,
+      array_to_string(
+        list_concat(['https://example.org/orders/' || CAST(o_orderkey AS VARCHAR)],
+                    CASE WHEN o_orderkey % 3 = 0 THEN []::VARCHAR[]
+                         ELSE [o_orderpriority, o_orderstatus] END),
+        '|') AS xref
+    FROM orders
+    """,
+)
+def f16_cons_array(spark, sf_dir):
+    """F16 — url :: dbxrefs cons with null-tail coalescing
+    (DonorTransformations.scala:27-29)."""
+    from .functions import cons_array
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://example.org/orders/"), F.col("o_orderkey").cast("string"))
+    tail = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit(None).cast("array<string>")
+    ).otherwise(F.array("o_orderpriority", "o_orderstatus"))
+    return o.select(
+        "o_orderkey", F.concat_ws("|", cons_array(url, tail)).alias("xref")
+    )
+
+
+@q(
+    "d0_exact_dedup_keep",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY sha256(canon)
+                                ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, lang, source,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS canon
+            FROM documents))
+    WHERE rn = 1
+    """,
+)
+def d0_exact_dedup_keep(spark, sf_dir):
+    """Exact-dedup survivor set: smallest doc_id per canonical hash
+    (operators/dedup.py exact_dedup_keep, min_by single-shuffle form)."""
+    from .operators import exact_dedup_keep
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return exact_dedup_keep(d, "doc_id", "text").select("doc_id", "lang", "source")
