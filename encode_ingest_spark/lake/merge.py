@@ -77,6 +77,7 @@ def merge_into(
     offset_range: tuple[int, int] | None = None,
     evolve: bool = True,
     prune_buckets: bool | None = None,
+    mode: str = "cow",
 ) -> MergeResult:
     """Apply one CDC batch to the table. See module docstring.
 
@@ -86,7 +87,16 @@ def merge_into(
     reference's idempotency contract, ingest-processed-data.yaml:10-11).
     ``evolve``: reconcile new/widened batch columns into the table schema
     before merging (ALTER-then-MERGE, FIXTURES.md §2).
+    ``mode``: ``"cow"`` (default) rewrites touched buckets — cheap reads,
+    write amplification proportional to bucket residency. ``"mor"``
+    appends the batch's in-batch winners as DELTA files — writes only
+    the batch (the high-key-overlap steady state at 10^10 events writes
+    ~2x less), reads pay a per-key max_by until ``compact_deltas()``
+    folds them. Same last-writer-wins semantics either way (the read
+    path resolves by event_seq; replay ties are content-identical).
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
     m = table.current_manifest()
 
     # ---- exactly-once fence ----
@@ -120,6 +130,24 @@ def merge_into(
         is_delete.alias(DELETED_COL),
     )
     payload = align_to_schema(payload, schema)
+
+    if mode == "mor":
+        # in-batch dedup only (one partial-agg shuffle), then append as
+        # delta files — no target read, no bucket rewrite
+        non_key = [c for c in payload.columns if c not in keys]
+        seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
+        winners = (
+            payload.groupBy(*keys)
+            .agg(*[F.max_by(F.col(c), seq_order).alias(c) for c in non_key])
+            .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+        )
+        obs = Observation()
+        winners = winners.observe(obs, F.count(F.lit(1)).alias("n"))
+        new_files = table._stage_write(winners, m.current_schema_version, is_delta=True)
+        counts = {"appended": int(obs.get["n"] or 0)}
+        return _commit(
+            table, m, m.files, new_files, batch_id, source_id, offset_range, counts
+        )
 
     # ---- 1+2. bucket pruning (≤ num_buckets scalars to the driver).
     # The probe scans the batch once for its distinct bucket ids (an int

@@ -73,6 +73,7 @@ class DataFile:
     rows: int
     bytes: int
     schema_version: int
+    is_delta: bool = False  # merge-on-read delta file (lake/merge.py mode="mor")
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -81,11 +82,15 @@ class DataFile:
             "rows": self.rows,
             "bytes": self.bytes,
             "schema_version": self.schema_version,
+            "is_delta": self.is_delta,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
-        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"])
+        return DataFile(
+            d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"],
+            d.get("is_delta", False),
+        )
 
 
 @dataclass
@@ -299,6 +304,15 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+        if any(f.is_delta for f in files):
+            # merge-on-read: base rows and delta rows coexist per key;
+            # resolve last-writer-wins at scan time (same max_by shape as
+            # the COW merge — one partial-agg'd shuffle over the scan)
+            non_key = [c for c in df.columns if c not in m.key_cols]
+            order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
+            df = df.groupBy(*m.key_cols).agg(
+                *[F.max_by(F.col(c), order).alias(c) for c in non_key]
+            )
         if not include_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_internal:
@@ -367,7 +381,11 @@ class LakeTable:
         return F.element_at(F.create_map(*pairs), F.col(BUCKET_COL))
 
     def _stage_write(
-        self, df: DataFrame, schema_version: int, num_buckets: int | None = None
+        self,
+        df: DataFrame,
+        schema_version: int,
+        num_buckets: int | None = None,
+        is_delta: bool = False,
     ) -> list[DataFile]:
         """Write df (which must carry BUCKET_COL) into a staging dir
         partitioned by bucket, then move files under data/. Returns the new
@@ -411,6 +429,7 @@ class LakeTable:
                         rows=rows,
                         bytes=os.path.getsize(dest),
                         schema_version=schema_version,
+                        is_delta=is_delta,
                     )
                 )
         shutil.rmtree(stage, ignore_errors=True)
@@ -566,6 +585,37 @@ class LakeTable:
         # routing; write with an explicit override instead
         new_files = self._stage_write(df, m.current_schema_version, num_buckets=new_num_buckets)
         nm.files = new_files
+        self._write_manifest(nm)
+        return nm
+
+    def compact_deltas(self) -> "Manifest":
+        """Fold merge-on-read delta files into their buckets' base files.
+        Only buckets holding deltas are rewritten (manifest-pruned); the
+        read-path dedup performs the fold, so compaction is read+write
+        with zero extra logic. Restores O(1) files/bucket and removes the
+        scan-time max_by for compacted buckets."""
+        m = self.current_manifest()
+        dirty = sorted({f.bucket for f in m.files if f.is_delta})
+        if not dirty:
+            return m
+        df = self.read(
+            buckets=dirty, include_tombstones=True, include_internal=True
+        ).withColumn(BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets))
+        new_files = self._stage_write(df, m.current_schema_version)
+        keep = [f for f in m.files if f.bucket not in set(dirty)]
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=m.snapshot_id + 1,
+            schemas=m.schemas,
+            current_schema_version=m.current_schema_version,
+            key_cols=m.key_cols,
+            num_buckets=m.num_buckets,
+            files=keep + new_files,
+            watermarks=m.watermarks,
+            lineage=[],
+            parent_version=m.version,
+            properties=m.properties,
+        )
         self._write_manifest(nm)
         return nm
 

@@ -246,3 +246,52 @@ def test_lineage_counts(spark, tmp_path):
         batch_id=2,
     )
     assert res2.counts == {"inserted": 0, "updated": 1, "deleted": 1}
+
+
+def test_mor_mode_matches_cow(spark, tmp_path, events):
+    """merge-on-read batches end at the same state as copy-on-write, and
+    compact_deltas folds without changing state."""
+    pdf = events.toPandas()
+    n = len(pdf)
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+
+    cow = _mk_table(spark, tmp_path / "cow")
+    mor = LakeTable.create(spark, str(tmp_path / "mor" / "t"), SCHEMA, KEYS, num_buckets=8)
+    for i, (lo, hi) in enumerate(cuts, start=1):
+        chunk = spark.createDataFrame(pdf.iloc[lo:hi], events.schema)
+        merge_into(cow, chunk, batch_id=i)
+        res = merge_into(mor, chunk, batch_id=i, mode="mor")
+        assert "appended" in res.counts
+    assert_state_matches(mor, pdf)
+    pd.testing.assert_frame_equal(table_state(mor), table_state(cow))
+
+    # deltas exist, then compaction folds them away
+    m = mor.current_manifest()
+    assert any(f.is_delta for f in m.files)
+    mor.compact_deltas()
+    m2 = mor.current_manifest()
+    assert not any(f.is_delta for f in m2.files)
+    assert_state_matches(mor, pdf)
+
+    # fence still applies in mor mode
+    res = merge_into(mor, spark.createDataFrame(pdf.iloc[:10], events.schema),
+                     batch_id=3, mode="mor")
+    assert res.skipped
+
+
+def test_mor_tombstone_semantics(spark, tmp_path):
+    """delete then late lower-seq update across MOR batches: tombstone
+    wins at read time."""
+    t = _mk_table(spark, tmp_path)
+    sch = "op string, event_seq long, repo string, path string, commit string, lang string, content string"
+    merge_into(t, spark.createDataFrame(
+        [("insert", 1, "o/r", "p", "c", "py", "v1"), ("delete", 10, "o/r", "p", "c", None, None)],
+        sch), batch_id=1, mode="mor")
+    assert t.read().count() == 0
+    merge_into(t, spark.createDataFrame(
+        [("update", 5, "o/r", "p", "c", "py", "late")], sch), batch_id=2, mode="mor")
+    assert t.read().count() == 0  # tombstone (seq 10) still wins
+    merge_into(t, spark.createDataFrame(
+        [("update", 11, "o/r", "p", "c", "py", "new")], sch), batch_id=3, mode="mor")
+    got = t.read().collect()
+    assert len(got) == 1 and got[0].content == "new"
