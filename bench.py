@@ -57,7 +57,7 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None = None) -> tuple[float, int]:
+def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None = None, mode: str = "cow") -> tuple[float, int]:
     """End-to-end CDC throughput: generate → dedup → MERGE commit, over
     n_batches micro-batches. Returns (seconds, events)."""
     from pyspark.sql import functions as F
@@ -99,14 +99,14 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None =
         spark, os.path.join(root, "warm"), schema, ["repo", "path", "commit"], num_buckets=32
     )
     warm_events = repo_file_events(spark, n_keys=2_000, events_per_key=3, seed=7)
-    merge_into(warm_table, warm_events, batch_id=1)
+    merge_into(warm_table, warm_events, batch_id=1, mode=mode)
 
     t0 = time.perf_counter()
     for i in range(n_batches):
         batch = events.filter(
             (F.col("event_seq") % n_batches) == i
         )  # deterministic split, all batches same size class
-        merge_into(table, batch, batch_id=i + 1, offset_range=(i, i))
+        merge_into(table, batch, batch_id=i + 1, offset_range=(i, i), mode=mode)
     dt = time.perf_counter() - t0
     shutil.rmtree(root, ignore_errors=True)
     return dt, total
@@ -142,6 +142,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     merge_sec, n_events = bench_cdc_merge(spark, sf_dir)
     timings["cdc_merge_e2e"] = round(merge_sec, 3)
     events_per_sec = round(n_events / merge_sec, 1)
+    mor_sec, _ = bench_cdc_merge(spark, sf_dir, mode="mor")
+    timings["cdc_merge_mor"] = round(mor_sec, 3)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -153,6 +155,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "cdc_events": n_events,
         "events_per_sec": events_per_sec,
+        "events_per_sec_mor": round(n_events / mor_sec, 1),
     }
 
 
@@ -189,6 +192,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
@@ -202,7 +206,7 @@ def main() -> None:
 
         spark = get_spark("bench-cdc", cores=args.cores)
         spark.range(1000).count()
-        sec, n = bench_cdc_merge(spark, args.sf_dir, n_batches=args.batches)
+        sec, n = bench_cdc_merge(spark, args.sf_dir, n_batches=args.batches, mode=args.mode)
         print(
             json.dumps(
                 {
