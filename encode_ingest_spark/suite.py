@@ -210,18 +210,20 @@ def cdc_staged_vs_live(spark, sf_dir):
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS n,
-           sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
 def skew_salted_agg(spark, sf_dir):
     """Two-level salted aggregation == plain aggregation (exact decimal
-    sums make the equivalence bit-for-bit)."""
+    sums make the equivalence bit-for-bit; final cast to double is one
+    correctly-rounded conversion of the same exact value in both engines —
+    the driver hasher handles doubles engine-neutrally, decimals not)."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "v", F.round("value", 2).cast("decimal(18,2)")
     )
     out = salted_agg(ev, ["event_type"], {"n": ("count", "*"), "sum_value": ("sum", "v")})
-    return out.select("event_type", "n", F.col("sum_value").cast("decimal(38,2)"))
+    return out.select("event_type", "n", F.col("sum_value").cast("double").alias("sum_value"))
 
 
 # ===========================================================================
@@ -571,7 +573,7 @@ def j2_grouped_left_join(spark, sf_dir):
     "j3_explode_inner_join",
     """
     SELECT l.l_orderkey AS o_orderkey,
-           sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS parts_value
+           CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS parts_value
     FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY l.l_orderkey
@@ -590,7 +592,7 @@ def j3_explode_inner_join(spark, sf_dir):
     )
     j = exploded.join(p, exploded.pk == p.p_partkey)
     return j.groupBy("o_orderkey").agg(
-        F.sum(dec("p_retailprice")).cast("decimal(38,2)").alias("parts_value")
+        F.sum(dec("p_retailprice")).cast("double").alias("parts_value")
     )
 
 
@@ -871,10 +873,10 @@ def u3_array_ops(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-      sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))
-          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
         AS sum_disc_price,
       round(avg(l_quantity), 4) AS avg_qty,
       round(avg(l_discount), 4) AS avg_disc,
@@ -887,13 +889,13 @@ def u3_array_ops(spark, sf_dir):
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
         F.sum(
             dec("l_extendedprice")
             * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
         )
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -905,8 +907,8 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_revenue_orders",
     """
     SELECT l_orderkey,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))
-          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
         AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -930,7 +932,7 @@ def q3_top_revenue_orders(spark, sf_dir):
                 dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
             )
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -942,8 +944,8 @@ def q3_top_revenue_orders(spark, sf_dir):
     "q5_nation_revenue",
     """
     SELECT n_name,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))
-          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
         AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -973,7 +975,7 @@ def q5_nation_revenue(spark, sf_dir):
                 dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
             )
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
