@@ -72,7 +72,10 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None =
     # models the real tail (decode/parse CPU on ingest) and keeps the
     # benchmark CPU-bound. A persisted cache would instead measure
     # single-box memory bandwidth (observed: flat 8→32-core scaling).
-    events = repo_file_events(spark, n_keys=n_keys, events_per_key=3, seed=42)
+    # Batches are disjoint slot ranges of the scrambled stream — each
+    # batch generates ONLY its slice (range-source pruning), where the
+    # old `filter(seq % n == i)` form re-generated the full stream per
+    # batch and threw 3/4 of it away.
     total = n_keys * 3
 
     # Lake root on tmpfs when available: on a real cluster the sink's
@@ -90,24 +93,37 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None =
             T.StructField("content", T.StringType()),
         ]
     )
-    table = LakeTable.create(
-        spark, os.path.join(root, "t"), schema, ["repo", "path", "commit"], num_buckets=32
-    )
-
-    # warm the merge path (JIT of agg/write pipeline) on a throwaway table
+    # warm the merge paths (JIT of agg/stage/write pipelines) on a
+    # throwaway table — BOTH the bootstrap branch (first merge) and the
+    # union branch (second merge into a non-empty table); an unwarmed
+    # union path costs 5-15x JIT on its first timed batch
     warm_table = LakeTable.create(
         spark, os.path.join(root, "warm"), schema, ["repo", "path", "commit"], num_buckets=32
     )
-    warm_events = repo_file_events(spark, n_keys=2_000, events_per_key=3, seed=7)
-    merge_into(warm_table, warm_events, batch_id=1, mode=mode)
+    merge_into(warm_table, repo_file_events(spark, n_keys=2_000, events_per_key=3, seed=7),
+               batch_id=1, mode=mode)
+    merge_into(warm_table, repo_file_events(spark, n_keys=2_000, events_per_key=3, seed=8),
+               batch_id=2, mode=mode)
 
-    t0 = time.perf_counter()
-    for i in range(n_batches):
-        batch = events.filter(
-            (F.col("event_seq") % n_batches) == i
-        )  # deterministic split, all batches same size class
-        merge_into(table, batch, batch_id=i + 1, offset_range=(i, i), mode=mode)
-    dt = time.perf_counter() - t0
+    # min-of-3 passes: the sandbox host has co-tenant CPU-steal spikes
+    # that can double a single pass (observed 13s vs 35s back-to-back on
+    # identical code); the fastest pass is the machine-capability number.
+    # Each pass ingests into a FRESH table (identical work).
+    def one_pass(pass_idx: int) -> float:
+        t = LakeTable.create(
+            spark, os.path.join(root, f"t{pass_idx}"), schema,
+            ["repo", "path", "commit"], num_buckets=32,
+        )
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            lo, hi = i * total // n_batches, (i + 1) * total // n_batches
+            batch = repo_file_events(
+                spark, n_keys=n_keys, events_per_key=3, seed=42, slot_range=(lo, hi)
+            )
+            merge_into(t, batch, batch_id=i + 1, offset_range=(lo, hi - 1), mode=mode)
+        return time.perf_counter() - t0
+
+    dt = min(one_pass(p) for p in range(3))
     shutil.rmtree(root, ignore_errors=True)
     return dt, total
 
@@ -159,30 +175,71 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, low: int, high: int) -> dict:
-    """Run the CDC merge benchmark in two fresh JVMs at local[low] and
-    local[high]; report throughput + scaling efficiency
-    (eff = (thr_high/thr_low) / (high/low))."""
-    results = {}
-    for cores in (low, high):
-        out = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores), "--cdc-only"],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            timeout=1800,
+def bench_sketch(spark, sf_dir: str, repeat: int = 10, trials: int = 3) -> tuple[float, int]:
+    """Compute-dense scaling probe: the MinHash+SimHash signature stage
+    (tokenize → shingle → md5 → 16 permutations + 32 bit-sums) over the
+    documents corpus replicated ``repeat``×. Pure per-row CPU — no joins,
+    no wide shuffles — so it measures core scaling where DRAM bandwidth
+    is not the wall (unlike the merge, see BASELINE.md). Returns
+    (min seconds over trials, docs processed)."""
+    from pyspark.sql import functions as F
+
+    from encode_ingest_spark.operators import minhash_signatures
+    from encode_ingest_spark.operators.dedup import simhash_signatures
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(F.array(*[F.lit(i) for i in range(repeat)])).alias("rep"),
+            "doc_id",
+            "text",
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-    thr_low = results[low]["events_per_sec"]
-    thr_high = results[high]["events_per_sec"]
-    eff = (thr_high / thr_low) / (high / low)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)  # time the sketch math, not the scan
+    )
+    n_docs = docs.count()
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        _force(minhash_signatures(docs, "doc_id", "text", k=16))
+        _force(simhash_signatures(docs, "doc_id", "text"))
+        return time.perf_counter() - t0
+
+    run_once()  # JIT warm-up
+    return min(run_once() for _ in range(trials)), n_docs
+
+
+def run_scaling(sf_dir: str, low: int, high: int, probe: str = "cdc", pairs: int = 2) -> dict:
+    """Run the probe in fresh JVMs at local[low] and local[high],
+    ALTERNATING low/high ``pairs`` times (sandbox co-tenant noise makes
+    single runs meaningless — take the best of each level from
+    interleaved trials); report throughput + scaling efficiency
+    (eff = (thr_high/thr_low) / (high/low))."""
+    flag = "--cdc-only" if probe == "cdc" else "--sketch-only"
+    best: dict[int, float] = {}
+    for _ in range(pairs):
+        for cores in (low, high):
+            out = subprocess.run(
+                [sys.executable, __file__, "--cores", str(cores), flag],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                timeout=1800,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            thr = json.loads(line)["events_per_sec" if probe == "cdc" else "docs_per_sec"]
+            best[cores] = max(best.get(cores, 0.0), thr)
+    eff = (best[high] / best[low]) / (high / low)
     return {
-        "metric": "CDC merge scaling efficiency local[%d] -> local[%d]" % (low, high),
+        "metric": "%s scaling efficiency local[%d] -> local[%d]" % (probe, low, high),
         "value": round(eff, 3),
         "unit": "efficiency",
-        "throughput": {str(low): thr_low, str(high): thr_high},
+        "throughput": {str(low): best[low], str(high): best[high]},
         "sf": sf_dir,
+        "protocol": "best-of-%d alternating pairs" % pairs,
     }
 
 
@@ -191,15 +248,41 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--sketch-only", action="store_true")
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
+    ap.add_argument("--probe", default="cdc", choices=["cdc", "sketch"])
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, args.scaling_low, args.scaling_high)))
+        print(
+            json.dumps(
+                run_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.probe)
+            )
+        )
+        return
+    if args.sketch_only:
+        from encode_ingest_spark.session import get_spark
+
+        spark = get_spark("bench-sketch", cores=args.cores)
+        spark.range(1000).count()
+        sec, n = bench_sketch(spark, args.sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "sketch stage (minhash16 + simhash32)",
+                    "value": round(sec, 3),
+                    "unit": "sec",
+                    "docs": n,
+                    "docs_per_sec": round(n / sec, 1),
+                    "cpus": args.cores,
+                    "sf": args.sf_dir,
+                }
+            )
+        )
         return
     if args.cdc_only:
         from encode_ingest_spark.session import get_spark

@@ -94,6 +94,18 @@ def repo_files(
     )
 
 
+def _affine_coeffs(n: int, seed: int) -> tuple[int, int]:
+    """Coefficients of a bijective affine scramble slot' = (a·slot+b) mod n.
+    ``a`` is kept ~2^20 so a·slot stays far inside int64 up to n ≈ 10^12
+    (the 10^10-event scale with headroom); gcd(a, n) = 1 ⇒ full period."""
+    import math
+
+    a = 1_000_003 + 2 * (seed % 101)
+    while math.gcd(a, n) != 1:
+        a += 2
+    return a, (seed * 7919) % n
+
+
 def repo_file_events(
     spark: SparkSession,
     n_keys: int,
@@ -102,6 +114,7 @@ def repo_file_events(
     n_repos: int = 50,
     delete_pct: int = 10,
     partitions: int | None = None,
+    slot_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """CDC log: ``events_per_key`` events per key, shuffled delivery order.
 
@@ -111,18 +124,50 @@ def repo_file_events(
       * op: first version 'insert'; later versions 'update', except
         ~delete_pct% of keys whose LAST version is 'delete'
       * content varies per version (update really changes the row)
-      * delivery order (row order) is a hash shuffle of (k, v) — within-
-        and across-batch out-of-order, the dedup test scenario
+      * delivery order (row order) is an affine permutation of the event
+        index — within- and across-batch out-of-order (the dedup test
+        scenario) WITHOUT a global sort: the previous hash-rank ``orderBy``
+        cost a range-partitioner sampling pass (re-executing generation)
+        plus a full shuffle+sort of the content payload PER CONSUMER.
+      * ``slot_range=(lo, hi)`` generates only delivery slots [lo, hi) —
+        a micro-batch slice straight off the range source (no generate-
+        all-then-filter); slices are disjoint and their union is the
+        full stream.
     """
     n = n_keys * events_per_key
-    df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
-    # shuffle: enumerate slots, map slot -> (k, v) via hash ranking
-    slot = F.col("id")
-    scrambled = _h(seed + 20, slot) % n  # not a permutation, but we only
-    # need *an* out-of-order delivery; (k, v) below is derived from slot
-    # directly so every (k, v) appears exactly once.
-    k = (slot % n_keys).cast("long")
-    v = F.floor(slot / n_keys).cast("long")
+    lo, hi = slot_range if slot_range is not None else (0, n)
+    df = spark.range(lo, hi, 1, partitions or spark.sparkContext.defaultParallelism)
+    return df.select(
+        *event_exprs(
+            F.col("id"),
+            n_keys=n_keys,
+            events_per_key=events_per_key,
+            seed=seed,
+            n_repos=n_repos,
+            delete_pct=delete_pct,
+        )
+    )
+
+
+def event_exprs(
+    slot: F.Column,
+    n_keys: int,
+    events_per_key: int = 3,
+    seed: int = 42,
+    n_repos: int = 50,
+    delete_pct: int = 10,
+) -> list[F.Column]:
+    """The CDC-event column expressions over a delivery-slot column —
+    shared by the batch generator (spark.range) and the streaming rate
+    source adapter (rate-micro-batch ``value``), so both emit the SAME
+    deterministic stream."""
+    n = n_keys * events_per_key
+    # bijective scramble: slot (delivery order) -> event index (k, v);
+    # every (k, v) appears exactly once across the full slot range
+    a, b = _affine_coeffs(n, seed + 20)
+    scr = (slot * F.lit(a) + F.lit(b)) % F.lit(n)
+    k = (scr % n_keys).cast("long")
+    v = F.floor(scr / n_keys).cast("long")
     key_idx = k
     is_deleted_key = (_h(seed + 21, key_idx) % 100) < delete_pct
     last_v = events_per_key - 1
@@ -132,11 +177,11 @@ def repo_file_events(
         .otherwise(F.lit("update"))
     )
     content_idx = key_idx * F.lit(1000) + v  # distinct content per version
-    ev = df.select(
+    return [
         op.alias("op"),
         (v * n_keys + k).alias("event_seq"),
         F.to_timestamp(
-            F.from_unixtime(F.lit(1700000000) + (v * n_keys + k) + (_h(seed + 22, slot) % 120))
+            F.from_unixtime(F.lit(1700000000) + (v * n_keys + k) + (_h(seed + 22, scr) % 120))
         ).alias("event_ts"),
         _repo(key_idx, n_repos, seed).alias("repo"),
         F.concat(
@@ -160,7 +205,4 @@ def repo_file_events(
         F.when(op == "delete", F.lit(None)).otherwise(_content(content_idx, seed)).alias(
             "content"
         ),
-        scrambled.alias("_delivery_rank"),
-    )
-    # out-of-order delivery: sort by the hash rank, then drop it
-    return ev.orderBy("_delivery_rank").drop("_delivery_rank")
+    ]

@@ -1,5 +1,15 @@
 """Per-entity mapping transforms (reference §2.10 parity)."""
 
+from .biosample import (
+    LIFE_STAGE_ORGANISMS,
+    RAW_BIOSAMPLE_SCHEMA,
+    RAW_BIOSAMPLE_TYPE_SCHEMA,
+    RAW_GENETIC_MOD_SCHEMA,
+    RAW_LIBRARY_SCHEMA,
+    grouped_genetic_mods,
+    grouped_libraries,
+    transform_biosample,
+)
 from .documents import (
     RAW_DONOR_SCHEMA,
     transform_donor,
@@ -15,6 +25,14 @@ from .repo_entities import (
 )
 
 __all__ = [
+    "transform_biosample",
+    "grouped_libraries",
+    "grouped_genetic_mods",
+    "RAW_BIOSAMPLE_SCHEMA",
+    "RAW_BIOSAMPLE_TYPE_SCHEMA",
+    "RAW_LIBRARY_SCHEMA",
+    "RAW_GENETIC_MOD_SCHEMA",
+    "LIFE_STAGE_ORGANISMS",
     "transform_donor",
     "transform_donor_pandas",
     "RAW_DONOR_SCHEMA",

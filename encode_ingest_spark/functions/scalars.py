@@ -133,6 +133,55 @@ def paired_run(run_type: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# F11 — strand-specificity decode.
+# Reference: LibraryTransformations.scala:13-16,21,35-36 —
+#   libraryLayout = strand_specificity.isDefined;
+#   pairedEndType = strand_specificity filtered of the legacy placeholder
+#   "strand-specific" (records submitted before forward/reverse existed).
+# ---------------------------------------------------------------------------
+STRAND_PLACEHOLDER = "strand-specific"
+
+
+def library_layout(strand_specificity: Column | str) -> Column:
+    c = (
+        F.col(strand_specificity)
+        if isinstance(strand_specificity, str)
+        else strand_specificity
+    )
+    return c.isNotNull()
+
+
+def paired_end_type(strand_specificity: Column | str) -> Column:
+    c = (
+        F.col(strand_specificity)
+        if isinstance(strand_specificity, str)
+        else strand_specificity
+    )
+    return F.when(c == STRAND_PLACEHOLDER, F.lit(None)).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# F15 — classification-conditional column routing.
+# Reference: BiosampleTransformations.scala:53-60 (anatomical site),
+# 83-93 (apriori cell type / cell line): the source column feeding an
+# output field depends on the record's classification value.
+# ---------------------------------------------------------------------------
+def classification_route(
+    classification: Column | str,
+    routes: list[tuple[tuple[str, ...], Column]],
+    default: Column | None = None,
+) -> Column:
+    """Route: first (values, column) entry whose values contain the
+    classification wins; no match → ``default`` (null)."""
+    c = F.col(classification) if isinstance(classification, str) else classification
+    expr = None
+    for values, col in routes:
+        cond = c.isin(*values)
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    return expr.otherwise(default) if default is not None else expr
+
+
+# ---------------------------------------------------------------------------
 # F13 — date → midnight-UTC timestamp.
 # Reference: BiosampleTransformations.scala:75-77 —
 # LocalDate.atStartOfDay().atOffset(UTC).

@@ -54,6 +54,11 @@ METADATA_COLS = (OP_COL, EVENT_SEQ_COL, EVENT_TS_COL)
 
 _PRIORITY = "_prio"
 _TARGET_LIVE = "_target_live"
+#: auto threshold (live table rows) between the DIRECT one-job COW merge
+#: (small targets: full rewrite beats staging the batch) and the STAGED
+#: merge (stage batch → probe → prune → partial rewrite); override per
+#: table via property "merge.stage.threshold_rows"
+_STAGE_THRESHOLD_ROWS = 5_000_000
 
 
 class MergeResult:
@@ -78,6 +83,8 @@ def merge_into(
     evolve: bool = True,
     prune_buckets: bool | None = None,
     mode: str = "cow",
+    mor_compact_threshold: int | None = None,
+    stage_batch: bool | None = None,
 ) -> MergeResult:
     """Apply one CDC batch to the table. See module docstring.
 
@@ -131,91 +138,195 @@ def merge_into(
     )
     payload = align_to_schema(payload, schema)
 
+    # ---- 1. in-batch dedup → WINNERS. One whole-row max_by per key
+    # (atomic: an event_seq tie can never blend column values from two
+    # rows — replay ties are contract-identical, so the arbitrary-but-
+    # atomic winner is deterministic state), bucket id attached. ----
+    non_key = [c for c in payload.columns if c not in keys]
+    seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
+    winners = (
+        payload.groupBy(*keys)
+        .agg(F.max_by(F.struct(*non_key), seq_order).alias("_w"))
+        .select(*keys, "_w.*")
+        .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+    )
+
     if mode == "mor":
-        # in-batch dedup only (one partial-agg shuffle), then append as
-        # delta files — no target read, no bucket rewrite
-        non_key = [c for c in payload.columns if c not in keys]
-        seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
-        winners = (
-            payload.groupBy(*keys)
-            .agg(*[F.max_by(F.col(c), seq_order).alias(c) for c in non_key])
-            .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
-        )
+        # append winners as delta files — no target read, no rewrite
         obs = Observation()
-        winners = winners.observe(obs, F.count(F.lit(1)).alias("n"))
-        new_files = table._stage_write(winners, m.current_schema_version, is_delta=True)
+        observed = winners.observe(obs, F.count(F.lit(1)).alias("n"))
+        new_files = table._stage_write(observed, m.current_schema_version, is_delta=True)
         counts = {"appended": int(obs.get["n"] or 0)}
-        return _commit(
+        res = _commit(
             table, m, m.files, new_files, batch_id, source_id, offset_range, counts
         )
+        # auto-compaction policy: once the snapshot accumulates more than
+        # `threshold` delta files, fold them back into their buckets'
+        # base files (manifest-pruned rewrite) so steady-state MOR scan
+        # cost stays bounded. Threshold comes from the call or the table
+        # property "mor.compact.threshold"; 0/absent = manual-only.
+        threshold = mor_compact_threshold
+        if threshold is None:
+            threshold = int(res.manifest.properties.get("mor.compact.threshold", 0) or 0)
+        n_deltas = sum(1 for f in res.manifest.files if f.is_delta)
+        if threshold and n_deltas > threshold:
+            res.manifest = table.compact_deltas()
+            res.counts["compacted_delta_files"] = n_deltas
+        return res
 
-    # ---- 1+2. bucket pruning (≤ num_buckets scalars to the driver).
-    # The probe scans the batch once for its distinct bucket ids (an int
-    # distinct, map-side combined) — an EXTRA job per micro-batch. It
-    # pays only when the target is much larger than a batch's bucket
-    # footprint (the steady state at 10^10 rows: thousands of buckets,
-    # few touched). Auto mode skips the probe while the table is small
-    # relative to its bucket count — a wide batch would touch every
-    # bucket anyway, and the probe job was ~40% of per-batch fixed cost.
-    # In-batch dedup is never a separate pass either way — it fuses into
-    # the per-key max_by below. ----
-    if prune_buckets is None:
-        prune_buckets = len(m.files) > 4 * m.num_buckets
-    if prune_buckets:
-        touched = sorted(
-            r[0]
-            for r in batch.select(bucket_expr(keys, m.num_buckets).alias(BUCKET_COL))
-            .distinct()
-            .collect()
+    # ---- 2. choose the COW strategy by target size (driver-side, from
+    # manifest row counts — no Spark job):
+    #
+    # * DIRECT (small targets): ONE job — the raw batch unions straight
+    #   into the per-key aggregate and every bucket is rewritten. No
+    #   staging write, no probe; the batch subtree has a single consumer
+    #   so it executes exactly once. Below the threshold a full rewrite
+    #   costs less than staging the batch.
+    # * STAGED (large targets): stage the batch winners as parquet under
+    #   the table root — one job runs the batch-side pipeline (stream
+    #   decode / parse CPU) exactly once, the staged file is the
+    #   optimizer barrier that stops Catalyst re-inlining the batch
+    #   subtree into both union-agg consumers, and the bucket probe
+    #   becomes a column-pruned scan of one int column. (Measured on a
+    #   150k-row × 2KB-content batch: parquet stage 2.6s vs
+    #   localCheckpoint 4.6s vs columnar cache 1.8s-build but
+    #   pathological on re-scan.) On a real deployment this is the
+    #   standard stage-batch-to-lake-storage step. Pruning is always on:
+    #   at the 10^10-row steady state (thousands of buckets, few touched
+    #   per micro-batch) untouched buckets' files are carried into the
+    #   new snapshot by reference — zero IO. ----
+    table_rows = sum(f.rows for f in m.files)
+    if stage_batch is None:
+        threshold = int(
+            m.properties.get("merge.stage.threshold_rows", _STAGE_THRESHOLD_ROWS)
         )
-        if not touched:
-            return _commit(
-                table, m, m.files, [], batch_id, source_id, offset_range,
-                {"inserted": 0, "updated": 0, "deleted": 0},
+        # explicit prune request implies the staged path (the probe needs
+        # a materialized batch); otherwise size decides
+        stage_batch = bool(prune_buckets) or table_rows > threshold
+
+    if not stage_batch:
+        if prune_buckets:
+            raise ValueError(
+                "prune_buckets=True requires the staged path (stage_batch=True): "
+                "probing an unstaged batch would re-execute its source"
             )
-    else:
         touched = list(range(m.num_buckets))
+        src = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+        return _merge_cow_write(
+            table, m, src, touched, [], [f for f in m.files], data_cols, keys,
+            batch_id, source_id, offset_range, src_deduped=False,
+        )
 
-    current = table.read(
-        buckets=touched, include_tombstones=True, include_internal=True
-    ).withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+    import os
+    import shutil
+    import uuid as _uuid
 
-    # ---- 3. union + per-key max_by (handles in-batch duplicates AND
-    # batch-vs-table supersession in ONE hash aggregate) ----
-    src = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets)).withColumn(
-        _PRIORITY, F.lit(1)
-    )
-    tgt = current.withColumn(_PRIORITY, F.lit(0))
-    unioned = tgt.unionByName(src)
-    non_key_u = [c for c in unioned.columns if c not in keys]
-    order = F.struct(
-        F.coalesce(F.col(SEQ_COL), F.lit(-1)).alias("s"), F.col(_PRIORITY).alias("p")
-    )
-    merged = unioned.groupBy(*keys).agg(
-        *[F.max_by(F.col(c), order).alias(c) for c in non_key_u],
-        F.max(
-            F.when((F.col(_PRIORITY) == 0) & ~F.col(DELETED_COL), 1).otherwise(0)
-        ).alias(_TARGET_LIVE),
-    )
+    stage_dir = os.path.join(table.root, "_staging", f"batch_{_uuid.uuid4().hex}")
+    try:
+        winners.write.mode("overwrite").parquet(stage_dir)
+        staged = table.spark.read.schema(winners.schema).parquet(stage_dir)
+        if prune_buckets is None:
+            prune_buckets = True
+        if prune_buckets:
+            touched = sorted(
+                r[0] for r in staged.select(BUCKET_COL).distinct().collect()
+            )
+            if not touched:
+                return _commit(
+                    table, m, m.files, [], batch_id, source_id, offset_range,
+                    {"inserted": 0, "updated": 0, "deleted": 0},
+                )
+        else:
+            touched = list(range(m.num_buckets))
+        keep = [f for f in m.files if f.bucket not in set(touched)]
+        live_files = [f for f in m.files if f.bucket in set(touched)]
+        return _merge_cow_write(
+            table, m, staged, touched, keep, live_files, data_cols, keys,
+            batch_id, source_id, offset_range, src_deduped=True,
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
-    # ---- 4. write touched buckets; lineage counts ride along on the
-    # write job via the Observation API (no second pass over merged) ----
-    won = F.col(_PRIORITY) == 1
+
+def _merge_cow_write(
+    table, m, winners, touched, keep, live_files, data_cols, keys,
+    batch_id, source_id, offset_range, src_deduped=True,
+) -> MergeResult:
+    """Write phase of the COW merge. ``winners`` is the batch side —
+    already per-key deduped on the staged path (src_deduped=True), raw on
+    the direct path (the union aggregate dedups in-batch duplicates via
+    the same (seq, priority) order)."""
     obs = Observation()
-    out = merged.observe(
-        obs,
-        F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 0), 1).otherwise(0)).alias("inserted"),
-        F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("updated"),
-        F.sum(F.when(won & F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("deleted"),
-    ).select(*data_cols, SEQ_COL, DELETED_COL, BUCKET_COL)
-    new_files = table._stage_write(out, m.current_schema_version)
+    union_path = bool(live_files) or not src_deduped
+    if not union_path:
+        # bootstrap / all-new buckets: no target rows can exist — write
+        # winners directly, skipping the union aggregate entirely
+        out = winners.observe(
+            obs,
+            F.sum(F.when(~F.col(DELETED_COL), 1).otherwise(0)).alias("inserted"),
+            F.lit(0).alias("updated"),
+            F.lit(0).alias("deleted"),
+        )
+    else:
+        current = table.read(
+            buckets=touched, include_tombstones=True, include_internal=True
+        ).withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+
+        # ---- 3. union + ONE whole-row max_by per key (batch-vs-table
+        # supersession), ordered by (event_seq, priority) so an exact
+        # replay (equal seq) is deterministically won by the incoming
+        # row. One shuffle; a full-outer join would shuffle both sides
+        # AND lose map-side combining. Skew note: the grouping key is
+        # the full composite key tuple, so a hot ``repo`` does NOT
+        # concentrate on one reducer (repo-only rollups use
+        # operators/skew.py salting instead). ----
+        src = winners.withColumn(_PRIORITY, F.lit(1))
+        tgt = current.withColumn(_PRIORITY, F.lit(0))
+        unioned = tgt.unionByName(src)
+        non_key_u = [c for c in unioned.columns if c not in keys]
+        order = F.struct(
+            F.coalesce(F.col(SEQ_COL), F.lit(-1)).alias("s"),
+            F.col(_PRIORITY).alias("p"),
+        )
+        # ONE full-data shuffle for agg AND write: repartition(B, keys) is
+        # HashPartitioning(keys, B) = pmod(murmur3(keys), B) — the exact
+        # bucket_expr — so (a) the aggregate's clustering requirement is
+        # already satisfied (no agg-inserted exchange; map-side partial
+        # agg is worthless here anyway — the ≤2 rows of a key sit on
+        # different union sides) and (b) every post-agg partition holds
+        # exactly the rows of one bucket, so the write needs no token
+        # repartition (pre_partitioned=True).
+        unioned = unioned.repartition(m.num_buckets, *[F.col(c) for c in keys])
+        merged = (
+            unioned.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct(*non_key_u), order).alias("_w"),
+                F.max(
+                    F.when((F.col(_PRIORITY) == 0) & ~F.col(DELETED_COL), 1).otherwise(0)
+                ).alias(_TARGET_LIVE),
+            )
+            .select(*keys, "_w.*", _TARGET_LIVE)
+        )
+
+        # ---- 4. lineage counts ride along on the write job via the
+        # Observation API (no second pass over merged) ----
+        won = F.col(_PRIORITY) == 1
+        out = merged.observe(
+            obs,
+            F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 0), 1).otherwise(0)).alias("inserted"),
+            F.sum(F.when(won & ~F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("updated"),
+            F.sum(F.when(won & F.col(DELETED_COL) & (F.col(_TARGET_LIVE) == 1), 1).otherwise(0)).alias("deleted"),
+        )
+    out = out.select(*data_cols, SEQ_COL, DELETED_COL, BUCKET_COL)
+    new_files = table._stage_write(
+        out, m.current_schema_version, pre_partitioned=union_path
+    )
     got = obs.get
     counts = {
         "inserted": int(got["inserted"] or 0),
         "updated": int(got["updated"] or 0),
         "deleted": int(got["deleted"] or 0),
     }
-    keep = [f for f in m.files if f.bucket not in set(touched)]
     return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
 
 

@@ -289,29 +289,41 @@ class LakeTable:
         want = set(buckets) if buckets is not None else None
         files = [f for f in m.files if want is None or f.bucket in want]
         target_schema = m.schema
+        has_delta = any(f.is_delta for f in files)
         if not files:
             df = self.spark.createDataFrame([], target_schema)
         else:
-            by_ver: dict[int, list[DataFile]] = {}
+            by_ver: dict[tuple[int, bool], list[DataFile]] = {}
             for f in files:
-                by_ver.setdefault(f.schema_version, []).append(f)
+                by_ver.setdefault((f.schema_version, f.is_delta), []).append(f)
             parts: list[DataFrame] = []
-            for sv, group in sorted(by_ver.items()):
+            for (sv, is_delta), group in sorted(by_ver.items()):
                 file_schema = T.StructType.fromJson(json.loads(m.schemas[sv]))
                 paths = [os.path.join(self.root, f.path) for f in group]
                 raw = self.spark.read.schema(file_schema).parquet(*paths)
-                parts.append(align_to_schema(raw, target_schema))
+                part = align_to_schema(raw, target_schema)
+                if has_delta:
+                    part = part.withColumn("_mor_delta", F.lit(1 if is_delta else 0))
+                parts.append(part)
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-        if any(f.is_delta for f in files):
+        if has_delta:
             # merge-on-read: base rows and delta rows coexist per key;
-            # resolve last-writer-wins at scan time (same max_by shape as
-            # the COW merge — one partial-agg'd shuffle over the scan)
-            non_key = [c for c in df.columns if c not in m.key_cols]
-            order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
-            df = df.groupBy(*m.key_cols).agg(
-                *[F.max_by(F.col(c), order).alias(c) for c in non_key]
+            # resolve last-writer-wins at scan time with ONE whole-row
+            # max_by (tied rows can never blend column values) ordered by
+            # (event_seq, delta-over-base). An event_seq tie between two
+            # DELTA rows (replay) is contract-identical content, so the
+            # arbitrary-but-atomic winner is still deterministic state.
+            non_key = [c for c in df.columns if c not in m.key_cols and c != "_mor_delta"]
+            order = F.struct(
+                F.coalesce(F.col(SEQ_COL), F.lit(-1)).alias("s"),
+                F.col("_mor_delta").alias("d"),
+            )
+            df = (
+                df.groupBy(*m.key_cols)
+                .agg(F.max_by(F.struct(*non_key), order).alias("_w"))
+                .select(*m.key_cols, "_w.*")
             )
         if not include_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
@@ -386,20 +398,27 @@ class LakeTable:
         schema_version: int,
         num_buckets: int | None = None,
         is_delta: bool = False,
+        pre_partitioned: bool = False,
     ) -> list[DataFile]:
         """Write df (which must carry BUCKET_COL) into a staging dir
         partitioned by bucket, then move files under data/. Returns the new
-        DataFile entries. Move = same-filesystem rename (no data copy)."""
+        DataFile entries. Move = same-filesystem rename (no data copy).
+
+        ``pre_partitioned=True`` declares the caller already routed rows so
+        each task holds whole bucket(s) — e.g. the merge path's
+        repartition(B, keys), whose HashPartitioning IS bucket_expr — and
+        skips the routing shuffle entirely."""
         stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         n_buckets = max(num_buckets or self.current_manifest().num_buckets, 1)
-        (
+        if not pre_partitioned:
             # Exact 1:1 bucket→task routing (see _bucket_tokens): avoids
             # both the balls-into-bins collisions of hash-repartition on a
             # low-cardinality int (some tasks get 3-4 buckets, others 0)
             # and the upstream RE-EXECUTION repartitionByRange's boundary
             # sampling would cost on an expensive child plan.
-            df.repartition(n_buckets, self._bucket_token_expr(n_buckets))
-            .write.mode("overwrite")
+            df = df.repartition(n_buckets, self._bucket_token_expr(n_buckets))
+        (
+            df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(stage)
         )
@@ -537,13 +556,23 @@ class LakeTable:
                         os.remove(p)
                         removed += 1
             os.remove(self._manifest_path(v))
-        # re-root the parent chain of the oldest kept manifest
+        # re-root the parent chain of the oldest kept manifest. The
+        # rewrite is ATOMIC (temp file + os.replace over the original):
+        # with keep_last=1 the re-rooted manifest IS the one CURRENT
+        # points to, and a crash between a remove and a recreate would
+        # leave the table unloadable. (_write_manifest is unusable here —
+        # its O_EXCL create-new semantics would force that unsafe delete.)
         oldest = min(keep)
         om = self.manifest_at(oldest)
         if om.parent_version is not None and om.parent_version not in keep:
             om.parent_version = None
-            os.remove(self._manifest_path(oldest))
-            self._write_manifest(om)
+            path = self._manifest_path(oldest)
+            tmp = os.path.join(self._meta_dir, f".reroot.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(om.to_json(), fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
         return removed
 
     def _all_versions(self) -> list[int]:

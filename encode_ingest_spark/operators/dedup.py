@@ -110,16 +110,27 @@ def exact_dedup_keep(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # N-gram Jaccard
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    stop_shingle_max_docs: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets: explode shingles, self-join on the
     shingle (only co-occurring docs meet), count intersections, derive
     |A∪B| = |A|+|B|−|A∩B|.
 
-    Scale: the join key is a shingle — frequency-skewed. At corpus scale a
-    stop-shingle filter (drop shingles in >0.1% of docs) bounds bucket
-    fan-out; candidates per doc are bounded by shared-shingle counts, not
-    corpus size. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Scale: the join key is a shingle — frequency-skewed. One boilerplate
+    shingle shared by f docs (a license header) creates an f² bucket, so
+    ``stop_shingle_max_docs`` drops shingles present in more than that
+    many docs BEFORE the self-join (one extra groupBy + semi-join over the
+    sketch-sized shingle stream; at corpus scale set it to ~0.1% of |docs|).
+    The cap also removes the stop-shingles from the Jaccard universe —
+    exactly the standard stop-shingle semantics (near-dup evidence from
+    ubiquitous text is noise, not signal). ``None`` (oracle scale) keeps
+    the exact textbook Jaccard. Output: (doc_a, doc_b, jaccard), doc_a <
+    doc_b.
     """
     sh = (
         ensure_parallelism(df).select(
@@ -129,6 +140,14 @@ def ngram_jaccard_pairs(
         # a hash shuffle beats per-row O(n²) array_distinct at scale
         .localCheckpoint(eager=True)  # shared by self-join sides + sizes
     )
+    if stop_shingle_max_docs is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= stop_shingle_max_docs)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

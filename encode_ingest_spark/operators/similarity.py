@@ -197,11 +197,26 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_digits: int = 6,
+    method: str = "srp",
+    dim: int | None = None,
+    nbits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
-    Brute-force formulation (the oracle); swap the join for an SRP-bucket
-    equi-join (srp_bucket) at corpus scale. Vectors are unit-normalized
-    ONCE and checkpointed — never recomputed per pair or per join side."""
+
+    ``method="srp"`` (default, the scale path): candidates come from an
+    SRP-bucket equi-join over ``n_tables`` independent hash tables — a
+    pair is considered iff the two vectors share a bucket in at least one
+    table — then verified with the exact cosine. The shuffle key is
+    (table, bucket); pair fan-out is bounded by bucket population, never
+    all-pairs, and the plan contains no non-equi join. Approximate:
+    recall for cos ≥ t is 1-(1-p^nbits)^L with p = 1-θ/π (≥99.9% at
+    t=0.95 with the defaults); the recall-vs-exact check lives in pytest.
+
+    ``method="exact"``: the brute-force id_a < id_b non-equi join — the
+    small-scale verifier/oracle twin (O(n²), only for corpora that fit a
+    verification budget)."""
     from .text import ensure_parallelism
 
     v = (
@@ -209,11 +224,56 @@ def embedding_near_dup_pairs(
         .select(F.col(id_col).alias("_id"), normalized(F.col(vec_col)).alias("_nv"))
         .localCheckpoint(eager=True)
     )
-    a = v.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"))
+    if method == "exact":
+        a = v.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"))
+        b = v.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb")), round_digits))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+    if method != "srp":
+        raise ValueError(f"unknown method {method!r} (expected 'srp' or 'exact')")
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    banded = v.select(
+        "_id",
+        "_nv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        srp_bucket(F.col("_nv"), dim, nbits, seed + 1000 * t).alias(
+                            "bkt"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_nv", F.col("_b.tbl").alias("tbl"), F.col("_b.bkt").alias("bkt"))
+    banded = banded.localCheckpoint(eager=True)  # both join sides consume it
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._nv").alias("_va"),
+            F.col("b._nv").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb")), round_digits))
+        cand.withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb")), round_digits))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -64,20 +64,38 @@ EVENT_SCHEMA = T.StructType(
 
 
 class CdcStreamPipeline:
-    """Tail a file-based change log (parquet files appended to a
-    directory — the sandbox stand-in for a Kafka/binlog tail; the source
-    swap is one line) and MERGE each micro-batch into a LakeTable."""
+    """Tail a change-event source and MERGE each micro-batch into a
+    LakeTable. Two source adapters behind the same pipeline:
+
+    * ``source="files"`` (default) — parquet files appended to a
+      directory, the sandbox stand-in for a binlog/WAL tail;
+    * ``source="rate"`` — Spark's deterministic ``rate-micro-batch``
+      source mapped through the shared CDC event expressions
+      (cdc/generator.py event_exprs), the Kafka-shaped unbounded-source
+      adapter: offsets come from the source, the event payload is a pure
+      function of the offset, and the same fence/merge machinery applies
+      unchanged. ``rate_opts`` keys: ``n_keys``, ``events_per_key``,
+      ``seed``, ``rows_per_batch``.
+    """
 
     def __init__(
         self,
         table: LakeTable,
-        events_dir: str,
-        checkpoint_dir: str,
+        events_dir: str | None = None,
+        checkpoint_dir: str = "",
         source_id: str = "stream",
         schema: T.StructType = EVENT_SCHEMA,
         max_files_per_trigger: int | None = None,
         compact: bool = False,
+        source: str = "files",
+        rate_opts: dict | None = None,
+        merge_mode: str = "cow",
+        mor_compact_threshold: int | None = None,
     ):
+        if source not in ("files", "rate"):
+            raise ValueError(f"unknown source {source!r} (expected 'files' or 'rate')")
+        if source == "files" and not events_dir:
+            raise ValueError("source='files' requires events_dir")
         self.table = table
         self.events_dir = events_dir
         self.checkpoint_dir = checkpoint_dir
@@ -85,18 +103,48 @@ class CdcStreamPipeline:
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
         self.compact = compact
+        self.source = source
+        self.rate_opts = rate_opts or {}
+        self.merge_mode = merge_mode
+        self.mor_compact_threshold = mor_compact_threshold
         self.batch_results: list[MergeResult] = []  # per-run observability
 
     def _stream_df(self, spark: SparkSession) -> DataFrame:
-        reader = spark.readStream.schema(self.schema)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        df = reader.parquet(self.events_dir)
+        if self.source == "rate":
+            df = self._rate_stream(spark)
+        else:
+            reader = spark.readStream.schema(self.schema)
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+            df = reader.parquet(self.events_dir)
         if self.compact:
             from .stateful import compact_changelog
 
             df = compact_changelog(df, self.table.current_manifest().key_cols)
         return df
+
+    def _rate_stream(self, spark: SparkSession) -> DataFrame:
+        """Unbounded-source adapter: ``rate-micro-batch`` emits a dense
+        ``value`` offset sequence in deterministic fixed-size batches;
+        offsets map to CDC events via the shared generator expressions.
+        Offsets ≥ n_keys×events_per_key (past the stream's end) are
+        dropped, so a long-running query goes idle rather than wrapping."""
+        from ..cdc.generator import event_exprs
+
+        n_keys = int(self.rate_opts.get("n_keys", 1000))
+        epk = int(self.rate_opts.get("events_per_key", 3))
+        seed = int(self.rate_opts.get("seed", 42))
+        rows_per_batch = int(self.rate_opts.get("rows_per_batch", 500))
+        df = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("startTimestamp", 0)
+            .load()
+        )
+        slot = F.col("value")
+        return df.filter(slot < n_keys * epk).select(
+            *event_exprs(slot, n_keys=n_keys, events_per_key=epk, seed=seed)
+        )
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         res = merge_into(
@@ -105,6 +153,8 @@ class CdcStreamPipeline:
             source_id=self.source_id,
             batch_id=int(epoch_id) + 1,  # fence ids are 1-based, epoch is 0-based
             offset_range=(int(epoch_id), int(epoch_id)),
+            mode=self.merge_mode,
+            mor_compact_threshold=self.mor_compact_threshold,
         )
         if res.skipped and self.compact:
             # a fence-skipped merge launches NO job; with a stateful

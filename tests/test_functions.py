@@ -204,3 +204,39 @@ def test_scrub_unknown_all(spark):
     )
     row = scrub_unknown_all(df).collect()[0]
     assert row.a is None and row.b == "keep" and row.n == 5
+
+
+# --- F11 (LibraryTransformations.scala:13-16,21,35-36) ---
+def test_strand_specificity_decode(spark):
+    from encode_ingest_spark.functions import library_layout, paired_end_type
+
+    df = spark.createDataFrame(
+        [("forward",), ("strand-specific",), (None,)], "s string"
+    )
+    got = df.select(
+        library_layout("s").alias("layout"), paired_end_type("s").alias("pet")
+    ).collect()
+    # defined → layout true; the legacy placeholder is filtered from
+    # paired_end_type but still counts as "strand specific" for layout
+    assert (got[0].layout, got[0].pet) == (True, "forward")
+    assert (got[1].layout, got[1].pet) == (True, None)
+    assert (got[2].layout, got[2].pet) == (False, None)
+
+
+# --- F15 (BiosampleTransformations.scala:53-60,83-93) ---
+def test_classification_route(spark):
+    from encode_ingest_spark.functions import classification_route
+
+    df = spark.createDataFrame(
+        [("tissue", "T", "O"), ("cell line", "T", "O"), ("other", "T", "O"),
+         (None, "T", "O")],
+        "cls string, a string, b string",
+    )
+    route = classification_route(
+        "cls",
+        [(("tissue", "organoid"), F.col("a")),
+         (("cell line",), F.col("b"))],
+        default=F.lit("dflt"),
+    )
+    got = [r.x for r in df.select(route.alias("x")).collect()]
+    assert got == ["T", "O", "dflt", "dflt"]

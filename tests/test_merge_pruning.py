@@ -1,0 +1,195 @@
+"""Pruned copy-on-write coverage (ADVICE r1): the partial-rewrite branch
+must carry untouched buckets by reference, match an unpruned merge, and
+the pre-partitioned write must route rows to the bucket dirs that
+bucket_expr assigns (HashPartitioning(keys, B) == pmod(hash(keys), B))."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.cdc import repo_file_events
+from encode_ingest_spark.lake import LakeTable, merge_into
+from encode_ingest_spark.lake.table import bucket_expr
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+KEYS = ["repo", "path", "commit"]
+
+
+def _table(spark, tmp_path, name, buckets=8):
+    return LakeTable.create(
+        spark, str(tmp_path / name), SCHEMA, KEYS, num_buckets=buckets
+    )
+
+
+def _state(table):
+    return {
+        tuple(r)
+        for r in table.read(include_internal=True)
+        .select("repo", "path", "commit", "content", "_seq")
+        .collect()
+    }
+
+
+def test_pruned_merge_carries_untouched_buckets_by_reference(spark, tmp_path):
+    t = _table(spark, tmp_path, "t")
+    base = repo_file_events(spark, n_keys=400, events_per_key=1, seed=1)
+    merge_into(t, base, batch_id=1)
+    m1 = t.current_manifest()
+    files_before = {f.bucket: f.path for f in m1.files}
+    assert len(files_before) == 8  # every bucket populated
+
+    # a batch whose keys all hash into ONE bucket
+    one = spark.createDataFrame(
+        [("org0/repoX", "src/only.py", "c" * 40, "python", "body", "insert", 10_000)],
+        "repo string, path string, commit string, lang string, content string,"
+        " op string, event_seq long",
+    )
+    target_bucket = one.select(bucket_expr(KEYS, 8).alias("b")).first().b
+    res = merge_into(t, one, batch_id=2, stage_batch=True)
+    assert res.counts == {"inserted": 1, "updated": 0, "deleted": 0}
+    m2 = t.current_manifest()
+    after = {f.bucket: f.path for f in m2.files}
+    # untouched buckets: identical DataFile paths (carried by reference)
+    for b, path in files_before.items():
+        if b != target_bucket:
+            assert after[b] == path, f"bucket {b} was rewritten needlessly"
+    assert after[target_bucket] != files_before[target_bucket]
+
+
+def test_pruned_equals_unpruned_final_state(spark, tmp_path):
+    ev1 = repo_file_events(spark, n_keys=300, events_per_key=2, seed=3,
+                           slot_range=(0, 300))
+    ev2 = repo_file_events(spark, n_keys=300, events_per_key=2, seed=3,
+                           slot_range=(300, 600))
+    tp = _table(spark, tmp_path, "pruned")
+    tu = _table(spark, tmp_path, "unpruned")
+    for i, ev in enumerate((ev1, ev2)):
+        merge_into(tp, ev, batch_id=i + 1, prune_buckets=True)
+        merge_into(tu, ev, batch_id=i + 1, prune_buckets=False)
+    assert _state(tp) == _state(tu)
+
+
+def test_empty_batch_is_metadata_only_commit(spark, tmp_path):
+    t = _table(spark, tmp_path, "t")
+    merge_into(t, repo_file_events(spark, n_keys=50, events_per_key=1, seed=5),
+               batch_id=1)
+    m1 = t.current_manifest()
+    empty = spark.createDataFrame(
+        [],
+        "repo string, path string, commit string, lang string, content string,"
+        " op string, event_seq long",
+    )
+    res = merge_into(t, empty, batch_id=2, stage_batch=True)
+    assert res.counts == {"inserted": 0, "updated": 0, "deleted": 0}
+    m2 = t.current_manifest()
+    assert m2.version == m1.version + 1
+    assert [f.path for f in m2.files] == [f.path for f in m1.files]
+
+
+def test_prepartitioned_write_routes_rows_to_bucket_dirs(spark, tmp_path):
+    """The merge write path skips the token repartition because the
+    union-agg shuffle already partitions by pmod(hash(keys), B). Verify
+    the on-disk invariant directly: every row in every data file hashes
+    to the file's bucket directory."""
+    t = _table(spark, tmp_path, "t")
+    merge_into(t, repo_file_events(spark, n_keys=500, events_per_key=2, seed=7,
+                                   slot_range=(0, 500)), batch_id=1)
+    # second merge exercises the union (non-bootstrap, pre-partitioned) path
+    merge_into(t, repo_file_events(spark, n_keys=500, events_per_key=2, seed=7,
+                                   slot_range=(500, 1000)), batch_id=2)
+    m = t.current_manifest()
+    total = 0
+    for f in m.files:
+        df = spark.read.parquet(os.path.join(t.root, f.path))
+        bad = df.filter(bucket_expr(KEYS, m.num_buckets) != f.bucket).count()
+        assert bad == 0, f"{f.path}: {bad} rows misrouted (dir bucket {f.bucket})"
+        total += f.rows
+    assert total == t.read(include_tombstones=True).count() + 0  # files complete
+
+
+def test_mor_read_never_blends_tied_columns(spark, tmp_path):
+    """ADVICE r1: on an event_seq tie between base and delta, the
+    resolved row must be ONE of the physical rows (delta preferred),
+    never a column-interleave of both."""
+    t = _table(spark, tmp_path, "t")
+    row = "repo string, path string, commit string, lang string, content string," \
+          " op string, event_seq long"
+    base = spark.createDataFrame(
+        [("r", "p", "c" * 40, "base_lang", "base_content", "insert", 5)], row
+    )
+    merge_into(t, base, batch_id=1, mode="cow")
+    tied = spark.createDataFrame(
+        [("r", "p", "c" * 40, "delta_lang", "delta_content", "update", 5)], row
+    )
+    merge_into(t, tied, batch_id=2, mode="mor")
+    got = t.read().select("lang", "content").first()
+    # delta wins the tie atomically — both columns from the same row
+    assert (got.lang, got.content) == ("delta_lang", "delta_content")
+
+
+def test_mor_auto_compaction_policy(spark, tmp_path):
+    """merge_into(mode='mor') folds delta files automatically once the
+    snapshot holds more than the threshold, with identical state."""
+    t = _table(spark, tmp_path, "t", buckets=4)
+    fired = False
+    for i in range(4):
+        ev = repo_file_events(spark, n_keys=100, events_per_key=2, seed=11,
+                              slot_range=(i * 50, (i + 1) * 50))
+        res = merge_into(t, ev, batch_id=i + 1, mode="mor",
+                         mor_compact_threshold=8)
+        fired = fired or "compacted_delta_files" in res.counts
+        # post-commit invariant: never more than threshold+bucket-count
+        # deltas survive a merge
+        assert sum(1 for f in res.manifest.files if f.is_delta) <= 8
+    assert fired, "auto-compaction never triggered at this shape"
+    # reference state: same events, plain COW table
+    tc = _table(spark, tmp_path, "tc", buckets=4)
+    merge_into(tc, repo_file_events(spark, n_keys=100, events_per_key=2, seed=11),
+               batch_id=1)
+    assert _state(t) == _state(tc)
+
+
+def test_concurrent_multi_table_ingest(spark, tmp_path):
+    """Two tables ingest concurrently in threads — manifests are
+    independent, optimistic concurrency protects each table's chain, and
+    both final states match their serial equivalents."""
+    import threading
+
+    tables = [_table(spark, tmp_path, f"t{i}", buckets=4) for i in range(2)]
+    seeds = [21, 22]
+    errors = []
+
+    def ingest(idx):
+        try:
+            for b in range(3):
+                ev = repo_file_events(spark, n_keys=200, events_per_key=2,
+                                      seed=seeds[idx],
+                                      slot_range=(b * 133, 400 if b == 2 else (b + 1) * 133))
+                merge_into(tables[idx], ev, batch_id=b + 1)
+        except Exception as e:  # pragma: no cover
+            errors.append((idx, e))
+
+    threads = [threading.Thread(target=ingest, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    for idx in range(2):
+        serial = _table(spark, tmp_path, f"s{idx}", buckets=4)
+        merge_into(serial, repo_file_events(spark, n_keys=200, events_per_key=2,
+                                            seed=seeds[idx]), batch_id=1)
+        assert _state(tables[idx]) == _state(serial), f"table {idx} diverged"
+        assert tables[idx].current_manifest().version == 3

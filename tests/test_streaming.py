@@ -139,3 +139,61 @@ def test_stream_schema_evolution_between_runs(spark, env):
     assert dt["size_bytes"] == "bigint"
     got = {r.path: r for r in table.read().filter(F.col("repo") == "org0/repo0").collect()}
     assert got["src/0/brand-new.py"].size_bytes == 4096
+
+
+def test_rate_source_adapter_end_to_end(spark, tmp_path):
+    """The Kafka-shaped unbounded-source adapter: rate-micro-batch
+    offsets → shared CDC event exprs → same fence/merge machinery. Final
+    table state must equal the batch generator's replay oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import dedupe_latest, repo_file_events
+    from encode_ingest_spark.lake import LakeTable
+    from encode_ingest_spark.streaming.pipeline import CdcStreamPipeline
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["repo", "path", "commit"], num_buckets=4
+    )
+    n_keys, epk = 300, 3
+    pipe = CdcStreamPipeline(
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source="rate",
+        rate_opts={"n_keys": n_keys, "events_per_key": epk, "rows_per_batch": 300},
+    )
+    query = (
+        pipe._stream_df(spark)
+        .writeStream.foreachBatch(pipe._apply_batch)
+        .option("checkpointLocation", pipe.checkpoint_dir)
+        .start()
+    )
+    import time
+
+    n_batches_needed = (n_keys * epk) // 300  # dense offsets, 300/batch
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and len(pipe.batch_results) < n_batches_needed:
+            time.sleep(0.5)
+    finally:
+        query.stop()
+        query.awaitTermination(30)
+
+    # oracle: batch replay of the same deterministic stream
+    events = repo_file_events(spark, n_keys=n_keys, events_per_key=epk, seed=42)
+    latest = dedupe_latest(events, ["repo", "path", "commit"], "event_seq")
+    want = {
+        tuple(r)
+        for r in latest.filter(F.col("op") != "delete")
+        .select("repo", "path", "commit", "content")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in table.read().select("repo", "path", "commit", "content").collect()
+    }
+    assert got == want
