@@ -11,30 +11,43 @@ carried by the highest event_seq ever seen — materialized as a tombstone
 a late, lower-seq update can never resurrect a deleted key; ``read()``
 filters them out.
 
-Execution strategy (the scale-critical part):
+Execution strategy (the scale-critical part) — two COW paths chosen by
+target size (driver-side, from manifest row counts), plus MOR:
 
-1. **Dedup within batch** — ``groupBy(keys).agg(max_by(...))``: a hash
-   aggregate with map-side partial aggregation, NOT a window sort — at
-   10^10 events the partial agg collapses each key to one row before the
-   shuffle, and there is no full per-partition sort.
-2. **Prune** — the batch's distinct bucket ids (≤ num_buckets values,
-   computed with the same ``pmod(hash(keys), B)`` used on the write path)
-   select which table buckets participate. Untouched buckets' files are
-   carried into the new snapshot by reference — zero IO.
-3. **Merge = union + max_by, not a join** — current rows of touched
-   buckets (priority 0) are unioned with batch winners (priority 1) and
-   reduced with one hash aggregate per key, ordered by
-   ``(event_seq, priority)`` so an exact replay (equal seq) is won
-   deterministically by the incoming row. One shuffle total; a full-outer
-   join would shuffle both sides AND lose map-side combining. Skew note:
-   the grouping key is the full (repo, path, commit) tuple, so a hot
-   ``repo`` does NOT concentrate on one reducer — hashing the composite
-   key is itself the skew mitigation (cf. SURVEY.md §2.3 notes; repo-only
-   aggregations use operators/skew.py salting instead).
-4. **Write + atomic commit** — winners are written partitioned by bucket;
-   the new manifest swaps in the new files for touched buckets only. A
-   crash before commit leaves orphan data files and an unchanged CURRENT
-   pointer: replay is safe (exactly-once via the batch-id fence).
+* **DIRECT** (small targets, ≤ ``merge.stage.threshold_rows``): ONE Spark
+  job — raw batch ∪ current table → one whole-row ``max_by`` per key
+  ordered by ``(event_seq, priority)`` (in-batch dup resolution and
+  batch-vs-table supersession in the same aggregate; an exact replay with
+  equal seq is deterministically won by the incoming row) → write. Below
+  the threshold a full rewrite costs less than staging the batch.
+* **STAGED** (large targets): the batch winners (pre-deduped, one
+  whole-row max_by) are staged as parquet under the table root — the
+  batch-side pipeline (stream decode / parse CPU) runs exactly once and
+  the staged file is an optimizer barrier — then the bucket probe is a
+  column-pruned int scan, ONLY touched buckets are read, merged (same
+  union + max_by), and rewritten. Untouched buckets' files are carried
+  into the new snapshot by reference — zero IO: the steady state at
+  10^10 rows (thousands of buckets, few touched per micro-batch).
+* **MOR** (``mode="mor"``): batch winners append as delta files; the
+  read path resolves last-writer-wins; a delta-count threshold triggers
+  auto-compaction.
+
+Shared mechanics:
+
+* **One full-data shuffle** — the union aggregate is fed by
+  ``repartition(num_buckets, *keys)``, whose HashPartitioning IS the
+  bucket expression ``pmod(hash(keys), B)``: the aggregate needs no
+  second exchange and every post-agg partition holds whole buckets, so
+  the bucket-partitioned write needs no routing shuffle either.
+* **Whole-row max_by** — tied rows can never blend column values.
+* **Skew** — the grouping key is the full (repo, path, commit) tuple, so
+  a hot ``repo`` does NOT concentrate on one reducer — hashing the
+  composite key is itself the skew mitigation (cf. SURVEY.md §2.3 notes;
+  repo-only aggregations use operators/skew.py salting instead).
+* **Write + atomic commit** — the new manifest swaps in new files for
+  touched buckets only. A crash before commit leaves orphan data files
+  and an unchanged CURRENT pointer: replay is safe (exactly-once via the
+  batch-id fence).
 """
 
 from __future__ import annotations
