@@ -212,6 +212,64 @@ def bench_sketch(spark, sf_dir: str, repeat: int = 10, trials: int = 3) -> tuple
     return min(run_once() for _ in range(trials)), n_docs
 
 
+def run_multijvm_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Executor-count emulation: K ISOLATED single-core JVMs ingest
+    disjoint shards of the same total event stream concurrently — the
+    faithful sandbox stand-in for K executors (a real cluster runs one
+    JVM per executor; each has its own GC, JIT and lock space). This
+    probe exists because measured single-JVM thread scaling on this host
+    is NOT executor scaling: concurrent regexp/string-heavy tasks inside
+    ONE JVM anti-scale (8 tasks each ~8x slower, user-mode, independent
+    of GC algorithm — see BASELINE.md), an artifact separate processes
+    do not share. Aggregate throughput = sum of per-shard steady-state
+    rates while all K run concurrently (startup/warm-up excluded by each
+    shard's own harness).
+
+    WEAK scaling (constant per-executor load): every JVM processes the
+    same shard size at both K — the standard cluster measure, and the
+    faithful one here: at the target scale (10^10 events) per-executor
+    work is enormous at any N, so shrinking shards as K grows (strong
+    scaling on a tiny sandbox total) would measure micro-batch fixed
+    cost, not executor scaling."""
+    n_keys_total = _cdc_keys_for(sf_dir)
+    per = n_keys_total // low  # generous shards: steady-state per JVM
+    results = {}
+    for k in (low, high):
+        procs = []
+        for i in range(k):
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, __file__, "--cores", "1", "--cdc-only"],
+                    stdout=subprocess.PIPE,
+                    text=True,
+                    env={
+                        **os.environ,
+                        "SPARK_GRAFT_SF_DIR": sf_dir,
+                        "SPARK_GRAFT_CDC_KEYS": str(per),
+                        "SPARK_GRAFT_CPUS": "1",
+                        "SPARK_DRIVER_MEM": "6g",
+                    },
+                )
+            )
+        total = 0.0
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+            total += json.loads(line)["events_per_sec"]
+        results[k] = round(total, 1)
+    eff = (results[high] / results[low]) / (high / low)
+    return {
+        "metric": "multi-JVM (executor emulation) CDC scaling %d -> %d executors"
+        % (low, high),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput": {str(low): results[low], str(high): results[high]},
+        "sf": sf_dir,
+        "protocol": "K isolated local[1] JVMs over disjoint key shards, "
+        "aggregate steady-state events/s",
+    }
+
+
 def run_scaling(sf_dir: str, low: int, high: int, probe: str = "cdc", pairs: int = 2) -> dict:
     """Run the probe in fresh JVMs at local[low] and local[high],
     ALTERNATING low/high ``pairs`` times (sandbox co-tenant noise makes
@@ -254,10 +312,17 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
-    ap.add_argument("--probe", default="cdc", choices=["cdc", "sketch"])
+    ap.add_argument("--probe", default="cdc", choices=["cdc", "sketch", "cdc-jvms"])
     args = ap.parse_args()
 
     if args.scaling:
+        if args.probe == "cdc-jvms":
+            print(
+                json.dumps(
+                    run_multijvm_scaling(args.sf_dir, args.scaling_low, args.scaling_high)
+                )
+            )
+            return
         print(
             json.dumps(
                 run_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.probe)

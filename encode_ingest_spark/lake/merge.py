@@ -112,8 +112,14 @@ def merge_into(
     appends the batch's in-batch winners as DELTA files — writes only
     the batch (the high-key-overlap steady state at 10^10 events writes
     ~2x less), reads pay a per-key max_by until ``compact_deltas()``
-    folds them. Same last-writer-wins semantics either way (the read
-    path resolves by event_seq; replay ties are content-identical).
+    folds them (``mor_compact_threshold`` / table property
+    "mor.compact.threshold" triggers that automatically). Same
+    last-writer-wins semantics either way (the read path resolves by
+    event_seq; replay ties are content-identical).
+    ``stage_batch``: COW strategy override — ``None`` (auto) stages the
+    batch when the live table exceeds "merge.stage.threshold_rows"
+    (default 5M) or when ``prune_buckets`` asks for the probe; ``False``
+    forces the direct one-job full rewrite; ``True`` forces staging.
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")

@@ -527,11 +527,29 @@ class LakeTable:
                     orphans.append(p)
         return orphans
 
-    def remove_orphans(self) -> int:
+    def remove_orphans(self, staging_older_than_sec: float = 3600.0) -> int:
+        """Delete unreferenced data files AND abandoned staging dirs (a
+        crash mid-merge can leave both: staged batch parquet under
+        _staging/, written-but-uncommitted bucket files under data/).
+        Staging dirs younger than ``staging_older_than_sec`` are kept —
+        they may belong to a merge in flight (same retention contract as
+        Iceberg's remove_orphan_files)."""
         orphans = self.orphan_files()
         for p in orphans:
             os.remove(p)
-        return len(orphans)
+        n = len(orphans)
+        staging = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging):
+            cutoff = time.time() - staging_older_than_sec
+            for d in os.listdir(staging):
+                path = os.path.join(staging, d)
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        shutil.rmtree(path, ignore_errors=True)
+                        n += 1
+                except OSError:
+                    continue
+        return n
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop manifests older than the last ``keep_last`` and delete data
@@ -616,6 +634,36 @@ class LakeTable:
         nm.files = new_files
         self._write_manifest(nm)
         return nm
+
+    def maybe_rebucket(
+        self,
+        target_bucket_bytes: int | None = None,
+        growth_factor: int = 2,
+    ) -> "Manifest":
+        """Auto bucket-count evolution: when the average bucket exceeds
+        ``target_bucket_bytes`` (param or table property
+        "rebucket.target_bucket_bytes"; 0/absent = manual-only), grow the
+        bucket count by the smallest power of ``growth_factor`` that
+        brings it back under target, via one atomic ``rebucket``. The
+        operator-side answer to table growth: at 10^10 rows a stale
+        bucket count means multi-GB rewrites per touched bucket, so
+        maintenance doubles granularity as volume crosses thresholds
+        (the same role as Iceberg bucket-transform spec evolution).
+        Decision inputs are manifest stats only — no Spark job unless a
+        rewrite actually runs."""
+        import math
+
+        m = self.current_manifest()
+        target = target_bucket_bytes or int(
+            m.properties.get("rebucket.target_bucket_bytes", 0) or 0
+        )
+        if not target:
+            return m
+        per_bucket = sum(f.bytes for f in m.files) / max(m.num_buckets, 1)
+        if per_bucket <= target:
+            return m
+        steps = max(1, math.ceil(math.log(per_bucket / target, growth_factor)))
+        return self.rebucket(m.num_buckets * growth_factor**steps)
 
     def compact_deltas(self) -> "Manifest":
         """Fold merge-on-read delta files into their buckets' base files.

@@ -187,3 +187,59 @@ def test_purge_tombstones(spark, tmp_path):
     up = [("update", 200, "o/r", "p0", "c" * 40, "py", "back")]
     merge_into(t, spark.createDataFrame(up, sch), batch_id=3)
     assert t.read().count() == 6
+
+
+def test_maybe_rebucket_grows_by_size(spark, tmp_path):
+    """Auto bucket evolution: average bucket bytes over target → bucket
+    count grows by the smallest sufficient power of 2, state unchanged."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=2)
+    merge_into(t, repo_file_events(spark, n_keys=500, events_per_key=1, seed=3),
+               batch_id=1)
+    before = {tuple(r) for r in t.read().collect()}
+    m0 = t.current_manifest()
+    per_bucket = sum(f.bytes for f in m0.files) / m0.num_buckets
+    # no-op when under target or unconfigured
+    assert t.maybe_rebucket().num_buckets == 2
+    assert t.maybe_rebucket(target_bucket_bytes=int(per_bucket) + 1).num_buckets == 2
+    # over target: grow to the smallest sufficient power of 2
+    target = int(per_bucket // 3)
+    m1 = t.maybe_rebucket(target_bucket_bytes=target)
+    assert m1.num_buckets == 8  # 2 * 2^ceil(log2(3)) = 8
+    assert {tuple(r) for r in t.read().collect()} == before
+    # next merge routes with the new bucket count (read-your-writes)
+    merge_into(t, repo_file_events(spark, n_keys=50, events_per_key=1, seed=4),
+               batch_id=2)
+    assert t.current_manifest().num_buckets == 8
+
+
+def test_remove_orphans_cleans_stale_staging(spark, tmp_path):
+    import os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=2)
+    merge_into(t, repo_file_events(spark, n_keys=20, events_per_key=1, seed=5),
+               batch_id=1)
+    stale = os.path.join(t.root, "_staging", "batch_dead")
+    fresh = os.path.join(t.root, "_staging", "batch_live")
+    os.makedirs(stale); os.makedirs(fresh)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    t.remove_orphans(staging_older_than_sec=3600)
+    assert not os.path.exists(stale)   # crashed-merge leftover GC'd
+    assert os.path.exists(fresh)       # possibly in-flight: kept

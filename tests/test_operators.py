@@ -170,3 +170,25 @@ def test_ngram_stop_shingle_cap_bounds_candidates(spark):
     assert uncapped.count() > 700
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert got == {(100, 101)}  # only the true twins survive
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Judge-panel cross-check: for every LSH candidate pair, the MinHash
+    estimate must track the exact n-gram Jaccard within the k=16
+    sampling error (binomial std ≈ sqrt(j(1-j)/16) ≤ 0.125; allow 4σ)."""
+    from encode_ingest_spark.operators import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    est = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in minhash_lsh_pairs(d, "doc_id", "text", threshold=0.0).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.0).collect()}
+    shared = set(est) & set(exact)
+    assert shared, "no candidate pairs to cross-validate"
+    for pair in shared:
+        assert abs(est[pair] - exact[pair]) <= 0.5, (
+            f"{pair}: est {est[pair]} vs exact {exact[pair]}"
+        )
+    # and the high-similarity pairs (the ones dedup acts on) agree tightly
+    high = [p for p in shared if exact[p] >= 0.8]
+    assert high and all(abs(est[p] - exact[p]) <= 0.25 for p in high)
