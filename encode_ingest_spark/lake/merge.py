@@ -72,6 +72,11 @@ _TARGET_LIVE = "_target_live"
 #: merge (stage batch → probe → prune → partial rewrite); override per
 #: table via property "merge.stage.threshold_rows"
 _STAGE_THRESHOLD_ROWS = 5_000_000
+#: auto ceiling (batch winner rows) for the staged BROADCAST sub-strategy
+#: — (key, seq, deleted) of every winner must fit a broadcast relation
+#: (~100 B/key ⇒ ~200 MB at the default); override per table via
+#: property "merge.broadcast.threshold_rows"
+_BROADCAST_THRESHOLD_ROWS = 2_000_000
 
 
 class MergeResult:
@@ -98,6 +103,7 @@ def merge_into(
     mode: str = "cow",
     mor_compact_threshold: int | None = None,
     stage_batch: bool | None = None,
+    merge_strategy: str | None = None,
 ) -> MergeResult:
     """Apply one CDC batch to the table. See module docstring.
 
@@ -259,12 +265,132 @@ def merge_into(
             touched = list(range(m.num_buckets))
         keep = [f for f in m.files if f.bucket not in set(touched)]
         live_files = [f for f in m.files if f.bucket in set(touched)]
+        # ---- staged sub-strategy: BROADCAST merge when the batch's key
+        # set is small enough to broadcast. The target side is then
+        # map-only — scanned once against the broadcast (key, seq,
+        # deleted) relation and written straight back out, with NO
+        # target-side shuffle at all (the union-agg path shuffles every
+        # touched-bucket row). Winner rows known from the staged parquet
+        # footers — driver-side metadata, no job. Falls back to the agg
+        # path when touched buckets hold MOR deltas (their scan is an
+        # aggregate; joining it twice would execute it twice). ----
+        if merge_strategy is None:
+            bcast_max = int(
+                m.properties.get(
+                    "merge.broadcast.threshold_rows", _BROADCAST_THRESHOLD_ROWS
+                )
+            )
+            winner_rows = _staged_row_count(stage_dir)
+            merge_strategy = (
+                "broadcast"
+                if winner_rows <= bcast_max
+                and live_files
+                and not any(f.is_delta for f in live_files)
+                else "agg"
+            )
+        if merge_strategy == "broadcast":
+            return _merge_cow_broadcast(
+                table, m, staged, touched, keep, data_cols, keys,
+                batch_id, source_id, offset_range,
+            )
         return _merge_cow_write(
             table, m, staged, touched, keep, live_files, data_cols, keys,
             batch_id, source_id, offset_range, src_deduped=True,
         )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def _staged_row_count(stage_dir: str) -> int:
+    """Total rows of a staged batch from parquet footers (driver-side
+    metadata, no Spark job)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for fn in os.listdir(stage_dir):
+        if fn.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(stage_dir, fn)).metadata.num_rows
+    return total
+
+
+def _merge_cow_broadcast(
+    table, m, staged, touched, keep, data_cols, keys,
+    batch_id, source_id, offset_range,
+) -> MergeResult:
+    """Broadcast MERGE: the touched buckets' rows are map-scanned against
+    a broadcast (key, seq, deleted) relation of the batch winners —
+    surviving target rows stream straight to the writer (no target-side
+    shuffle, no aggregate); the batch side anti-joins the (tiny) set of
+    winners a NEWER target row kills, then routes by bucket token (a
+    batch-sized shuffle only). Semantics identical to the agg path:
+    target survives iff it has no winner or strictly newer seq; on an
+    equal seq the incoming row wins (replay determinism). Two files per
+    touched bucket per merge (survivors + winners) instead of one — the
+    next COW rewrite of the bucket re-compacts."""
+    current = table.read(
+        buckets=touched, include_tombstones=True, include_internal=True
+    )
+    wk = F.broadcast(
+        staged.select(
+            *keys,
+            F.col(SEQ_COL).alias("_w_seq"),
+            F.col(DELETED_COL).alias("_w_del"),
+        )
+    )
+    tseq = F.coalesce(F.col(SEQ_COL), F.lit(-1))
+    wseq = F.coalesce(F.col("_w_seq"), F.lit(-1))
+    target_wins = F.col("_w_seq").isNull() | (tseq > wseq)
+
+    obs_t = Observation()
+    superseded_live = (
+        F.col("_w_seq").isNotNull() & (wseq >= tseq) & ~F.col(DELETED_COL)
+    )
+    joined = current.join(wk, keys, "left").observe(
+        obs_t,
+        F.sum(F.when(superseded_live & ~F.col("_w_del"), 1).otherwise(0)).alias(
+            "updated"
+        ),
+        F.sum(F.when(superseded_live & F.col("_w_del"), 1).otherwise(0)).alias(
+            "deleted"
+        ),
+    )
+    survivors = (
+        joined.filter(target_wins)
+        .select(*data_cols, SEQ_COL, DELETED_COL)
+        .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+    )
+
+    # winners a strictly-newer target row kills — bounded by batch size,
+    # derived from a column-pruned scan of the same buckets
+    kills = (
+        current.select(*keys, F.coalesce(F.col(SEQ_COL), F.lit(-1)).alias("_t_seq"))
+        .join(wk, keys)
+        .filter(F.col("_t_seq") > wseq)
+        .select(*keys)
+    )
+    obs_w = Observation()
+    final_winners = (
+        staged.join(F.broadcast(kills), keys, "left_anti")
+        .observe(
+            obs_w,
+            F.sum(F.when(~F.col(DELETED_COL), 1).otherwise(0)).alias("live_winners"),
+        )
+        # bucket-token routing of the BATCH side only, so winner tasks
+        # don't sprinkle a file into every bucket dir
+        .repartition(m.num_buckets, table._bucket_token_expr(m.num_buckets))
+    )
+    out = survivors.unionByName(final_winners.select(survivors.columns))
+    new_files = table._stage_write(out, m.current_schema_version, pre_partitioned=True)
+    got_t, got_w = obs_t.get, obs_w.get
+    updated = int(got_t["updated"] or 0)
+    counts = {
+        "inserted": int(got_w["live_winners"] or 0) - updated,
+        "updated": updated,
+        "deleted": int(got_t["deleted"] or 0),
+    }
+    return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
 
 
 def _merge_cow_write(

@@ -193,3 +193,34 @@ def test_concurrent_multi_table_ingest(spark, tmp_path):
                                             seed=seeds[idx]), batch_id=1)
         assert _state(tables[idx]) == _state(serial), f"table {idx} diverged"
         assert tables[idx].current_manifest().version == 3
+
+
+def test_broadcast_merge_equals_agg_merge(spark, tmp_path):
+    """The staged BROADCAST sub-strategy (map-only target side) must
+    produce byte-identical state and identical lineage counts to the
+    union-aggregate path on the same batches (incl. deletes, replays,
+    out-of-order and equal-seq ties)."""
+    tb = _table(spark, tmp_path, "bcast")
+    ta = _table(spark, tmp_path, "agg")
+    for i in range(3):
+        ev = repo_file_events(spark, n_keys=400, events_per_key=3, seed=13,
+                              slot_range=(i * 400, (i + 1) * 400))
+        rb = merge_into(tb, ev, batch_id=i + 1, stage_batch=True,
+                        merge_strategy="broadcast" if i else None)
+        ra = merge_into(ta, ev, batch_id=i + 1, stage_batch=True,
+                        merge_strategy="agg")
+        assert rb.counts == ra.counts, f"batch {i}: {rb.counts} vs {ra.counts}"
+    assert _state(tb) == _state(ta)
+    # equal-seq tie: incoming row must win on the broadcast path too
+    row = "repo string, path string, commit string, lang string, content string," \
+          " op string, event_seq long"
+    sample = tb.read(include_internal=True).select("repo", "path", "commit", "_seq").first()
+    tie = spark.createDataFrame(
+        [(sample.repo, sample.path, sample.commit, "tie_lang", "tie_content",
+          "update", sample._seq)], row)
+    merge_into(tb, tie, batch_id=99, stage_batch=True, merge_strategy="broadcast")
+    got = (tb.read().filter((F.col("repo") == sample.repo)
+                            & (F.col("path") == sample.path)
+                            & (F.col("commit") == sample.commit))
+           .select("lang", "content").first())
+    assert (got.lang, got.content) == ("tie_lang", "tie_content")
