@@ -128,6 +128,50 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None =
     return dt, total
 
 
+def bench_narrow_batch(spark, sf_dir: str) -> dict:
+    """Steady-state shape the 4-batch loop can't show: a NARROW batch
+    (15k events, 5k keys) merging into an ALREADY-LARGE table (600k
+    rows). Compares the staged sub-strategies — broadcast (map-only
+    target side) vs union-agg (target shuffle) — min-of-2 each."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    n_keys = _cdc_keys_for(sf_dir)
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="bench_narrow_", dir=shm)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    base = repo_file_events(spark, n_keys=n_keys, events_per_key=3, seed=42)
+    out = {}
+    try:
+        for strategy in ("broadcast", "agg"):
+            best = None
+            for trial in range(2):
+                t = LakeTable.create(
+                    spark, os.path.join(root, f"{strategy}{trial}"), schema,
+                    ["repo", "path", "commit"], num_buckets=32,
+                )
+                merge_into(t, base, batch_id=1)
+                # narrow update batch: same key universe, new versions
+                batch = repo_file_events(
+                    spark, n_keys=5_000, events_per_key=3, seed=43
+                )
+                t0 = time.perf_counter()
+                merge_into(t, batch, batch_id=2, stage_batch=True,
+                           merge_strategy=strategy)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"narrow_batch_{strategy}_sec"] = round(best, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out["narrow_batch_events"] = 15_000
+    return out
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from encode_ingest_spark.session import get_spark
     from encode_ingest_spark.suite import QUERIES
@@ -161,6 +205,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     mor_sec, _ = bench_cdc_merge(spark, sf_dir, mode="mor")
     timings["cdc_merge_mor"] = round(mor_sec, 3)
 
+    narrow = bench_narrow_batch(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline query wall time (sum) at sf on local[%d]" % cpus,
@@ -172,6 +218,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cdc_events": n_events,
         "events_per_sec": events_per_sec,
         "events_per_sec_mor": round(n_events / mor_sec, 1),
+        **narrow,
     }
 
 
