@@ -115,6 +115,7 @@ def repo_file_events(
     delete_pct: int = 10,
     partitions: int | None = None,
     slot_range: tuple[int, int] | None = None,
+    flood_key_pct: int = 0,
 ) -> DataFrame:
     """CDC log: ``events_per_key`` events per key, shuffled delivery order.
 
@@ -145,6 +146,7 @@ def repo_file_events(
             seed=seed,
             n_repos=n_repos,
             delete_pct=delete_pct,
+            flood_key_pct=flood_key_pct,
         )
     )
 
@@ -156,11 +158,21 @@ def event_exprs(
     seed: int = 42,
     n_repos: int = 50,
     delete_pct: int = 10,
+    flood_key_pct: int = 0,
 ) -> list[F.Column]:
     """The CDC-event column expressions over a delivery-slot column —
     shared by the batch generator (spark.range) and the streaming rate
     source adapter (rate-micro-batch ``value``), so both emit the SAME
-    deterministic stream."""
+    deterministic stream.
+
+    ``flood_key_pct`` > 0 redirects that percentage of ALL events to key
+    0 — the pathological single-(repo,path,commit) flood (a bot rewriting
+    one file). event_seq stays strictly increasing per key (floods take
+    the raw scrambled index as their seq, unique across the stream and
+    interleaved with everyone else's; key 0's own base events remain).
+    Exercises the in-batch pre-aggregation bound: the merge's partial
+    (map-side) aggregate collapses the hot key per input partition before
+    any shuffle, so one reducer never sees the full flood."""
     n = n_keys * events_per_key
     # bijective scramble: slot (delivery order) -> event index (k, v);
     # every (k, v) appears exactly once across the full slot range
@@ -168,6 +180,14 @@ def event_exprs(
     scr = (slot * F.lit(a) + F.lit(b)) % F.lit(n)
     k = (scr % n_keys).cast("long")
     v = F.floor(scr / n_keys).cast("long")
+    seq = v * n_keys + k
+    if flood_key_pct:
+        is_flood = (_h(seed + 30, scr) % 100) < flood_key_pct
+        k = F.when(is_flood, F.lit(0).cast("long")).otherwise(k)
+        v = F.when(is_flood, F.lit(0).cast("long")).otherwise(v)
+        # flood seqs sit past every base seq (n + scrambled index —
+        # unique, per-key increasing), so the flood's last write wins
+        seq = F.when(is_flood, F.lit(n) + scr).otherwise(seq)
     key_idx = k
     is_deleted_key = (_h(seed + 21, key_idx) % 100) < delete_pct
     last_v = events_per_key - 1
@@ -179,7 +199,7 @@ def event_exprs(
     content_idx = key_idx * F.lit(1000) + v  # distinct content per version
     return [
         op.alias("op"),
-        (v * n_keys + k).alias("event_seq"),
+        seq.alias("event_seq"),
         F.to_timestamp(
             F.from_unixtime(F.lit(1700000000) + (v * n_keys + k) + (_h(seed + 22, scr) % 120))
         ).alias("event_ts"),

@@ -295,3 +295,43 @@ def test_mor_tombstone_semantics(spark, tmp_path):
         [("update", 11, "o/r", "p", "c", "py", "new")], sch), batch_id=3, mode="mor")
     got = t.read().collect()
     assert len(got) == 1 and got[0].content == "new"
+
+
+def test_single_key_flood_is_bounded_and_correct(spark, tmp_path):
+    """NOTES r1 #6: a pathological flood of ONE (repo,path,commit) key
+    (50% of all events) must merge correctly — the in-batch partial
+    aggregate collapses the hot key map-side, so no reducer sees the
+    full flood — and the flood's last write must win its key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=4)
+    ev = repo_file_events(spark, n_keys=2000, events_per_key=3, seed=17,
+                          flood_key_pct=50)
+    # sanity: the flood actually concentrates on one key
+    top = (ev.groupBy("repo", "path", "commit").count()
+           .orderBy(F.desc("count")).first())
+    assert top["count"] > 2000  # ~50% of 6000 events on one key
+    merge_into(t, ev, batch_id=1)
+
+    # oracle: per-key max-seq replay over the same stream
+    latest = (ev.groupBy("repo", "path", "commit")
+              .agg(F.max_by(F.struct("op", "content", "event_seq"), "event_seq")
+                   .alias("w"))
+              .select("repo", "path", "commit", "w.*"))
+    want = {tuple(r) for r in latest.filter(F.col("op") != "delete")
+            .select("repo", "path", "commit", "content").collect()}
+    got = {tuple(r) for r in t.read()
+           .select("repo", "path", "commit", "content").collect()}
+    assert got == want
+    # flooded key's winner carries the flood's max seq
+    hot = t.read(include_internal=True).filter(
+        (F.col("repo") == top.repo) & (F.col("path") == top.path)
+        & (F.col("commit") == top.commit)).first()
+    assert hot is not None and hot._seq >= 6000  # flood seqs sit past base

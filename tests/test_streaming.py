@@ -197,3 +197,44 @@ def test_rate_source_adapter_end_to_end(spark, tmp_path):
         for r in table.read().select("repo", "path", "commit", "content").collect()
     }
     assert got == want
+
+
+def test_streaming_mor_mode_with_auto_compaction(spark, tmp_path):
+    """The pipeline's merge-on-read flag end-to-end: availableNow drain
+    with mode='mor' + auto-compaction; final state equals a COW replay."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+    from encode_ingest_spark.streaming.pipeline import (
+        CdcStreamPipeline,
+        write_event_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["repo", "path", "commit"], num_buckets=4
+    )
+    events = repo_file_events(spark, n_keys=400, events_per_key=3, seed=29)
+    write_event_files(events, str(tmp_path / "ev"), n_files=4)
+    pipe = CdcStreamPipeline(
+        table, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, merge_mode="mor", mor_compact_threshold=6,
+    )
+    merged = pipe.run_available_now(spark)
+    assert merged >= 2
+    # auto-compaction kept the delta count bounded
+    n_deltas = sum(1 for f in table.current_manifest().files if f.is_delta)
+    assert n_deltas <= 6
+
+    cow = LakeTable.create(
+        spark, str(tmp_path / "cow"), schema, ["repo", "path", "commit"], num_buckets=4
+    )
+    merge_into(cow, events, batch_id=1)
+    key = ["repo", "path", "commit", "content"]
+    assert ({tuple(r) for r in table.read().select(*key).collect()}
+            == {tuple(r) for r in cow.read().select(*key).collect()})
