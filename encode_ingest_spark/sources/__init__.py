@@ -1,0 +1,5 @@
+"""External source adapters (reference §2.1)."""
+
+from .jdbc import file_backfill_requests, jdbc_scan
+
+__all__ = ["jdbc_scan", "file_backfill_requests"]
