@@ -331,6 +331,55 @@ class LakeTable:
             df = df.drop(SEQ_COL, DELETED_COL)
         return df
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Changelog between two snapshots — the engine is a CDC *source*
+        as well as a sink (Iceberg's changelog scan / Delta's
+        table_changes analogue; the reference's staged-vs-live diff
+        semantics, ingest-processed-data.yaml:86-116, read back out).
+
+        Returns one row per key whose state differs between the two
+        snapshots, with ``_change_type`` ∈ insert/update/delete, the NEW
+        row payload (old payload for deletes), and ``_seq``. Both sides
+        are bucket-aligned scans; the diff is one full-outer join on the
+        key (only the touched buckets differ in practice — callers can
+        pre-prune via the manifests)."""
+        m_to = self.manifest_at(
+            to_version if to_version is not None else self.current_version()
+        )
+        old = self.read(version=from_version, include_internal=True)
+        new = self.read(version=m_to.version, include_internal=True)
+        keys = m_to.key_cols
+        data_cols = [
+            f.name for f in m_to.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
+        ]
+        o = old.select(
+            *keys,
+            F.struct(
+                *[F.col(c) for c in data_cols if c not in keys], F.col(SEQ_COL)
+            ).alias("_old"),
+        )
+        nw = new.select(
+            *keys,
+            F.struct(
+                *[F.col(c) for c in data_cols if c not in keys], F.col(SEQ_COL)
+            ).alias("_new"),
+        )
+        j = o.join(nw, keys, "full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(~F.col("_new").eqNullSafe(F.col("_old")), F.lit("update"))
+        )
+        payload = F.coalesce(F.col("_new"), F.col("_old"))
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*keys, "_change_type", payload.alias("_p"))
+            .select(*keys, "_change_type", "_p.*")
+        )
+
     def snapshots(self) -> list[Manifest]:
         out = []
         v = self.current_version()

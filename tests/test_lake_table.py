@@ -243,3 +243,43 @@ def test_remove_orphans_cleans_stale_staging(spark, tmp_path):
     t.remove_orphans(staging_older_than_sec=3600)
     assert not os.path.exists(stale)   # crashed-merge leftover GC'd
     assert os.path.exists(fresh)       # possibly in-flight: kept
+
+
+def test_read_changes_between_snapshots(spark, tmp_path):
+    """Changelog read-back: the diff between two snapshots classifies
+    every changed key as insert/update/delete with the new payload (old
+    payload for deletes), and version-adjacent diffs compose."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=4)
+    ev = repo_file_events(spark, n_keys=300, events_per_key=3, seed=31)
+    merge_into(t, ev.filter(F.col("event_seq") < 300), batch_id=1)   # inserts
+    v1 = t.current_version()
+    merge_into(t, ev.filter(F.col("event_seq") >= 300), batch_id=2)  # upd+del
+    v2 = t.current_version()
+
+    ch = t.read_changes(v1, v2)
+    got = {r._change_type for r in ch.select("_change_type").distinct().collect()}
+    assert got == {"update", "delete"}  # every key existed at v1
+    n_del = ch.filter("_change_type = 'delete'").count()
+    # generator: ~10% of keys end deleted
+    assert 10 <= n_del <= 60
+    # composing the changelog onto the old state reproduces the new state
+    old_live = t.read(version=v1)
+    upserts = (ch.filter("_change_type <> 'delete'")
+               .select("repo", "path", "commit", "lang", "content"))
+    replayed = (old_live.join(ch.select("repo", "path", "commit"),
+                              ["repo", "path", "commit"], "left_anti")
+                .unionByName(upserts))
+    want = {tuple(r) for r in t.read(version=v2)
+            .select("repo", "path", "commit", "content").collect()}
+    got_rows = {tuple(r) for r in replayed
+                .select("repo", "path", "commit", "content").collect()}
+    assert got_rows == want
