@@ -11,6 +11,12 @@ decode kernels are stubbed two ways, per the brief:
 * ``decode_stub='fake'``  → a deterministic fake decoder (md5-derived
   pixel stats / frame samples) — keeps the Spark-side plumbing (schema,
   batch shape, partitioning) real and testable.
+
+A real codec drops in with ZERO plumbing changes through the decoder
+registry: ``register_decoder("pil", fn)`` where ``fn(payload: bytes,
+kind: str) -> (mean, std, dim)``; then ``extract_features(media,
+decode_stub="pil")``. The resolved callable is captured in the kernel
+closure and cloudpickled by value — workers need no package imports.
 """
 
 from __future__ import annotations
@@ -69,6 +75,18 @@ def _fake_decode(payload: bytes) -> tuple[float, float, int]:
     return mean, var**0.5, len(vals)
 
 
+#: decoder registry: name -> fn(payload: bytes, kind: str) -> (mean, std, dim)
+_DECODERS: dict = {}
+
+
+def register_decoder(name: str, fn) -> None:
+    """Register a real decode kernel (e.g. PIL pixel stats, librosa MFCC
+    means). ``fn`` must be pickle-self-contained (imports inside)."""
+    if name in ("fake", "raise"):
+        raise ValueError(f"{name!r} is a reserved built-in stub name")
+    _DECODERS[name] = fn
+
+
 def extract_features(
     media: DataFrame, decode_stub: str = "fake", batch_note: dict | None = None
 ) -> DataFrame:
@@ -83,39 +101,54 @@ def extract_features(
     Python workers need neither this package on their PYTHONPATH nor a
     --py-files zip — the safe default for a pickled-UDF boundary.
     """
+    # resolve the decoder HERE (driver side): the callable rides the
+    # kernel closure by value — registry lookups never happen on workers
+    registered = _DECODERS.get(decode_stub)
+    decoder_label = (
+        "fake-md5" if decode_stub == "fake" else decode_stub
+    )
 
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib as _hl
 
         import pandas as _pd
 
-        def fake_decode(payload: bytes):
+        def fake_decode(payload: bytes, kind: str = ""):
             h = _hl.md5(payload).digest()
             vals = list(h)
             mean = sum(vals) / len(vals)
             var = sum((v - mean) ** 2 for v in vals) / len(vals)
             return mean, var**0.5, len(vals)
 
+        decode = registered if registered is not None else fake_decode
+
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError(
                     "media decode requires PIL/librosa/ffmpeg — not available "
-                    "in this environment; use decode_stub='fake' for plumbing tests"
+                    "in this environment; use decode_stub='fake' for plumbing "
+                    "tests or register_decoder() a real kernel"
                 )
             if batch_note is not None:  # test hook: observe Arrow batch shape
                 batch_note.setdefault("batches", []).append(len(pdf))
-            stats = pdf["payload"].map(fake_decode)
+            stats = [
+                decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feat_mean": stats.map(lambda s: s[0]),
-                    "feat_std": stats.map(lambda s: s[1]),
-                    "feat_dim": stats.map(lambda s: s[2]),
-                    "decoder": "fake-md5" if decode_stub == "fake" else "real",
+                    "feat_mean": [s[0] for s in stats],
+                    "feat_std": [s[1] for s in stats],
+                    "feat_dim": [s[2] for s in stats],
+                    "decoder": decoder_label,
                 }
             )
 
+    if registered is None and decode_stub not in ("fake", "raise"):
+        raise ValueError(
+            f"unknown decoder {decode_stub!r}: register_decoder() it first"
+        )
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 

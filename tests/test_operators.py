@@ -192,3 +192,28 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     # and the high-similarity pairs (the ones dedup acts on) agree tightly
     high = [p for p in shared if exact[p] >= 0.8]
     assert high and all(abs(est[p] - exact[p]) <= 0.25 for p in high)
+
+
+def test_multimodal_decoder_registry(spark):
+    """A custom decoder drops in with zero plumbing changes; unknown
+    names fail fast on the driver."""
+    import pytest as _pytest
+
+    from encode_ingest_spark.operators.multimodal import (
+        extract_features,
+        register_decoder,
+        synth_media,
+    )
+
+    def byte_len_decoder(payload, kind):
+        return float(len(payload)), 0.0, len(payload)
+
+    register_decoder("byte-len", byte_len_decoder)
+    media = synth_media(spark, n=12, seed=7)
+    rows = extract_features(media, decode_stub="byte-len").collect()
+    assert {r.decoder for r in rows} == {"byte-len"}
+    assert all(r.feat_mean == r.feat_dim and r.feat_std == 0.0 for r in rows)
+    with _pytest.raises(ValueError, match="register_decoder"):
+        extract_features(media, decode_stub="nope")
+    with _pytest.raises(ValueError, match="reserved"):
+        register_decoder("fake", byte_len_decoder)
