@@ -38,9 +38,11 @@ def file_id_expr() -> F.Column:
     return F.concat_ws("@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit"))
 
 
-def split_files(repo_files: DataFrame) -> DataFrame:
-    """File entity: one row per repo-file record."""
+def split_files(repo_files: DataFrame, extra: dict[str, F.Column] | None = None) -> DataFrame:
+    """File entity: one row per repo-file record. ``extra`` appends
+    caller columns (e.g. the CDC envelope for incremental refresh)."""
     fid = file_id_expr()
+    extras = [c.alias(n) for n, c in (extra or {}).items()]
     return repo_files.select(
         fid.alias("file_id"),
         F.substring_index(F.col("path"), "/", -1).alias("label"),
@@ -55,6 +57,7 @@ def split_files(repo_files: DataFrame) -> DataFrame:
         F.col("repo").alias("repo_id"),
         composite_id(F.col("repo"), F.col("commit")).alias("commit_activity_id"),
         F.lit("ENCODE-REPO").alias("part_of_dataset_id"),
+        *extras,
     )
 
 
