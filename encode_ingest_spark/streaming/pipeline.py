@@ -91,6 +91,7 @@ class CdcStreamPipeline:
         rate_opts: dict | None = None,
         merge_mode: str = "cow",
         mor_compact_threshold: int | None = None,
+        derived_targets: dict[str, LakeTable] | None = None,
     ):
         if source not in ("files", "rate"):
             raise ValueError(f"unknown source {source!r} (expected 'files' or 'rate')")
@@ -107,6 +108,12 @@ class CdcStreamPipeline:
         self.rate_opts = rate_opts or {}
         self.merge_mode = merge_mode
         self.mor_compact_threshold = mor_compact_threshold
+        #: optional downstream maintenance: after each committed merge,
+        #: the source changelog (parent snapshot → new snapshot) refreshes
+        #: these derived entity tables incrementally (entities/
+        #: incremental.py) — the whole reference DAG (tail → lake →
+        #: derived tables) inside one streaming query, each stage fenced.
+        self.derived_targets = derived_targets
         self.batch_results: list[MergeResult] = []  # per-run observability
 
     def _stream_df(self, spark: SparkSession) -> DataFrame:
@@ -147,6 +154,9 @@ class CdcStreamPipeline:
         )
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        before_v = (
+            self.table.current_version() if self.derived_targets is not None else None
+        )
         res = merge_into(
             self.table,
             batch,
@@ -162,6 +172,18 @@ class CdcStreamPipeline:
             # materialized or the state store never commits and the
             # query hangs before the next epoch (observed live)
             batch.count()
+        if self.derived_targets is not None and not res.skipped:
+            from ..entities.incremental import incremental_split_refresh
+
+            # the merge may stack evolution/compaction commits; diffing
+            # from the PRE-merge snapshot covers them all
+            incremental_split_refresh(
+                self.table,
+                self.derived_targets,
+                from_version=before_v,
+                to_version=res.manifest.version,
+                batch_id=int(epoch_id) + 1,
+            )
         self.batch_results.append(res)
 
     def run_available_now(self, spark: SparkSession, timeout_sec: int = 600) -> int:

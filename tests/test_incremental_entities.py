@@ -90,3 +90,40 @@ def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
     assert all(r.skipped for r in res.values())
     for name, cols in checks.items():
         assert _live(targets[name], cols) == _want(source, name, cols), name
+
+
+def test_streaming_pipeline_maintains_derived_tables(spark, tmp_path):
+    """The whole reference DAG inside one streaming query: tail → MERGE →
+    incremental derived-table refresh per micro-batch. Final derived
+    states equal a full recompute of the final source snapshot, and a
+    crash-replay epoch does not double-apply downstream."""
+    from encode_ingest_spark.streaming.pipeline import (
+        CdcStreamPipeline,
+        write_event_files,
+    )
+
+    source = LakeTable.create(spark, str(tmp_path / "src"), SRC_SCHEMA,
+                              ["repo", "path", "commit"], num_buckets=4)
+    targets = _targets(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=300, events_per_key=3, seed=41)
+    write_event_files(ev, str(tmp_path / "ev"), n_files=4)
+    pipe = CdcStreamPipeline(
+        source, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, derived_targets=targets,
+    )
+    assert pipe.run_available_now(spark) >= 2
+
+    checks = {
+        "file": ["file_id", "file_format", "content_sha256",
+                 "repo_id", "commit_activity_id"],
+        "repo": ["repo_id", "n_files", "languages", "n_commits"],
+        "commit_activity": ["activity_id", "repo_id", "generated_file_id",
+                            "n_files", "used_language"],
+    }
+    for name, cols in checks.items():
+        assert _live(targets[name], cols) == _want(source, name, cols), name
+
+    # rerun with nothing new: every epoch fences, derived state unchanged
+    assert pipe.run_available_now(spark) == 0
+    for name, cols in checks.items():
+        assert _live(targets[name], cols) == _want(source, name, cols), name
