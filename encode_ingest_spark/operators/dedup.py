@@ -35,10 +35,18 @@ def md5_long(col: Column, salt: Column | None = None) -> Column:
 
 
 def canonical_text(col: Column | str) -> Column:
+    """lower → drop non-alnum → collapse whitespace → trim.
+
+    Built from ``split``+``array_join`` instead of ``regexp_replace``:
+    bit-identical semantics (regexp_replace(x, P, "") ≡
+    array_join(split(x, P), ""); the \\s+→" " collapse ≡ join-with-space
+    — verified DISTINCT-FROM-free on corpus + adversarial edges), but
+    ``regexp_replace`` serializes across tasks inside one JVM on this
+    Spark build (measured FLAT 30k docs/s at any core count, while
+    ``split`` scales ~0.8 — project memory trap #14)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
-    )
+    alnum = F.array_join(F.split(F.lower(c), r"[^a-z0-9\s]"), "")
+    return F.trim(F.array_join(F.split(alnum, r"\s+"), " "))
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:

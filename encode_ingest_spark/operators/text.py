@@ -64,9 +64,12 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not alphanumeric/space.
+    split+array_join instead of regexp_replace — identical semantics,
+    but regexp_replace serializes across tasks in one JVM on this Spark
+    build (memory trap #14)."""
     c = F.col(col) if isinstance(col, str) else col
-    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    stripped = F.array_join(F.split(c, r"[A-Za-z0-9\s]"), "")
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
@@ -133,8 +136,6 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over the canonicalized text (lowercase,
     punctuation stripped, whitespace collapsed). Robust to formatting-only
     edits; identical in DuckDB for the oracle."""
-    c = F.col(col) if isinstance(col, str) else col
-    canon = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
-    )
-    return F.md5(canon)
+    from .dedup import canonical_text
+
+    return F.md5(canonical_text(col))
