@@ -6,7 +6,10 @@ Spark DataFrame query (callable (spark, sf_dir) → DataFrame) with an ANSI
 SQL oracle DuckDB runs on the same parquet tables.
 
 Cross-engine determinism rules used throughout:
-* money aggregates → DECIMAL(18,2) (exact, associative in both engines)
+* money aggregates → computed as DECIMAL(18,2) (exact, associative in
+  both engines), then the OUTPUT column is one correctly-rounded cast to
+  double on both sides — the driver hasher treats doubles
+  engine-neutrally, decimals not (round-1 hash artifacts)
 * double outputs → round(x, 4..6); double pipelines mirror the exact
   operation order (left-assoc folds) so IEEE results are bit-equal
 * hashes → md5 (identical hex in both engines); 60-bit ints via
