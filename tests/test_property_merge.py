@@ -104,3 +104,54 @@ def test_merge_matches_replay_oracle(spark, tmp_path_factory, stream, split):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_like=True
     )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_STREAM, split=st.integers(min_value=2, max_value=3))
+def test_changelog_composes_to_state_diff(spark, tmp_path_factory, stream, split):
+    """Property: for ANY event stream split into batches, applying
+    read_changes(v_i, v_j) onto the state at v_i reproduces the state at
+    v_j — i.e. the changelog is exactly the state diff, for every
+    adjacent AND spanning version pair."""
+    seen = set()
+    filtered = []
+    for ev in stream:
+        k = (ev[2], ev[1])
+        if k in seen:
+            continue
+        seen.add(k)
+        filtered.append(ev)
+    rows = _to_rows(filtered)
+
+    tmp = tmp_path_factory.mktemp("chg")
+    table = LakeTable.create(spark, str(tmp / "t"), SCHEMA, KEYS, num_buckets=4)
+    versions = [table.current_version()]
+    chunks = [rows[i::split] for i in range(split)]
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        merge_into(table, spark.createDataFrame(chunk, SCH), batch_id=i + 1)
+        versions.append(table.current_version())
+
+    def live(version):
+        df = table.read(version=version)
+        return {
+            (r.repo, r.path, r.commit): (r.lang, r.content) for r in df.collect()
+        }
+
+    pairs = [(versions[i], versions[j])
+             for i in range(len(versions)) for j in range(i + 1, len(versions))]
+    for v_from, v_to in pairs:
+        state = dict(live(v_from))
+        for r in table.read_changes(v_from, v_to).collect():
+            key = (r.repo, r.path, r.commit)
+            if r._change_type == "delete":
+                state.pop(key, None)
+            else:
+                state[key] = (r.lang, r.content)
+        assert state == live(v_to), (v_from, v_to)
