@@ -348,7 +348,14 @@ class LakeTable:
         m_to = self.manifest_at(
             to_version if to_version is not None else self.current_version()
         )
-        old = self.read(version=from_version, include_internal=True)
+        # the older snapshot reads with ITS schema; align it to the newer
+        # one (null-fill added columns, widen casts) so the struct diff is
+        # well-typed across an evolution boundary — a row whose only
+        # change is the arrival of a value in a new column classifies as
+        # an update, exactly right
+        old = align_to_schema(
+            self.read(version=from_version, include_internal=True), m_to.schema
+        )
         new = self.read(version=m_to.version, include_internal=True)
         keys = m_to.key_cols
         data_cols = [

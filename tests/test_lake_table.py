@@ -283,3 +283,32 @@ def test_read_changes_between_snapshots(spark, tmp_path):
     got_rows = {tuple(r) for r in replayed
                 .select("repo", "path", "commit", "content").collect()}
     assert got_rows == want
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """Changelog spanning an evolution boundary: the older snapshot is
+    aligned (null-filled) to the newer schema, and a row whose new-column
+    value arrived classifies as an update."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=2)
+    row = ("repo string, path string, commit string, lang string, "
+           "content string, op string, event_seq long")
+    merge_into(t, spark.createDataFrame(
+        [("r", "p", "c" * 40, "py", "v1", "insert", 1),
+         ("r", "q", "c" * 40, "py", "same", "insert", 1)], row), batch_id=1)
+    v1 = t.current_version()
+    merge_into(t, spark.createDataFrame(
+        [("r", "p", "c" * 40, "py", "v2", "update", 2, 5)], row + ", stars bigint"),
+        batch_id=2)
+    v2 = t.current_version()
+    ch = {(r.repo, r.path): r for r in t.read_changes(v1, v2).collect()}
+    assert ("r", "q") not in ch  # untouched key absent from the changelog
+    got = ch[("r", "p")]
+    assert got._change_type == "update"
+    assert got.content == "v2" and got.stars == 5
