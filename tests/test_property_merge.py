@@ -155,3 +155,45 @@ def test_changelog_composes_to_state_diff(spark, tmp_path_factory, stream, split
             else:
                 state[key] = (r.lang, r.content)
         assert state == live(v_to), (v_from, v_to)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_STREAM, split=st.integers(min_value=1, max_value=3),
+       compact_after=st.integers(min_value=0, max_value=2))
+def test_mor_merge_matches_replay_oracle(spark, tmp_path_factory, stream, split,
+                                         compact_after):
+    """Merge-on-read with an arbitrarily-timed compaction must converge
+    to the same replay-oracle state as copy-on-write."""
+    seen = set()
+    filtered = []
+    for ev in stream:
+        k = (ev[2], ev[1])
+        if k in seen:
+            continue
+        seen.add(k)
+        filtered.append(ev)
+    rows = _to_rows(filtered)
+
+    tmp = tmp_path_factory.mktemp("mor")
+    table = LakeTable.create(spark, str(tmp / "t"), SCHEMA, KEYS, num_buckets=4)
+    chunks = [rows[i::split] for i in range(split)]
+    applied = 0
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        merge_into(table, spark.createDataFrame(chunk, SCH), batch_id=i + 1,
+                   mode="mor")
+        applied += 1
+        if applied == compact_after:
+            table.compact_deltas()
+
+    got = table_state(table)
+    want = _oracle(rows)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_like=True
+    )
