@@ -197,3 +197,41 @@ def test_mor_merge_matches_replay_oracle(spark, tmp_path_factory, stream, split,
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_like=True
     )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_STREAM, split=st.integers(min_value=2, max_value=3))
+def test_broadcast_strategy_matches_replay_oracle(spark, tmp_path_factory,
+                                                  stream, split):
+    """The staged broadcast sub-strategy under arbitrary interleavings
+    (including equal-seq batch-vs-table ties) must converge to the
+    replay oracle like the agg path does."""
+    seen = set()
+    filtered = []
+    for ev in stream:
+        k = (ev[2], ev[1])
+        if k in seen:
+            continue
+        seen.add(k)
+        filtered.append(ev)
+    rows = _to_rows(filtered)
+
+    tmp = tmp_path_factory.mktemp("bc")
+    table = LakeTable.create(spark, str(tmp / "t"), SCHEMA, KEYS, num_buckets=4)
+    chunks = [rows[i::split] for i in range(split)]
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        merge_into(table, spark.createDataFrame(chunk, SCH), batch_id=i + 1,
+                   stage_batch=True, merge_strategy="broadcast")
+
+    got = table_state(table)
+    want = _oracle(rows)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_like=True
+    )
