@@ -252,10 +252,16 @@ def merge_into(
         staged = table.spark.read.schema(winners.schema).parquet(stage_dir)
         if prune_buckets is None:
             prune_buckets = True
+        # one tiny probe job over the staged ints: touched buckets AND
+        # the live-winner count (the broadcast path's count accounting)
+        probe = (
+            staged.groupBy(BUCKET_COL)
+            .agg(F.sum(F.when(~F.col(DELETED_COL), 1).otherwise(0)).alias("live"))
+            .collect()
+        )
+        staged_live = sum(int(r["live"] or 0) for r in probe)
         if prune_buckets:
-            touched = sorted(
-                r[0] for r in staged.select(BUCKET_COL).distinct().collect()
-            )
+            touched = sorted(r[BUCKET_COL] for r in probe)
             if not touched:
                 return _commit(
                     table, m, m.files, [], batch_id, source_id, offset_range,
@@ -295,7 +301,7 @@ def merge_into(
         if merge_strategy == "broadcast":
             return _merge_cow_broadcast(
                 table, m, staged, touched, keep, data_cols, keys,
-                batch_id, source_id, offset_range,
+                batch_id, source_id, offset_range, staged_live,
             )
         return _merge_cow_write(
             table, m, staged, touched, keep, live_files, data_cols, keys,
@@ -321,7 +327,7 @@ def _staged_row_count(stage_dir: str) -> int:
 
 def _merge_cow_broadcast(
     table, m, staged, touched, keep, data_cols, keys,
-    batch_id, source_id, offset_range,
+    batch_id, source_id, offset_range, staged_live,
 ) -> MergeResult:
     """Broadcast MERGE: the touched buckets' rows are map-scanned against
     a broadcast (key, seq, deleted) relation of the batch winners —
@@ -332,7 +338,13 @@ def _merge_cow_broadcast(
     target survives iff it has no winner or strictly newer seq; on an
     equal seq the incoming row wins (replay determinism). Two files per
     touched bucket per merge (survivors + winners) instead of one — the
-    next COW rewrite of the bucket re-compacts."""
+    next COW rewrite of the bucket re-compacts.
+
+    Lineage counts come from ONE Observation on the target-side scan plus
+    the probe's ``staged_live`` (inserted = live winners − updated −
+    live winners a newer target killed). An observation on the anti-join
+    side is a trap: when the batch is fully killed its metrics never
+    materialize and Observation.get asserts (found by hypothesis)."""
     current = table.read(
         buckets=touched, include_tombstones=True, include_internal=True
     )
@@ -351,6 +363,9 @@ def _merge_cow_broadcast(
     superseded_live = (
         F.col("_w_seq").isNotNull() & (wseq >= tseq) & ~F.col(DELETED_COL)
     )
+    winner_killed_live = (
+        F.col("_w_seq").isNotNull() & (tseq > wseq) & ~F.col("_w_del")
+    )
     joined = current.join(wk, keys, "left").observe(
         obs_t,
         F.sum(F.when(superseded_live & ~F.col("_w_del"), 1).otherwise(0)).alias(
@@ -359,6 +374,7 @@ def _merge_cow_broadcast(
         F.sum(F.when(superseded_live & F.col("_w_del"), 1).otherwise(0)).alias(
             "deleted"
         ),
+        F.sum(F.when(winner_killed_live, 1).otherwise(0)).alias("killed_live"),
     )
     survivors = (
         joined.filter(target_wins)
@@ -374,23 +390,18 @@ def _merge_cow_broadcast(
         .filter(F.col("_t_seq") > wseq)
         .select(*keys)
     )
-    obs_w = Observation()
     final_winners = (
         staged.join(F.broadcast(kills), keys, "left_anti")
-        .observe(
-            obs_w,
-            F.sum(F.when(~F.col(DELETED_COL), 1).otherwise(0)).alias("live_winners"),
-        )
         # bucket-token routing of the BATCH side only, so winner tasks
         # don't sprinkle a file into every bucket dir
         .repartition(m.num_buckets, table._bucket_token_expr(m.num_buckets))
     )
     out = survivors.unionByName(final_winners.select(survivors.columns))
     new_files = table._stage_write(out, m.current_schema_version, pre_partitioned=True)
-    got_t, got_w = obs_t.get, obs_w.get
+    got_t = obs_t.get
     updated = int(got_t["updated"] or 0)
     counts = {
-        "inserted": int(got_w["live_winners"] or 0) - updated,
+        "inserted": staged_live - updated - int(got_t["killed_live"] or 0),
         "updated": updated,
         "deleted": int(got_t["deleted"] or 0),
     }
