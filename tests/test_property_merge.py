@@ -235,3 +235,58 @@ def test_broadcast_strategy_matches_replay_oracle(spark, tmp_path_factory,
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_like=True
     )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_STREAM, split=st.integers(min_value=1, max_value=3))
+def test_incremental_file_refresh_matches_full(spark, tmp_path_factory, stream, split):
+    """Property: refreshing the derived file table from each batch's
+    changelog converges to the same state as deriving it from the final
+    source snapshot — for arbitrary interleavings, deletes, and replays."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.entities import split_all
+    from encode_ingest_spark.entities.incremental import incremental_split_refresh
+
+    seen = set()
+    filtered = []
+    for ev in stream:
+        k = (ev[2], ev[1])
+        if k in seen:
+            continue
+        seen.add(k)
+        filtered.append(ev)
+    rows = _to_rows(filtered)
+
+    tmp = tmp_path_factory.mktemp("incr")
+    source = LakeTable.create(spark, str(tmp / "src"), SCHEMA, KEYS, num_buckets=4)
+    file_ddl = (
+        "file_id string, label string, file_format string, xref array<string>, "
+        "size_bytes long, content_sha256 string, repo_id string, "
+        "commit_activity_id string, part_of_dataset_id string"
+    )
+    file_t = LakeTable.create(
+        spark, str(tmp / "file"), T._parse_datatype_string(file_ddl),
+        ["file_id"], num_buckets=4,
+    )
+    prev_v = source.current_version()
+    chunks = [rows[i::split] for i in range(split)]
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        merge_into(source, spark.createDataFrame(chunk, SCH), batch_id=i + 1)
+        v = source.current_version()
+        incremental_split_refresh(source, {"file": file_t},
+                                  from_version=prev_v, to_version=v, batch_id=v)
+        prev_v = v
+
+    cols = ["file_id", "file_format", "content_sha256", "repo_id"]
+    got = {tuple(r) for r in file_t.read().select(*cols).collect()}
+    want = {tuple(r)
+            for r in split_all(source.read())["file"].select(*cols).collect()}
+    assert got == want
