@@ -12,9 +12,11 @@ from .table import (
     Manifest,
     bucket_expr,
 )
+from .txn import TableGroup
 
 __all__ = [
     "LakeTable",
+    "TableGroup",
     "Manifest",
     "DataFile",
     "CommitConflictError",

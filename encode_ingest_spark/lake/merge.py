@@ -77,6 +77,12 @@ _STAGE_THRESHOLD_ROWS = 5_000_000
 #: (~100 B/key ⇒ ~200 MB at the default); override per table via
 #: property "merge.broadcast.threshold_rows"
 _BROADCAST_THRESHOLD_ROWS = 2_000_000
+#: file-growth bound for append-shaped write paths (the broadcast merge
+#: writes survivors+winners = 2 files per touched bucket per merge): any
+#: bucket exceeding this many files is folded back to one after the
+#: commit. Override per table via property "compact.max_files_per_bucket"
+#: (0 = never auto-fold).
+_MAX_FILES_PER_BUCKET = 8
 
 
 class MergeResult:
@@ -185,18 +191,27 @@ def merge_into(
         res = _commit(
             table, m, m.files, new_files, batch_id, source_id, offset_range, counts
         )
-        # auto-compaction policy: once the snapshot accumulates more than
-        # `threshold` delta files, fold them back into their buckets'
-        # base files (manifest-pruned rewrite) so steady-state MOR scan
-        # cost stays bounded. Threshold comes from the call or the table
-        # property "mor.compact.threshold"; 0/absent = manual-only.
+        # auto-compaction policy: once any single bucket accumulates more
+        # than `threshold` delta files, fold THAT bucket's deltas into its
+        # base file (manifest-pruned rewrite) so steady-state MOR scan
+        # cost stays bounded per bucket. Per-bucket, not global: one hot
+        # bucket can't force a whole-table compaction, and can't starve
+        # while a global count stays low. Threshold comes from the call or
+        # the table property "mor.compact.threshold"; 0/absent =
+        # manual-only.
         threshold = mor_compact_threshold
         if threshold is None:
             threshold = int(res.manifest.properties.get("mor.compact.threshold", 0) or 0)
-        n_deltas = sum(1 for f in res.manifest.files if f.is_delta)
-        if threshold and n_deltas > threshold:
-            res.manifest = table.compact_deltas()
-            res.counts["compacted_delta_files"] = n_deltas
+        if threshold:
+            per_bucket: dict[int, int] = {}
+            for f in res.manifest.files:
+                if f.is_delta:
+                    per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            dirty = sorted(b for b, c in per_bucket.items() if c > threshold)
+            if dirty:
+                res.manifest = table.compact_deltas(buckets=dirty)
+                res.counts["compacted_delta_files"] = sum(per_bucket[b] for b in dirty)
+                res.counts["compacted_buckets"] = len(dirty)
         return res
 
     # ---- 2. choose the COW strategy by target size (driver-side, from
@@ -247,6 +262,8 @@ def merge_into(
     import uuid as _uuid
 
     stage_dir = os.path.join(table.root, "_staging", f"batch_{_uuid.uuid4().hex}")
+    os.makedirs(os.path.dirname(stage_dir), exist_ok=True)
+    marker = table._stage_marker(stage_dir)
     try:
         winners.write.mode("overwrite").parquet(stage_dir)
         staged = table.spark.read.schema(winners.schema).parquet(stage_dir)
@@ -309,6 +326,10 @@ def merge_into(
         )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
 
 
 def _staged_row_count(stage_dir: str) -> int:
@@ -337,8 +358,11 @@ def _merge_cow_broadcast(
     batch-sized shuffle only). Semantics identical to the agg path:
     target survives iff it has no winner or strictly newer seq; on an
     equal seq the incoming row wins (replay determinism). Two files per
-    touched bucket per merge (survivors + winners) instead of one — the
-    next COW rewrite of the bucket re-compacts.
+    touched bucket per merge (survivors + winners) instead of one —
+    bounded: after the commit, any bucket past
+    "compact.max_files_per_bucket" (default 8) is folded back to one
+    file (manifest-pruned ``compact_buckets``), so long broadcast-mode
+    ingest keeps O(1) files per bucket.
 
     Lineage counts come from ONE Observation on the target-side scan plus
     the probe's ``staged_live`` (inserted = live winners − updated −
@@ -405,7 +429,16 @@ def _merge_cow_broadcast(
         "updated": updated,
         "deleted": int(got_t["deleted"] or 0),
     }
-    return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
+    res = _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
+    max_files = int(
+        m.properties.get("compact.max_files_per_bucket", _MAX_FILES_PER_BUCKET) or 0
+    )
+    if max_files:
+        overgrown = table.overgrown_buckets(max_files)
+        if overgrown:
+            res.manifest = table.compact_buckets(overgrown)
+            res.counts["compacted_buckets"] = len(overgrown)
+    return res
 
 
 def _merge_cow_write(

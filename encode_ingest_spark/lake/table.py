@@ -331,6 +331,29 @@ class LakeTable:
             df = df.drop(SEQ_COL, DELETED_COL)
         return df
 
+    def changed_buckets(
+        self, from_version: int, to_version: int | None = None
+    ) -> list[int] | None:
+        """Buckets whose FILE SET differs between two snapshots — a
+        driver-side manifest diff (KB of JSON, no Spark job). Data files
+        are immutable and content-addressed by path, so an identical
+        per-bucket file list ⇒ bit-identical rows at both versions ⇒ the
+        bucket cannot contribute a changelog row. Returns None when the
+        bucket layout itself changed between the versions (rebucket) —
+        bucket ids are not comparable across layouts, callers must fall
+        back to the full diff."""
+        m_from = self.manifest_at(from_version)
+        m_to = self.manifest_at(
+            to_version if to_version is not None else self.current_version()
+        )
+        if m_from.num_buckets != m_to.num_buckets:
+            return None
+        by_bucket: dict[int, list[set[str]]] = {}
+        for i, m in enumerate((m_from, m_to)):
+            for f in m.files:
+                by_bucket.setdefault(f.bucket, [set(), set()])[i].add(f.path)
+        return sorted(b for b, (a, c) in by_bucket.items() if a != c)
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -342,21 +365,25 @@ class LakeTable:
         Returns one row per key whose state differs between the two
         snapshots, with ``_change_type`` ∈ insert/update/delete, the NEW
         row payload (old payload for deletes), and ``_seq``. Both sides
-        are bucket-aligned scans; the diff is one full-outer join on the
-        key (only the touched buckets differ in practice — callers can
-        pre-prune via the manifests)."""
+        are MANIFEST-PRUNED scans: only buckets whose file lists differ
+        between the two versions (``changed_buckets``) are read, so the
+        per-micro-batch diff is proportional to the change set, not the
+        table — at 10^10 rows this is the difference between reading a
+        batch's worth of buckets and scanning two full snapshots."""
         m_to = self.manifest_at(
             to_version if to_version is not None else self.current_version()
         )
+        buckets = self.changed_buckets(from_version, m_to.version)
         # the older snapshot reads with ITS schema; align it to the newer
         # one (null-fill added columns, widen casts) so the struct diff is
         # well-typed across an evolution boundary — a row whose only
         # change is the arrival of a value in a new column classifies as
         # an update, exactly right
         old = align_to_schema(
-            self.read(version=from_version, include_internal=True), m_to.schema
+            self.read(version=from_version, include_internal=True, buckets=buckets),
+            m_to.schema,
         )
-        new = self.read(version=m_to.version, include_internal=True)
+        new = self.read(version=m_to.version, include_internal=True, buckets=buckets)
         keys = m_to.key_cols
         data_cols = [
             f.name for f in m_to.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
@@ -465,6 +492,8 @@ class LakeTable:
         repartition(B, keys), whose HashPartitioning IS bucket_expr — and
         skips the routing shuffle entirely."""
         stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        os.makedirs(os.path.dirname(stage), exist_ok=True)
+        marker = self._stage_marker(stage)
         n_buckets = max(num_buckets or self.current_manifest().num_buckets, 1)
         if not pre_partitioned:
             # Exact 1:1 bucket→task routing (see _bucket_tokens): avoids
@@ -508,10 +537,23 @@ class LakeTable:
                     )
                 )
         shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
         return new_files
 
-    def overwrite(self, df: DataFrame) -> Manifest:
-        """Replace full table contents (bootstrap/backfill path)."""
+    def overwrite(self, df: DataFrame, dedup: bool = True) -> Manifest:
+        """Replace full table contents (bootstrap/backfill path).
+
+        ``dedup=True`` (default) enforces the table's one-row-per-key
+        invariant at the door: duplicate keys collapse to the whole row
+        with the highest ``_seq`` (deterministic max_by). Every merge
+        path assumes the invariant — the union-agg path would self-heal
+        a duplicate, but the broadcast path's map-side survivor filter
+        would persist both rows forever and corrupt lineage counts.
+        Pass ``dedup=False`` only when the input is provably unique
+        (skips one shuffle on bootstrap)."""
         m = self.current_manifest()
         data_cols = [f.name for f in m.schema.fields if f.name not in (SEQ_COL, DELETED_COL)]
         prepared = df
@@ -519,7 +561,19 @@ class LakeTable:
             prepared = prepared.withColumn(SEQ_COL, F.lit(0).cast("long"))
         if DELETED_COL not in df.columns:
             prepared = prepared.withColumn(DELETED_COL, F.lit(False))
-        prepared = prepared.select(*data_cols, SEQ_COL, DELETED_COL).withColumn(
+        prepared = prepared.select(*data_cols, SEQ_COL, DELETED_COL)
+        if dedup:
+            non_key = [c for c in prepared.columns if c not in m.key_cols]
+            prepared = (
+                prepared.groupBy(*m.key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*non_key), F.coalesce(F.col(SEQ_COL), F.lit(-1))
+                    ).alias("_w")
+                )
+                .select(*m.key_cols, "_w.*")
+            )
+        prepared = prepared.withColumn(
             BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets)
         )
         new_files = self._stage_write(prepared, m.current_schema_version)
@@ -583,13 +637,38 @@ class LakeTable:
                     orphans.append(p)
         return orphans
 
-    def remove_orphans(self, staging_older_than_sec: float = 3600.0) -> int:
+    def _stage_marker(self, path: str) -> str:
+        """Liveness marker for a staging dir: ``<dir>.pid`` holds the
+        writer's pid. ``remove_orphans`` never deletes a staging dir whose
+        marker names a live process — a legitimately long-running merge
+        (hours at 10^10 rows) cannot have its staged batch GC'd from
+        under it. Written BESIDE the dir, not inside: Spark's
+        mode('overwrite') clears the dir itself."""
+        marker = path + ".pid"
+        with open(marker, "w") as fh:
+            fh.write(str(os.getpid()))
+        return marker
+
+    @staticmethod
+    def _marker_pid_alive(marker: str) -> bool:
+        try:
+            pid = int(open(marker).read().strip())
+            os.kill(pid, 0)
+            return True
+        except (OSError, ValueError) as e:
+            # PermissionError ⇒ the pid exists but belongs to another
+            # user — conservatively alive
+            return isinstance(e, PermissionError)
+
+    def remove_orphans(self, staging_older_than_sec: float = 86400.0) -> int:
         """Delete unreferenced data files AND abandoned staging dirs (a
         crash mid-merge can leave both: staged batch parquet under
         _staging/, written-but-uncommitted bucket files under data/).
-        Staging dirs younger than ``staging_older_than_sec`` are kept —
-        they may belong to a merge in flight (same retention contract as
-        Iceberg's remove_orphan_files)."""
+        A staging dir is kept while EITHER its ``.pid`` liveness marker
+        names a running process (a merge in flight, however long) OR it
+        is younger than ``staging_older_than_sec`` (markerless legacy
+        dirs; same retention contract as Iceberg's
+        remove_orphan_files)."""
         orphans = self.orphan_files()
         for p in orphans:
             os.remove(p)
@@ -599,9 +678,22 @@ class LakeTable:
             cutoff = time.time() - staging_older_than_sec
             for d in os.listdir(staging):
                 path = os.path.join(staging, d)
+                if d.endswith(".pid"):
+                    # stale marker whose dir is already gone
+                    if not os.path.isdir(path[:-4]) and not self._marker_pid_alive(path):
+                        try:
+                            os.remove(path)
+                        except OSError:
+                            pass
+                    continue
+                marker = path + ".pid"
+                if os.path.exists(marker) and self._marker_pid_alive(marker):
+                    continue
                 try:
                     if os.path.getmtime(path) < cutoff:
                         shutil.rmtree(path, ignore_errors=True)
+                        if os.path.exists(marker):
+                            os.remove(marker)
                         n += 1
                 except OSError:
                     continue
@@ -721,14 +813,14 @@ class LakeTable:
         steps = max(1, math.ceil(math.log(per_bucket / target, growth_factor)))
         return self.rebucket(m.num_buckets * growth_factor**steps)
 
-    def compact_deltas(self) -> "Manifest":
-        """Fold merge-on-read delta files into their buckets' base files.
-        Only buckets holding deltas are rewritten (manifest-pruned); the
-        read-path dedup performs the fold, so compaction is read+write
-        with zero extra logic. Restores O(1) files/bucket and removes the
-        scan-time max_by for compacted buckets."""
+    def compact_buckets(self, buckets: Iterable[int]) -> "Manifest":
+        """Rewrite the named buckets as one fresh base file each —
+        manifest-pruned: no other bucket is read or written. Folds MOR
+        delta files (the read-path max_by performs the fold) AND collapses
+        multi-file buckets (e.g. the broadcast merge's survivors+winners
+        file pairs) back to O(1) files/bucket."""
         m = self.current_manifest()
-        dirty = sorted({f.bucket for f in m.files if f.is_delta})
+        dirty = sorted(set(buckets))
         if not dirty:
             return m
         df = self.read(
@@ -751,6 +843,28 @@ class LakeTable:
         )
         self._write_manifest(nm)
         return nm
+
+    def compact_deltas(self, buckets: Iterable[int] | None = None) -> "Manifest":
+        """Fold merge-on-read delta files into their buckets' base files.
+        Only buckets holding deltas are rewritten (manifest-pruned);
+        ``buckets`` narrows further — the per-bucket auto-compaction
+        trigger passes exactly the buckets over threshold, so one hot
+        bucket never forces a whole-table rewrite."""
+        m = self.current_manifest()
+        dirty = {f.bucket for f in m.files if f.is_delta}
+        if buckets is not None:
+            dirty &= set(buckets)
+        return self.compact_buckets(dirty)
+
+    def overgrown_buckets(self, max_files: int) -> list[int]:
+        """Buckets whose file count exceeds ``max_files`` in the current
+        manifest — driver-side metadata only. The file-growth bound for
+        append-shaped write paths (MOR deltas, broadcast-merge pairs)."""
+        m = self.current_manifest()
+        counts: dict[int, int] = {}
+        for f in m.files:
+            counts[f.bucket] = counts.get(f.bucket, 0) + 1
+        return sorted(b for b, c in counts.items() if c > max_files)
 
     def purge_tombstones(self, min_seq: int) -> "Manifest":
         """GC tombstone rows whose seq is below ``min_seq`` — safe once

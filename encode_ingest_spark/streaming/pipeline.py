@@ -92,6 +92,7 @@ class CdcStreamPipeline:
         merge_mode: str = "cow",
         mor_compact_threshold: int | None = None,
         derived_targets: dict[str, LakeTable] | None = None,
+        derived_group=None,
     ):
         if source not in ("files", "rate"):
             raise ValueError(f"unknown source {source!r} (expected 'files' or 'rate')")
@@ -113,7 +114,13 @@ class CdcStreamPipeline:
         #: these derived entity tables incrementally (entities/
         #: incremental.py) — the whole reference DAG (tail → lake →
         #: derived tables) inside one streaming query, each stage fenced.
+        #: ``derived_group`` (a lake.txn.TableGroup) upgrades the refresh
+        #: to a TRANSACTIONAL one: the derived tables' new versions become
+        #: visible to group readers in one atomic cross-table commit.
+        if derived_group is not None and derived_targets is None:
+            derived_targets = derived_group.tables()
         self.derived_targets = derived_targets
+        self.derived_group = derived_group
         self.batch_results: list[MergeResult] = []  # per-run observability
 
     def _stream_df(self, spark: SparkSession) -> DataFrame:
@@ -172,19 +179,66 @@ class CdcStreamPipeline:
             # materialized or the state store never commits and the
             # query hangs before the next epoch (observed live)
             batch.count()
-        if self.derived_targets is not None and not res.skipped:
-            from ..entities.incremental import incremental_split_refresh
-
-            # the merge may stack evolution/compaction commits; diffing
-            # from the PRE-merge snapshot covers them all
-            incremental_split_refresh(
-                self.table,
-                self.derived_targets,
-                from_version=before_v,
-                to_version=res.manifest.version,
-                batch_id=int(epoch_id) + 1,
+        if self.derived_targets is not None:
+            from ..entities.incremental import (
+                incremental_split_refresh,
+                transactional_split_refresh,
             )
+
+            if not res.skipped:
+                # the merge may stack evolution/compaction commits;
+                # diffing from the PRE-merge snapshot covers them all
+                refresh_span = (before_v, res.manifest.version)
+            else:
+                # fence-skipped replay: the crash window between the
+                # source merge commit and the derived refresh means the
+                # refresh may never have run for this batch — run it
+                # anyway (each target's own batch_id fence dedups a
+                # refresh that DID run) over the span recovered from the
+                # source lineage: the commit carrying this batch_id and
+                # its parent. Commits stacked around it (evolution
+                # before, compaction after) are row-identical to that
+                # span, so the diff is the same change set.
+                refresh_span = self._lineage_span(int(epoch_id) + 1)
+            if refresh_span is not None:
+                if self.derived_group is not None:
+                    transactional_split_refresh(
+                        self.table,
+                        self.derived_group,
+                        from_version=refresh_span[0],
+                        to_version=refresh_span[1],
+                        batch_id=int(epoch_id) + 1,
+                    )
+                else:
+                    incremental_split_refresh(
+                        self.table,
+                        self.derived_targets,
+                        from_version=refresh_span[0],
+                        to_version=refresh_span[1],
+                        batch_id=int(epoch_id) + 1,
+                    )
         self.batch_results.append(res)
+
+    def _lineage_span(self, batch_id: int) -> tuple[int, int] | None:
+        """(parent_version, version) of the snapshot whose lineage
+        committed ``batch_id`` for this pipeline's source — the replay
+        recovery for the derived-table refresh. None when the snapshot
+        is no longer reachable (expired) or the batch predates this
+        source's history; the only batches that can hit the crash
+        window are the most recent ones, which are always reachable.
+        Newest-first walk with early termination: per source the lineage
+        batch ids are monotone along the parent chain, so passing a
+        smaller id means the target can't appear further back."""
+        for m in reversed(self.table.snapshots()):
+            for entry in m.lineage:
+                if entry.get("source_id") != self.source_id:
+                    continue
+                found = int(entry.get("batch_id", -1))
+                if found == batch_id and m.parent_version is not None:
+                    return (m.parent_version, m.version)
+                if found < batch_id:
+                    return None
+        return None
 
     def run_available_now(self, spark: SparkSession, timeout_sec: int = 600) -> int:
         """Drain the current backlog and stop (replay / catch-up mode).

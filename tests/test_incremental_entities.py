@@ -127,3 +127,63 @@ def test_streaming_pipeline_maintains_derived_tables(spark, tmp_path):
     assert pipe.run_available_now(spark) == 0
     for name, cols in checks.items():
         assert _live(targets[name], cols) == _want(source, name, cols), name
+
+
+def test_derived_refresh_recovers_from_crash_between_merge_and_refresh(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r2 (medium): a crash AFTER the source merge commit but
+    BEFORE the derived refresh replays the epoch with a fence-skipped
+    merge — the refresh must still run (recovering its version span from
+    the source lineage), or derived tables silently miss the batch."""
+    from encode_ingest_spark.entities import incremental
+    from encode_ingest_spark.streaming.pipeline import (
+        CdcStreamPipeline,
+        write_event_files,
+    )
+
+    source = LakeTable.create(spark, str(tmp_path / "src"), SRC_SCHEMA,
+                              ["repo", "path", "commit"], num_buckets=4)
+    targets = _targets(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=200, events_per_key=3, seed=43)
+    write_event_files(ev, str(tmp_path / "ev"), n_files=3)
+
+    real = incremental.incremental_split_refresh
+    calls = {"n": 0}
+
+    def crash_on_second(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between merge and refresh")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(
+        incremental, "incremental_split_refresh", crash_on_second
+    )
+    pipe = CdcStreamPipeline(
+        source, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, derived_targets=targets,
+    )
+    try:
+        pipe.run_available_now(spark)
+        raise AssertionError("injected crash did not surface")
+    except Exception as e:  # StreamingQueryException wraps the injection
+        assert "injected crash" in str(e)
+
+    monkeypatch.setattr(incremental, "incremental_split_refresh", real)
+    # restart from the same checkpoint: the crashed epoch replays, the
+    # source merge fence-skips, the refresh catches up from lineage
+    pipe2 = CdcStreamPipeline(
+        source, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, derived_targets=targets,
+    )
+    pipe2.run_available_now(spark)
+    checks = {
+        "file": ["file_id", "file_format", "content_sha256",
+                 "repo_id", "commit_activity_id"],
+        "repo": ["repo_id", "n_files", "languages", "n_commits"],
+        "commit_activity": ["activity_id", "repo_id", "generated_file_id",
+                            "n_files", "used_language"],
+    }
+    for name, cols in checks.items():
+        assert _live(targets[name], cols) == _want(source, name, cols), name

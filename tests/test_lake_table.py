@@ -245,6 +245,46 @@ def test_remove_orphans_cleans_stale_staging(spark, tmp_path):
     assert os.path.exists(fresh)       # possibly in-flight: kept
 
 
+def test_remove_orphans_respects_live_pid_marker(spark, tmp_path):
+    """ADVICE r2: a merge legitimately running longer than the retention
+    window must not have its staged batch GC'd — the .pid liveness marker
+    protects it regardless of age; a dead writer's dir still goes."""
+    import os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=2)
+    merge_into(t, repo_file_events(spark, n_keys=20, events_per_key=1, seed=5),
+               batch_id=1)
+    old = _time.time() - 7200
+
+    live = os.path.join(t.root, "_staging", "batch_longrunning")
+    os.makedirs(live)
+    with open(live + ".pid", "w") as fh:
+        fh.write(str(os.getpid()))  # this very process: alive
+    os.utime(live, (old, old))
+
+    dead = os.path.join(t.root, "_staging", "batch_crashed")
+    os.makedirs(dead)
+    # a pid that cannot exist (> kernel pid_max default ceiling)
+    with open(dead + ".pid", "w") as fh:
+        fh.write("99999999")
+    os.utime(dead, (old, old))
+
+    t.remove_orphans(staging_older_than_sec=3600)
+    assert os.path.exists(live), "live writer's staged batch was GC'd"
+    assert os.path.exists(live + ".pid")
+    assert not os.path.exists(dead)
+    assert not os.path.exists(dead + ".pid")
+
+
 def test_read_changes_between_snapshots(spark, tmp_path):
     """Changelog read-back: the diff between two snapshots classifies
     every changed key as insert/update/delete with the new payload (old

@@ -217,3 +217,24 @@ def test_multimodal_decoder_registry(spark):
         extract_features(media, decode_stub="nope")
     with _pytest.raises(ValueError, match="reserved"):
         register_decoder("fake", byte_len_decoder)
+
+
+def test_near_dup_empty_input_is_well_typed(spark):
+    """ADVICE r2: dim inference on an empty DataFrame must not raise —
+    the SRP path returns an empty, correctly-typed pair frame."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.operators import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    out = embedding_near_dup_pairs(empty, threshold=0.9)
+    assert out.columns == ["id_a", "id_b", "cos"]
+    assert out.count() == 0

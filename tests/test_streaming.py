@@ -223,13 +223,17 @@ def test_streaming_mor_mode_with_auto_compaction(spark, tmp_path):
     write_event_files(events, str(tmp_path / "ev"), n_files=4)
     pipe = CdcStreamPipeline(
         table, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
-        max_files_per_trigger=1, merge_mode="mor", mor_compact_threshold=6,
+        max_files_per_trigger=1, merge_mode="mor", mor_compact_threshold=2,
     )
     merged = pipe.run_available_now(spark)
     assert merged >= 2
-    # auto-compaction kept the delta count bounded
-    n_deltas = sum(1 for f in table.current_manifest().files if f.is_delta)
-    assert n_deltas <= 6
+    # auto-compaction kept every bucket's delta count bounded (the
+    # threshold is per bucket)
+    per_bucket: dict[int, int] = {}
+    for f in table.current_manifest().files:
+        if f.is_delta:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values(), default=0) <= 2
 
     cow = LakeTable.create(
         spark, str(tmp_path / "cow"), schema, ["repo", "path", "commit"], num_buckets=4

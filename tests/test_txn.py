@@ -1,0 +1,144 @@
+"""Multi-table transactional commits (VERDICT r2 item 5): derived entity
+tables must expose a mutually-consistent cross-table snapshot — one
+atomic group-pointer swap covers N member tables; a crash between member
+commits leaves group readers on the previous consistent vector; replay
+converges; FK integrity (the J15 anti-join QC) holds at every visible
+group snapshot."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.cdc import repo_file_events
+from encode_ingest_spark.entities.incremental import (
+    incremental_split_refresh,
+    referential_integrity_report,
+    transactional_split_refresh,
+)
+from encode_ingest_spark.lake import LakeTable, TableGroup, merge_into
+
+SRC_SCHEMA = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+FILE_SCHEMA = (
+    "file_id string, label string, file_format string, xref array<string>, "
+    "size_bytes long, content_sha256 string, repo_id string, "
+    "commit_activity_id string, part_of_dataset_id string"
+)
+REPO_SCHEMA = (
+    "repo_id string, n_files long, languages array<string>, n_commits long, "
+    "part_of_dataset_id string"
+)
+ACT_SCHEMA = (
+    "activity_id string, repo_id string, commit_sha string, "
+    "generated_file_id array<string>, used_language array<string>, "
+    "n_files long, activity_type string"
+)
+
+
+def _setup(spark, tmp_path):
+    source = LakeTable.create(spark, str(tmp_path / "src"), SRC_SCHEMA,
+                              ["repo", "path", "commit"], num_buckets=4)
+
+    def mk(name, ddl, keys):
+        return LakeTable.create(
+            spark, str(tmp_path / name), T._parse_datatype_string(ddl), keys,
+            num_buckets=4,
+        )
+
+    targets = {
+        "file": mk("file", FILE_SCHEMA, ["file_id"]),
+        "repo": mk("repo", REPO_SCHEMA, ["repo_id"]),
+        "commit_activity": mk("act", ACT_SCHEMA, ["activity_id"]),
+    }
+    group = TableGroup.create(spark, str(tmp_path / "grp"), targets)
+    return source, targets, group
+
+
+def _fk_clean(group, version=None):
+    rep = referential_integrity_report(
+        group.read("file", version=version),
+        group.read("repo", version=version),
+        group.read("commit_activity", version=version),
+    ).first()
+    return (rep.orphan_repo_refs, rep.orphan_activity_refs) == (0, 0)
+
+
+def test_group_commit_is_atomic_and_replay_converges(spark, tmp_path):
+    source, targets, group = _setup(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=200, events_per_key=2, seed=51)
+
+    merge_into(source, ev, batch_id=1)
+    v1 = source.current_version()
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=v1, batch_id=1)
+    g1 = group.current_version()
+    assert group.read("file").count() > 0
+    assert _fk_clean(group)
+
+    # replay the same refresh: members fence-skip, group fence-skips,
+    # version unchanged
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=v1, batch_id=1)
+    assert group.current_version() == g1
+    assert _fk_clean(group)
+
+
+def test_crash_between_member_commits_keeps_consistent_vector(spark, tmp_path):
+    """The crash-between-swaps scenario: one member (file) committed its
+    batch, the others and the group commit never ran. Direct table reads
+    see dangling FKs; GROUP reads stay on the old consistent vector.
+    Replaying the transactional refresh converges everything."""
+    source, targets, group = _setup(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=150, events_per_key=2, seed=53)
+    merge_into(source, ev, batch_id=1)
+    v1 = source.current_version()
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=v1, batch_id=1)
+    g1 = group.current_version()
+
+    # batch 2 introduces a brand-new repo, then "crashes" after only the
+    # FILE member committed (partial refresh = the mid-transaction state)
+    newrow = spark.createDataFrame(
+        [("orgX/brandnew", "src/new.py", "e" * 40, "python", "body",
+          "insert", 10_000)],
+        "repo string, path string, commit string, lang string, "
+        "content string, op string, event_seq long",
+    )
+    merge_into(source, newrow, batch_id=2)
+    v2 = source.current_version()
+    incremental_split_refresh(source, {"file": targets["file"]},
+                              from_version=v1, to_version=v2, batch_id=2)
+
+    # direct read: the file table references a repo that does not exist
+    direct = referential_integrity_report(
+        targets["file"].read(), targets["repo"].read(),
+        targets["commit_activity"].read(),
+    ).first()
+    assert direct.orphan_repo_refs > 0
+
+    # group read: still the old vector — consistent, FK-clean
+    assert group.current_version() == g1
+    assert _fk_clean(group)
+
+    # replay the full transactional refresh for batch 2: the file member
+    # fence-skips, repo/activity catch up, ONE group commit lands
+    transactional_split_refresh(source, group, from_version=v1,
+                                to_version=v2, batch_id=2)
+    assert group.current_version() == g1 + 1
+    assert _fk_clean(group)
+    assert group.read("repo").filter(
+        F.col("repo_id") == "orgX/brandnew").count() == 1
+    # and the historical group snapshot is still readable + clean
+    assert _fk_clean(group, version=g1)
+
+
+def test_group_commit_fences_and_rejects_unknown_members(spark, tmp_path):
+    source, targets, group = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="not group members"):
+        group.commit({"nope": 1}, batch_id=1)
+    m = group.commit({"file": 0}, source_id="s", batch_id=5)
+    assert m["version"] == 1
+    # lower/equal batch ids fence off
+    m2 = group.commit({"file": 0}, source_id="s", batch_id=5)
+    assert m2["version"] == 1
+    assert group.last_batch("s") == 5
