@@ -172,6 +172,62 @@ def bench_narrow_batch(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_changelog_pruning(spark, sf_dir: str) -> dict:
+    """The r2-named scale-killer, measured: per-micro-batch changelog
+    cost with manifest-diff bucket pruning vs the full two-snapshot
+    diff. Shape: a 10-key batch lands in a large table (sf-scaled keys,
+    32 buckets) — the 10^10-row steady state in miniature, where a
+    micro-batch touches a small fraction of the bucket space (here ≤10
+    of 32; at real scale, dozens of thousands). min-of-2 each."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    n_keys = _cdc_keys_for(sf_dir)
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="bench_chlog_", dir=shm)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    out = {}
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema,
+            ["repo", "path", "commit"], num_buckets=32,
+        )
+        merge_into(t, repo_file_events(spark, n_keys=n_keys, events_per_key=3,
+                                       seed=42), batch_id=1)
+        v1 = t.current_version()
+        # stage_batch=True = the large-table steady-state merge path
+        # (auto-chosen above 5M rows; the sandbox table is smaller), so
+        # only the touched buckets' files change
+        merge_into(t, repo_file_events(spark, n_keys=10, events_per_key=1,
+                                       seed=77), batch_id=2, stage_batch=True)
+        v2 = t.current_version()
+        out["changelog_buckets_touched"] = len(t.changed_buckets(v1, v2))
+        t.read_changes(v1, v2).write.format("noop").mode("overwrite").save()  # JIT
+        for label, prune in (("pruned", True), ("full", False)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                t.read_changes(v1, v2, prune=prune).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"changelog_{label}_sec"] = round(best, 3)
+            # the scale-honest number: files (∝ bytes) actually scanned —
+            # wall time at sandbox volume is floored by job fixed costs
+            out[f"changelog_{label}_files"] = len(
+                t.read_changes(v1, v2, prune=prune).inputFiles()
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from encode_ingest_spark.session import get_spark
     from encode_ingest_spark.suite import QUERIES
@@ -206,6 +262,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     timings["cdc_merge_mor"] = round(mor_sec, 3)
 
     narrow = bench_narrow_batch(spark, sf_dir)
+    chlog = bench_changelog_pruning(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -219,6 +276,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "events_per_sec": events_per_sec,
         "events_per_sec_mor": round(n_events / mor_sec, 1),
         **narrow,
+        **chlog,
     }
 
 

@@ -74,6 +74,12 @@ class DataFile:
     bytes: int
     schema_version: int
     is_delta: bool = False  # merge-on-read delta file (lake/merge.py mode="mor")
+    #: footer-derived column statistics, collected at write time for
+    #: driver-side pruning (the Iceberg manifest-stats pattern):
+    #: {"has_tombstones": bool, "min_seq": int, "max_seq": int}.
+    #: None on files written before stats existed — readers must treat
+    #: that as "could contain anything" (conservative).
+    stats: dict[str, Any] | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -83,13 +89,14 @@ class DataFile:
             "bytes": self.bytes,
             "schema_version": self.schema_version,
             "is_delta": self.is_delta,
+            "stats": self.stats,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
         return DataFile(
             d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"],
-            d.get("is_delta", False),
+            d.get("is_delta", False), d.get("stats"),
         )
 
 
@@ -145,6 +152,52 @@ class Manifest:
             properties=d.get("properties", {}),
             committed_at=d.get("committed_at", 0.0),
         )
+
+
+def _footer_stats(pf) -> dict[str, Any] | None:
+    """Pruning statistics from a parquet FOOTER (KB of metadata, zero
+    data pages read) — collected once at write time and stored in the
+    manifest, the Iceberg manifest-stats pattern. Conservative: any
+    missing/odd statistic degrades to "could contain anything".
+
+    * ``has_tombstones`` — any row group whose ``_deleted`` max is true
+      (or whose stats are absent)
+    * ``min_seq`` / ``max_seq`` — across row groups; ``min_seq`` is
+      forced to -1 when null seqs exist (they order as -1 everywhere
+      else in the engine)
+    """
+    md = pf.metadata
+    try:
+        names = list(pf.schema_arrow.names)
+        del_i = names.index(DELETED_COL)
+        seq_i = names.index(SEQ_COL)
+    except ValueError:
+        return None
+    has_tomb = False
+    mins: list[int] = []
+    maxs: list[int] = []
+    any_null_seq = False
+    seq_stats_ok = True
+    for rg in range(md.num_row_groups):
+        ds = md.row_group(rg).column(del_i).statistics
+        if ds is None or not ds.has_min_max:
+            has_tomb = True  # unknown → conservative
+        elif bool(ds.max):
+            has_tomb = True
+        ss = md.row_group(rg).column(seq_i).statistics
+        if ss is None or not ss.has_min_max:
+            seq_stats_ok = False
+        else:
+            mins.append(int(ss.min))
+            maxs.append(int(ss.max))
+            if ss.null_count is None or ss.null_count > 0:
+                any_null_seq = True
+    min_seq = None
+    max_seq = None
+    if seq_stats_ok and mins:
+        min_seq = -1 if any_null_seq else min(mins)
+        max_seq = max(maxs)
+    return {"has_tombstones": has_tomb, "min_seq": min_seq, "max_seq": max_seq}
 
 
 def bucket_expr(key_cols: list[str], num_buckets: int) -> F.Column:
@@ -355,7 +408,10 @@ class LakeTable:
         return sorted(b for b, (a, c) in by_bucket.items() if a != c)
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        prune: bool = True,
     ) -> DataFrame:
         """Changelog between two snapshots — the engine is a CDC *source*
         as well as a sink (Iceberg's changelog scan / Delta's
@@ -369,11 +425,13 @@ class LakeTable:
         between the two versions (``changed_buckets``) are read, so the
         per-micro-batch diff is proportional to the change set, not the
         table — at 10^10 rows this is the difference between reading a
-        batch's worth of buckets and scanning two full snapshots."""
+        batch's worth of buckets and scanning two full snapshots.
+        ``prune=False`` forces the full two-snapshot diff (benchmark /
+        cross-check path)."""
         m_to = self.manifest_at(
             to_version if to_version is not None else self.current_version()
         )
-        buckets = self.changed_buckets(from_version, m_to.version)
+        buckets = self.changed_buckets(from_version, m_to.version) if prune else None
         # the older snapshot reads with ITS schema; align it to the newer
         # one (null-fill added columns, widen casts) so the struct diff is
         # well-typed across an evolution boundary — a row whose only
@@ -520,9 +578,11 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 src = os.path.join(stage, bucket_dir, fn)
-                rows = pq.ParquetFile(src).metadata.num_rows
+                pf = pq.ParquetFile(src)
+                rows = pf.metadata.num_rows
                 if rows == 0:
                     continue
+                stats = _footer_stats(pf)
                 dest_name = f"{uuid.uuid4().hex}.parquet"
                 dest = os.path.join(dest_dir, dest_name)
                 os.replace(src, dest)
@@ -534,6 +594,7 @@ class LakeTable:
                         bytes=os.path.getsize(dest),
                         schema_version=schema_version,
                         is_delta=is_delta,
+                        stats=stats,
                     )
                 )
         shutil.rmtree(stage, ignore_errors=True)
@@ -869,11 +930,33 @@ class LakeTable:
     def purge_tombstones(self, min_seq: int) -> "Manifest":
         """GC tombstone rows whose seq is below ``min_seq`` — safe once
         the source guarantees no event below that horizon can still
-        arrive (the streaming watermark contract). Rewrites only buckets
-        that actually hold expired tombstones (manifest-pruned)."""
+        arrive (the streaming watermark contract).
+
+        Two-level pruning: (1) the manifest's per-file footer stats name
+        the CANDIDATE buckets driver-side — a file can hold an expired
+        tombstone only if it has tombstones at all and its min seq is
+        below the horizon (stats-less legacy files are conservative
+        candidates); no Spark job runs when no file qualifies. (2) a
+        scan of only the candidate buckets finds the exactly-dirty ones,
+        which are then rewritten. At 10^10 rows with a moving watermark
+        the steady state is "few recent buckets qualify", not a full
+        table scan per purge."""
         m = self.current_manifest()
-        full = self.read(include_tombstones=True, include_internal=True)
-        expired = full.filter(
+        cand: set[int] = set()
+        for f in m.files:
+            st = f.stats
+            if not isinstance(st, dict):
+                cand.add(f.bucket)  # pre-stats file: could hold anything
+            elif st.get("has_tombstones") and (
+                st.get("min_seq") is None or int(st["min_seq"]) < min_seq
+            ):
+                cand.add(f.bucket)
+        if not cand:
+            return m
+        scoped = self.read(
+            buckets=sorted(cand), include_tombstones=True, include_internal=True
+        )
+        expired = scoped.filter(
             F.col(DELETED_COL) & (F.coalesce(F.col(SEQ_COL), F.lit(-1)) < min_seq)
         ).withColumn(BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets))
         dirty = sorted(r[0] for r in expired.select(BUCKET_COL).distinct().collect())

@@ -189,6 +189,51 @@ def test_purge_tombstones(spark, tmp_path):
     assert t.read().count() == 6
 
 
+def test_manifest_file_stats_prune_purge(spark, tmp_path):
+    """Per-file footer stats in the manifest (has_tombstones, min/max
+    seq) drive purge_tombstones pruning: a horizon below every tombstone
+    is a pure-metadata no-op (no new snapshot), and a real purge carries
+    tombstone-free buckets by reference."""
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=4)
+    merge_into(t, repo_file_events(spark, n_keys=120, events_per_key=3, seed=19),
+               batch_id=1)
+    m = t.current_manifest()
+    # every committed file carries stats, and they are coherent
+    assert all(isinstance(f.stats, dict) for f in m.files)
+    n_tomb = t.read(include_tombstones=True).count() - t.read().count()
+    assert n_tomb > 0  # ~10% of keys end deleted at this shape
+    assert any(f.stats["has_tombstones"] for f in m.files)
+    for f in m.files:
+        assert f.stats["min_seq"] is not None
+        assert f.stats["min_seq"] <= f.stats["max_seq"]
+
+    # horizon below every seq: stats prove nothing can expire → the
+    # manifest version must not move (no rewrite, no commit)
+    v = t.current_version()
+    t.purge_tombstones(min_seq=0)
+    assert t.current_version() == v
+
+    # real purge: only buckets holding tombstones are rewritten
+    tomb_buckets = {
+        f.bucket for f in m.files if f.stats["has_tombstones"]
+    }
+    clean_files = {
+        f.path for f in m.files if f.bucket not in tomb_buckets
+    }
+    t.purge_tombstones(min_seq=10**9)
+    m2 = t.current_manifest()
+    assert t.read(include_tombstones=True).count() == t.read().count()
+    carried = {f.path for f in m2.files if f.bucket not in tomb_buckets}
+    assert carried == clean_files  # by-reference carry, not rewritten
+
+
 def test_maybe_rebucket_grows_by_size(spark, tmp_path):
     """Auto bucket evolution: average bucket bytes over target → bucket
     count grows by the smallest sufficient power of 2, state unchanged."""
