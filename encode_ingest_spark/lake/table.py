@@ -12,7 +12,11 @@ design mirrors what those formats do at 100 TB scale:
   manifest ``_meta/v{N}.manifest.json`` listing the data files of that
   version; ``_meta/CURRENT`` is swapped atomically (``os.replace``). On a
   real deployment the pointer swap is a catalog/metastore CAS — the
-  manifest layout is unchanged.
+  manifest layout is unchanged. Between periodic full checkpoints,
+  manifests serialize as ``{removed_paths, added_files}`` DELTAS vs
+  their parent (Iceberg's manifest-list role): commit metadata is
+  O(changed buckets), so a seconds-cadence micro-batch stream over a
+  10^4-bucket table writes KBs of metadata per commit, not MBs.
 * **Optimistic concurrency** — a manifest file is created with
   ``O_CREAT|O_EXCL``; a concurrent writer racing to the same version loses
   and gets ``CommitConflictError`` (the reference serializes tables for the
@@ -60,6 +64,11 @@ FORMAT_VERSION = 1
 BUCKET_COL = "_pb"
 DELETED_COL = "_deleted"
 SEQ_COL = "_seq"
+#: every Nth manifest is written FULL (complete file list); the ones in
+#: between serialize as {removed_paths, added_files} deltas vs parent —
+#: commit metadata is then O(changed buckets), not O(table buckets),
+#: and resolving any version walks at most this many deltas.
+MANIFEST_CHECKPOINT_EVERY = 32
 
 
 class CommitConflictError(RuntimeError):
@@ -216,6 +225,9 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        #: materialized-manifest cache (manifests are immutable once
+        #: committed; delta resolution walks parents, so memoize)
+        self._manifest_cache: dict[int, Manifest] = {}
 
     # ---------- paths ----------
     @property
@@ -297,8 +309,55 @@ class LakeTable:
         return self.manifest_at(self.current_version())
 
     def manifest_at(self, version: int) -> Manifest:
+        """Load (and materialize) a manifest. Delta-form manifests store
+        only the file-list CHANGE vs their parent — resolution walks the
+        parent chain (bounded by MANIFEST_CHECKPOINT_EVERY) and is
+        memoized; everything downstream always sees a full Manifest."""
+        cached = self._manifest_cache.get(version)
+        if cached is not None:
+            return cached
         with open(self._manifest_path(version)) as fh:
-            return Manifest.from_json(json.load(fh))
+            d = json.load(fh)
+        delta = d.pop("delta", None)
+        m = Manifest.from_json({**d, "files": d.get("files", [])})
+        if delta is not None:
+            parent = self.manifest_at(int(delta["of"]))
+            removed = set(delta["removed_paths"])
+            m.files = [f for f in parent.files if f.path not in removed] + [
+                DataFile.from_json(x) for x in delta["added_files"]
+            ]
+        self._manifest_cache[version] = m
+        return m
+
+    def _serialize_manifest(self, manifest: Manifest) -> dict[str, Any]:
+        """Full or delta representation. Delta (removed_paths +
+        added_files vs parent) is chosen when it is strictly smaller
+        than the full list AND this version is not a checkpoint — data
+        file entries are immutable and path-addressed (uuid names), so
+        a path set-difference is an exact encoding of the change."""
+        payload = manifest.to_json()
+        if (
+            manifest.parent_version is None
+            or manifest.version % MANIFEST_CHECKPOINT_EVERY == 0
+        ):
+            return payload
+        try:
+            parent = self.manifest_at(manifest.parent_version)
+        except (OSError, KeyError, ValueError):
+            return payload
+        parent_paths = {f.path for f in parent.files}
+        new_paths = {f.path for f in manifest.files}
+        removed = sorted(parent_paths - new_paths)
+        added = [f for f in manifest.files if f.path not in parent_paths]
+        if len(removed) + len(added) >= max(len(manifest.files), 1):
+            return payload  # delta not smaller (e.g. rebucket): stay full
+        payload = {k: v for k, v in payload.items() if k != "files"}
+        payload["delta"] = {
+            "of": manifest.parent_version,
+            "removed_paths": removed,
+            "added_files": [f.to_json() for f in added],
+        }
+        return payload
 
     def _write_manifest(self, manifest: Manifest) -> None:
         """Commit protocol: O_EXCL manifest create (conflict detection),
@@ -312,9 +371,10 @@ class LakeTable:
                 f"version {manifest.version} already committed at {path}"
             ) from e
         with os.fdopen(fd, "w") as fh:
-            json.dump(manifest.to_json(), fh)
+            json.dump(self._serialize_manifest(manifest), fh)
             fh.flush()
             os.fsync(fh.fileno())
+        self._manifest_cache[manifest.version] = manifest
         tmp = os.path.join(self._meta_dir, f".CURRENT.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(manifest.version))
@@ -552,7 +612,8 @@ class LakeTable:
         stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         os.makedirs(os.path.dirname(stage), exist_ok=True)
         marker = self._stage_marker(stage)
-        n_buckets = max(num_buckets or self.current_manifest().num_buckets, 1)
+        m_cur = self.current_manifest()
+        n_buckets = max(num_buckets or m_cur.num_buckets, 1)
         if not pre_partitioned:
             # Exact 1:1 bucket→task routing (see _bucket_tokens): avoids
             # both the balls-into-bins collisions of hash-repartition on a
@@ -560,6 +621,21 @@ class LakeTable:
             # and the upstream RE-EXECUTION repartitionByRange's boundary
             # sampling would cost on an expensive child plan.
             df = df.repartition(n_buckets, self._bucket_token_expr(n_buckets))
+        # optional file clustering: a LOCAL (no shuffle, partitioning-
+        # preserving) sort by the named columns before write. With it,
+        # parquet row-group min/max on those columns are tight ranges,
+        # so a pushed `repo IN (...)` predicate (the dirty-group
+        # incremental refresh) skips row groups instead of reading the
+        # bucket — the key-composite bucketing spreads every repo across
+        # all buckets, so WITHOUT clustering those stats span everything
+        # and prune nothing. Also improves RLE/dict compression.
+        cluster = m_cur.properties.get("write.sort_within_buckets", "")
+        sort_cols = [c for c in cluster.split(",") if c and c in df.columns]
+        if sort_cols:
+            # BUCKET_COL leads so the dynamic-partition write's required
+            # ordering (sort by partition cols) is already satisfied and
+            # Spark does not insert its own (clustering-destroying) sort
+            df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
         (
             df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)

@@ -397,3 +397,43 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     got = ch[("r", "p")]
     assert got._change_type == "update"
     assert got.content == "v2" and got.stars == 5
+
+
+def test_write_sort_within_buckets_clusters_files(spark, tmp_path):
+    """Opt-in write clustering ('write.sort_within_buckets' property):
+    every data file is locally sorted by the named columns, so parquet
+    row-group min/max on them become tight ranges the dirty-group
+    refresh's pushed `repo IN (...)` predicate can prune with."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "lang", "content"]])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["repo", "path", "commit"],
+        num_buckets=4, properties={"write.sort_within_buckets": "repo"},
+    )
+    merge_into(t, repo_file_events(spark, n_keys=300, events_per_key=1, seed=23),
+               batch_id=1)
+    m = t.current_manifest()
+    assert len(m.files) == 4
+    for f in m.files:
+        repos = pq.read_table(
+            os.path.join(t.root, f.path), columns=["repo"]
+        ).column("repo").to_pylist()
+        assert repos == sorted(repos), f"file {f.path} not repo-clustered"
+    # state identical to an unclustered table
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "u"), schema, ["repo", "path", "commit"],
+        num_buckets=4,
+    )
+    merge_into(t2, repo_file_events(spark, n_keys=300, events_per_key=1, seed=23),
+               batch_id=1)
+    key = ["repo", "path", "commit", "content"]
+    assert ({tuple(r) for r in t.read().select(*key).collect()}
+            == {tuple(r) for r in t2.read().select(*key).collect()})
