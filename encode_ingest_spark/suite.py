@@ -1385,9 +1385,29 @@ def s4_srp_near_dup(spark, sf_dir):
 # SQL over read_parquet() of the staged directory.
 # ===========================================================================
 
-_STAGE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage"
-)
+def _stage_root() -> str:
+    """Writable staging root for the flagship's shared parquet:
+    $SPARK_GRAFT_STAGE_DIR > <repo>/.stage > $TMPDIR/encode_ingest_stage
+    (fallback for read-only checkouts). Resolved at import so the oracle
+    SQL can embed the literal path."""
+    env = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    if env:
+        return env
+    repo_stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage"
+    )
+    try:
+        os.makedirs(repo_stage, exist_ok=True)
+        return repo_stage
+    except OSError:
+        import tempfile
+
+        alt = os.path.join(tempfile.gettempdir(), "encode_ingest_stage")
+        os.makedirs(alt, exist_ok=True)
+        return alt
+
+
+_STAGE_DIR = _stage_root()
 _FLAGSHIP_EVENTS = os.path.join(_STAGE_DIR, "repo_events_k2000_e3_s42_v1")
 
 
