@@ -226,8 +226,26 @@ class LakeTable:
         self.spark = spark
         self.root = root
         #: materialized-manifest cache (manifests are immutable once
-        #: committed; delta resolution walks parents, so memoize)
+        #: committed; delta resolution walks parents, so memoize).
+        #: Bounded: a week-long micro-batch stream commits ~10^5
+        #: versions — unbounded memoization of full file lists would be
+        #: a driver memory leak. Eviction keeps the newest half; delta
+        #: resolution depth stays ≤ MANIFEST_CHECKPOINT_EVERY from disk
+        #: regardless of what is cached.
         self._manifest_cache: dict[int, Manifest] = {}
+
+    _MANIFEST_CACHE_MAX = 128
+
+    def _cache_manifest(self, m: Manifest) -> None:
+        """LRU insert (dicts preserve insertion order): recency — not
+        version order — must decide eviction, because the ascending
+        maintenance walks (expire, orphan scan) depend on each step's
+        PARENT being the most recently touched entry."""
+        cache = self._manifest_cache
+        cache.pop(m.version, None)
+        cache[m.version] = m
+        while len(cache) > self._MANIFEST_CACHE_MAX:
+            del cache[next(iter(cache))]
 
     # ---------- paths ----------
     @property
@@ -315,6 +333,7 @@ class LakeTable:
         memoized; everything downstream always sees a full Manifest."""
         cached = self._manifest_cache.get(version)
         if cached is not None:
+            self._cache_manifest(cached)  # refresh LRU recency
             return cached
         with open(self._manifest_path(version)) as fh:
             d = json.load(fh)
@@ -326,7 +345,7 @@ class LakeTable:
             m.files = [f for f in parent.files if f.path not in removed] + [
                 DataFile.from_json(x) for x in delta["added_files"]
             ]
-        self._manifest_cache[version] = m
+        self._cache_manifest(m)
         return m
 
     def _serialize_manifest(self, manifest: Manifest) -> dict[str, Any]:
@@ -374,7 +393,7 @@ class LakeTable:
             json.dump(self._serialize_manifest(manifest), fh)
             fh.flush()
             os.fsync(fh.fileno())
-        self._manifest_cache[manifest.version] = manifest
+        self._cache_manifest(manifest)
         tmp = os.path.join(self._meta_dir, f".CURRENT.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(manifest.version))

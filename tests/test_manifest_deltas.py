@@ -107,3 +107,24 @@ def test_rebucket_commit_stays_full_form(spark, tmp_path):
     raw = _raw(t, t.current_version())
     assert "files" in raw and "delta" not in raw
     assert t.read().withColumn("b", bucket_expr(KEYS, 4)).count() == t.read().count()
+
+
+def test_bounded_manifest_cache_keeps_resolution_correct(spark, tmp_path, monkeypatch):
+    """Cache eviction (long-running stream protection) must not break
+    delta resolution or the expire walk — resolution falls back to disk
+    and is depth-bounded by the checkpoint interval."""
+    monkeypatch.setattr(LakeTable, "_MANIFEST_CACHE_MAX", 4)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    merge_into(t, repo_file_events(spark, n_keys=100, events_per_key=1, seed=31),
+               batch_id=1)
+    for i in range(8):
+        merge_into(t, _one_key_batch(spark, i), batch_id=2 + i, stage_batch=True)
+    assert len(t._manifest_cache) <= 4
+    want = {tuple(r) for r in t.read().collect()}
+    t2 = LakeTable.load(spark, t.root)
+    assert {tuple(r) for r in t2.read().collect()} == want
+    # time travel across evicted middles
+    assert t2.read(version=3).count() > 0
+    t2.expire_snapshots(keep_last=3)
+    t3 = LakeTable.load(spark, t.root)
+    assert {tuple(r) for r in t3.read().collect()} == want
