@@ -560,23 +560,49 @@ class LakeTable:
             v = m.parent_version
         return list(reversed(out))
 
+    @property
+    def _lineage_archive_path(self) -> str:
+        return os.path.join(self._meta_dir, "lineage.archive.jsonl")
+
     def lineage_df(self) -> DataFrame:
-        """All lineage records across snapshots, as a DataFrame
-        (FIXTURES.md §3 shape)."""
-        rows = []
+        """All lineage records — live snapshots PLUS the archive of
+        expired ones (FIXTURES.md §3 shape). ``expire_snapshots`` folds
+        each expired manifest's lineage into an append-only JSONL
+        archive before deleting it, so ingest history (source offset
+        ranges, row counts, snapshot ids) outlives snapshot retention —
+        the durable analogue of TDR's ``datarepo_load_history``."""
+        records: list[dict[str, Any]] = []
+        if os.path.exists(self._lineage_archive_path):
+            with open(self._lineage_archive_path) as fh:
+                for line in fh:
+                    if line.strip():
+                        records.append(json.loads(line))
         for m in self.snapshots():
             for entry in m.lineage:
-                rows.append(
-                    (
-                        int(entry["batch_id"]),
-                        entry.get("source_id", ""),
-                        int(entry.get("source_offset_start", -1)),
-                        int(entry.get("source_offset_end", -1)),
-                        {k: int(v) for k, v in entry.get("row_counts", {}).items()},
-                        int(m.snapshot_id),
-                        float(m.committed_at),
-                    )
+                records.append(
+                    {**entry, "snapshot_id": m.snapshot_id,
+                     "committed_at": m.committed_at}
                 )
+        # a crash between archive-append and manifest deletion makes a
+        # re-run re-archive the same entries — dedup on the natural key
+        seen: set[tuple] = set()
+        rows = []
+        for e in records:
+            key = (e.get("source_id", ""), int(e["batch_id"]), int(e["snapshot_id"]))
+            if key in seen:
+                continue
+            seen.add(key)
+            rows.append(
+                (
+                    int(e["batch_id"]),
+                    e.get("source_id", ""),
+                    int(e.get("source_offset_start", -1)),
+                    int(e.get("source_offset_end", -1)),
+                    {k: int(v) for k, v in e.get("row_counts", {}).items()},
+                    int(e["snapshot_id"]),
+                    float(e["committed_at"]),
+                )
+            )
         schema = (
             "batch_id long, source_id string, source_offset_start long, "
             "source_offset_end long, row_counts map<string,long>, "
@@ -858,7 +884,10 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop manifests older than the last ``keep_last`` and delete data
         files only they referenced. Time travel to expired versions stops
-        working (same contract as Iceberg's expire_snapshots)."""
+        working (same contract as Iceberg's expire_snapshots). Lineage
+        records of expired manifests are folded into the append-only
+        archive FIRST (fsync'd before any manifest deletion), so ingest
+        history survives retention."""
         versions = self._all_versions()
         if len(versions) <= keep_last:
             return 0
@@ -867,6 +896,22 @@ class LakeTable:
         for v in keep:
             for f in self.manifest_at(v).files:
                 keep_files.add(f.path)
+        archived = []
+        for v in versions:
+            if v in keep:
+                continue
+            m = self.manifest_at(v)
+            for entry in m.lineage:
+                archived.append(
+                    {**entry, "snapshot_id": m.snapshot_id,
+                     "committed_at": m.committed_at}
+                )
+        if archived:
+            with open(self._lineage_archive_path, "a") as fh:
+                for rec in archived:
+                    fh.write(json.dumps(rec) + "\n")
+                fh.flush()
+                os.fsync(fh.fileno())
         removed = 0
         for v in versions:
             if v in keep:

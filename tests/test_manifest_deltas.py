@@ -128,3 +128,27 @@ def test_bounded_manifest_cache_keeps_resolution_correct(spark, tmp_path, monkey
     t2.expire_snapshots(keep_last=3)
     t3 = LakeTable.load(spark, t.root)
     assert {tuple(r) for r in t3.read().collect()} == want
+
+
+def test_lineage_survives_snapshot_expiry(spark, tmp_path):
+    """Ingest history (north rule: per-partition lineage) must outlive
+    snapshot retention: expire folds expired manifests' lineage into the
+    archive; a double expire does not duplicate rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    for i in range(4):
+        merge_into(t, repo_file_events(spark, n_keys=50, events_per_key=1,
+                                       seed=60 + i),
+                   batch_id=i + 1, offset_range=(i * 50, (i + 1) * 50 - 1))
+    before = {(r.source_id, r.batch_id) for r in t.lineage_df().collect()}
+    assert {b for (_, b) in before} == {1, 2, 3, 4}
+
+    t.expire_snapshots(keep_last=1)
+    after = {(r.source_id, r.batch_id) for r in t.lineage_df().collect()}
+    assert after == before
+    # offsets preserved through the archive
+    offs = {r.batch_id: (r.source_offset_start, r.source_offset_end)
+            for r in t.lineage_df().collect()}
+    assert offs[2] == (50, 99)
+    # idempotent under repeat
+    t.expire_snapshots(keep_last=1)
+    assert len(t.lineage_df().collect()) == 4
