@@ -115,3 +115,24 @@ def test_q6_filters_all_pushed(spark):
 
     df = QUERIES["q6_forecast_revenue"](spark, SF)
     assert_pushed_filters(df, ["l_shipdate", "l_discount", "l_quantity"])
+
+
+def test_dirty_group_isin_filter_is_pushed_to_scan(spark, tmp_path):
+    """The incremental refresh's dirty-repo predicate must reach the
+    parquet reader (row-group / dictionary pruning) — the plan property
+    the `write.sort_within_buckets` clustering pays off through."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path", "commit"], num_buckets=4)
+    merge_into(t, repo_file_events(spark, n_keys=100, events_per_key=1, seed=3),
+               batch_id=1)
+    df = t.read().filter(F.col("repo").isin(["org0/repo0", "org1/repo1"]))
+    assert_pushed_filters(df, ["repo"])
