@@ -228,6 +228,66 @@ def bench_changelog_pruning(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_streaming_e2e(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """The north metric measured LITERALLY: change-events/sec sustained
+    end-to-end through Structured Streaming — rate-micro-batch tail →
+    foreachBatch dedup+MERGE → committed snapshot, including checkpoint
+    and fence overhead per epoch. (bench_cdc_merge times the same work
+    without the streaming machinery; the delta between the two is the
+    per-epoch fixed cost.)"""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.lake import LakeTable
+    from encode_ingest_spark.streaming.pipeline import CdcStreamPipeline
+
+    n_keys = _cdc_keys_for(sf_dir)
+    total = n_keys * 3
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="bench_stream_", dir=shm)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(root, "t"), schema,
+            ["repo", "path", "commit"], num_buckets=32,
+        )
+        pipe = CdcStreamPipeline(
+            table, checkpoint_dir=os.path.join(root, "ckpt"), source="rate",
+            rate_opts={"n_keys": n_keys, "events_per_key": 3,
+                       "rows_per_batch": total // n_batches},
+        )
+        t0 = _time.perf_counter()
+        query = (
+            pipe._stream_df(spark)
+            .writeStream.foreachBatch(pipe._apply_batch)
+            .option("checkpointLocation", pipe.checkpoint_dir)
+            .start()
+        )
+        try:
+            deadline = _time.time() + 600
+            while _time.time() < deadline and len(
+                [r for r in pipe.batch_results if not r.skipped]
+            ) < n_batches:
+                _time.sleep(0.2)
+            dt = _time.perf_counter() - t0
+        finally:
+            query.stop()
+            query.awaitTermination(30)
+        done = len([r for r in pipe.batch_results if not r.skipped])
+        events = min(done, n_batches) * (total // n_batches)
+        return {
+            "streaming_e2e_sec": round(dt, 3),
+            "streaming_e2e_events": events,
+            "events_per_sec_stream": round(events / dt, 1) if dt else 0.0,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from encode_ingest_spark.session import get_spark
     from encode_ingest_spark.suite import QUERIES
@@ -263,6 +323,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     narrow = bench_narrow_batch(spark, sf_dir)
     chlog = bench_changelog_pruning(spark, sf_dir)
+    stream = bench_streaming_e2e(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -277,6 +338,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "events_per_sec_mor": round(n_events / mor_sec, 1),
         **narrow,
         **chlog,
+        **stream,
     }
 
 

@@ -335,3 +335,32 @@ def test_single_key_flood_is_bounded_and_correct(spark, tmp_path):
         (F.col("repo") == top.repo) & (F.col("path") == top.path)
         & (F.col("commit") == top.commit)).first()
     assert hot is not None and hot._seq >= 6000  # flood seqs sit past base
+
+
+def test_independent_source_fences_interleave(spark, tmp_path):
+    """Two upstream sources ingest into ONE table with independent
+    batch-id fences (the manifest watermarks are per source_id): a
+    replay from either source fences off without blocking the other,
+    and the final state equals the combined replay oracle."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    ev_a = repo_file_events(spark, n_keys=150, events_per_key=2, seed=91)
+    ev_b = repo_file_events(spark, n_keys=150, events_per_key=2, seed=92)
+
+    # interleaved ingest, separate fence namespaces
+    merge_into(t, ev_a.filter(F.col("event_seq") < 150), source_id="a", batch_id=1)
+    merge_into(t, ev_b.filter(F.col("event_seq") < 150), source_id="b", batch_id=1)
+    merge_into(t, ev_a.filter(F.col("event_seq") >= 150), source_id="a", batch_id=2)
+
+    # replaying source a's batch 1 is a no-op; source b's batch 2 is NOT
+    # fenced by a's progress
+    assert merge_into(t, ev_a.filter(F.col("event_seq") < 150),
+                      source_id="a", batch_id=1).skipped
+    res_b2 = merge_into(t, ev_b.filter(F.col("event_seq") >= 150),
+                        source_id="b", batch_id=2)
+    assert not res_b2.skipped
+
+    wm = t.current_manifest().watermarks
+    assert wm["a"]["batch_id"] == 2 and wm["b"]["batch_id"] == 2
+
+    both = pd.concat([ev_a.toPandas(), ev_b.toPandas()], ignore_index=True)
+    assert_state_matches(t, both)
