@@ -112,12 +112,16 @@ def test_merge_matches_replay_oracle(spark, tmp_path_factory, stream, split):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(stream=_STREAM, split=st.integers(min_value=2, max_value=3))
-def test_changelog_composes_to_state_diff(spark, tmp_path_factory, stream, split):
+@given(stream=_STREAM, split=st.integers(min_value=2, max_value=3),
+       mode=st.sampled_from(["cow", "mor"]))
+def test_changelog_composes_to_state_diff(spark, tmp_path_factory, stream, split,
+                                          mode):
     """Property: for ANY event stream split into batches, applying
     read_changes(v_i, v_j) onto the state at v_i reproduces the state at
     v_j — i.e. the changelog is exactly the state diff, for every
-    adjacent AND spanning version pair."""
+    adjacent AND spanning version pair. Runs under BOTH write modes, so
+    the manifest-diff bucket pruning is exercised over COW rewrites and
+    MOR delta appends alike."""
     seen = set()
     filtered = []
     for ev in stream:
@@ -135,7 +139,8 @@ def test_changelog_composes_to_state_diff(spark, tmp_path_factory, stream, split
     for i, chunk in enumerate(chunks):
         if not chunk:
             continue
-        merge_into(table, spark.createDataFrame(chunk, SCH), batch_id=i + 1)
+        merge_into(table, spark.createDataFrame(chunk, SCH), batch_id=i + 1,
+                   mode=mode)
         versions.append(table.current_version())
 
     def live(version):
