@@ -57,9 +57,15 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None = None, mode: str = "cow") -> tuple[float, int]:
+def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None = None, mode: str = "cow", flood_key_pct: int = 0) -> tuple[float, int]:
     """End-to-end CDC throughput: generate → dedup → MERGE commit, over
-    n_batches micro-batches. Returns (seconds, events)."""
+    n_batches micro-batches. Returns (seconds, events).
+
+    ``flood_key_pct`` redirects that share of ALL events to one
+    (repo,path,commit) key — the pathological hot-key stream. The merge
+    absorbs it in the map-side partial aggregate (one row per key per
+    map task reaches the shuffle), so throughput should hold; measured
+    via ``--flood-pct`` (north rule: skew handled explicitly)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -118,7 +124,8 @@ def bench_cdc_merge(spark, sf_dir: str, n_batches: int = 4, n_keys: int | None =
         for i in range(n_batches):
             lo, hi = i * total // n_batches, (i + 1) * total // n_batches
             batch = repo_file_events(
-                spark, n_keys=n_keys, events_per_key=3, seed=42, slot_range=(lo, hi)
+                spark, n_keys=n_keys, events_per_key=3, seed=42,
+                slot_range=(lo, hi), flood_key_pct=flood_key_pct,
             )
             merge_into(t, batch, batch_id=i + 1, offset_range=(lo, hi - 1), mode=mode)
         return time.perf_counter() - t0
@@ -476,6 +483,8 @@ def main() -> None:
     ap.add_argument("--sketch-only", action="store_true")
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    ap.add_argument("--flood-pct", type=int, default=0,
+                    help="redirect this %% of events to ONE hot key (skew probe)")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
@@ -521,7 +530,8 @@ def main() -> None:
 
         spark = get_spark("bench-cdc", cores=args.cores)
         spark.range(1000).count()
-        sec, n = bench_cdc_merge(spark, args.sf_dir, n_batches=args.batches, mode=args.mode)
+        sec, n = bench_cdc_merge(spark, args.sf_dir, n_batches=args.batches,
+                                 mode=args.mode, flood_key_pct=args.flood_pct)
         print(
             json.dumps(
                 {
@@ -532,6 +542,7 @@ def main() -> None:
                     "events_per_sec": round(n / sec, 1),
                     "cpus": args.cores,
                     "sf": args.sf_dir,
+                    "flood_key_pct": args.flood_pct,
                 }
             )
         )
