@@ -132,6 +132,42 @@ def test_crash_between_member_commits_keeps_consistent_vector(spark, tmp_path):
     assert _fk_clean(group, version=g1)
 
 
+def test_streaming_pipeline_with_derived_group(spark, tmp_path):
+    """The full DAG under group consistency: tail → MERGE → transactional
+    derived refresh per epoch. The group version advances once per
+    merged epoch, every group snapshot is FK-clean, and the final group
+    read equals a full recompute."""
+    from encode_ingest_spark.entities import split_all
+    from encode_ingest_spark.streaming.pipeline import (
+        CdcStreamPipeline,
+        write_event_files,
+    )
+
+    source, targets, group = _setup(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=200, events_per_key=2, seed=57)
+    write_event_files(ev, str(tmp_path / "ev"), n_files=3)
+    pipe = CdcStreamPipeline(
+        source, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, derived_group=group,
+    )
+    merged = pipe.run_available_now(spark)
+    assert merged >= 2
+    assert group.current_version() == merged
+    for gv in range(1, group.current_version() + 1):
+        assert _fk_clean(group, version=gv), f"group v{gv} FK-dirty"
+
+    want = split_all(source.read())
+    got = {tuple(str(v) for v in r)
+           for r in group.read("file").select("file_id", "content_sha256").collect()}
+    exp = {tuple(str(v) for v in r)
+           for r in want["file"].select("file_id", "content_sha256").collect()}
+    assert got == exp
+
+    # re-drain with nothing new: no group movement
+    assert pipe.run_available_now(spark) == 0
+    assert group.current_version() == merged
+
+
 def test_group_commit_fences_and_rejects_unknown_members(spark, tmp_path):
     source, targets, group = _setup(spark, tmp_path)
     with pytest.raises(ValueError, match="not group members"):
