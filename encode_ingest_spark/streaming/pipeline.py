@@ -240,10 +240,26 @@ class CdcStreamPipeline:
                     return None
         return None
 
-    def run_available_now(self, spark: SparkSession, timeout_sec: int = 600) -> int:
+    def run_available_now(
+        self,
+        spark: SparkSession,
+        timeout_sec: int = 600,
+        collect_metrics: bool = False,
+    ) -> int:
         """Drain the current backlog and stop (replay / catch-up mode).
-        Returns the number of micro-batches that performed a merge."""
+        Returns the number of micro-batches that performed a merge.
+
+        ``collect_metrics=True`` attaches a StreamingQueryListener for
+        the run and fills ``self.progress`` with per-epoch engine
+        metrics (input rows, processing rate, trigger durations) —
+        SURVEY §2.9's observability row, complementing the per-batch
+        lineage the merge itself commits."""
         self.batch_results = []
+        self.progress: list[dict] = []
+        listener = None
+        if collect_metrics:
+            listener = _ProgressListener(self.progress)
+            spark.streams.addListener(listener)
         query = (
             self._stream_df(spark)
             .writeStream.foreachBatch(self._apply_batch)
@@ -256,11 +272,57 @@ class CdcStreamPipeline:
         finally:
             if query.isActive:  # pragma: no cover - timeout safety
                 query.stop()
+            if listener is not None:
+                # listener events arrive on a separate delivery thread —
+                # drain until the stream of progress updates goes quiet
+                import time as _time
+
+                deadline = _time.time() + 10
+                last = -1
+                while _time.time() < deadline and len(self.progress) != last:
+                    last = len(self.progress)
+                    _time.sleep(0.3)
+                spark.streams.removeListener(listener)
         return len([r for r in self.batch_results if not r.skipped])
 
     def last_committed_batch(self) -> int:
         wm = self.table.current_manifest().watermarks.get(self.source_id)
         return -1 if wm is None else wm.get("batch_id", -1)
+
+
+try:  # pragma: no cover - import location is version-dependent
+    from pyspark.sql.streaming import StreamingQueryListener as _SQL_Listener
+except ImportError:  # pragma: no cover
+    from pyspark.sql.streaming.listener import (  # type: ignore
+        StreamingQueryListener as _SQL_Listener,
+    )
+
+
+class _ProgressListener(_SQL_Listener):
+    """Collects per-epoch engine metrics into a plain list of dicts."""
+
+    def __init__(self, sink: list):
+        self._sink = sink
+
+    def onQueryStarted(self, event):  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = event.progress
+        self._sink.append(
+            {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "processed_rows_per_sec": p.processedRowsPerSecond,
+                "duration_ms": dict(p.durationMs or {}),
+            }
+        )
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
 
 
 def write_event_files(

@@ -242,3 +242,38 @@ def test_streaming_mor_mode_with_auto_compaction(spark, tmp_path):
     key = ["repo", "path", "commit", "content"]
     assert ({tuple(r) for r in table.read().select(*key).collect()}
             == {tuple(r) for r in cow.read().select(*key).collect()})
+
+
+def test_streaming_progress_listener_metrics(spark, tmp_path):
+    """SURVEY §2.9 observability: run_available_now(collect_metrics=True)
+    captures per-epoch engine metrics (input rows, durations) alongside
+    the lineage the merges commit."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable
+    from encode_ingest_spark.streaming.pipeline import (
+        CdcStreamPipeline,
+        write_event_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["repo", "path", "commit"],
+        num_buckets=4,
+    )
+    ev = repo_file_events(spark, n_keys=100, events_per_key=2, seed=67)
+    write_event_files(ev, str(tmp_path / "ev"), n_files=2)
+    pipe = CdcStreamPipeline(
+        table, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    merged = pipe.run_available_now(spark, collect_metrics=True)
+    assert merged >= 1
+    rows_seen = sum(p["num_input_rows"] for p in pipe.progress)
+    assert rows_seen == 200  # every event observed by the engine
+    assert all("triggerExecution" in p["duration_ms"] for p in pipe.progress
+               if p["num_input_rows"] > 0)
