@@ -77,8 +77,36 @@ def incremental_split_refresh(
             return {}
         targets = pending
     # the change set is consumed by up to four jobs (file batch, two
-    # dirty-group sets, the pushdown collect) — materialize it once
-    changes = source.read_changes(from_version, to_v).localCheckpoint(eager=True)
+    # dirty-group sets, the pushdown collect) — materialize it once, AS
+    # PARQUET SCRATCH: on wide-string payloads a parquet stage measures
+    # ~2x cheaper than localCheckpoint (lake/merge.py's measured numbers,
+    # 2.6 s vs 4.6 s on a 150k-row×2KB batch) and leaves no RDD blocks
+    # lingering across a long stream's epochs
+    import os
+    import shutil
+    import tempfile
+
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    scratch = tempfile.mkdtemp(prefix="chlog_refresh_", dir=shm)
+    try:
+        raw = source.read_changes(from_version, to_v)
+        stage = os.path.join(scratch, "changes")
+        raw.write.mode("overwrite").parquet(stage)
+        changes = source.spark.read.schema(raw.schema).parquet(stage)
+        return _split_refresh_from_changes(
+            source, targets, changes, to_v, batch_id
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _split_refresh_from_changes(
+    source: LakeTable,
+    targets: dict[str, LakeTable],
+    changes,
+    to_v: int,
+    batch_id: int | None,
+) -> dict[str, MergeResult]:
     results: dict[str, MergeResult] = {}
     is_del = F.col("_change_type") == F.lit("delete")
 

@@ -176,11 +176,21 @@ def _footer_stats(pf) -> dict[str, Any] | None:
       else in the engine)
     """
     md = pf.metadata
-    try:
-        names = list(pf.schema_arrow.names)
-        del_i = names.index(DELETED_COL)
-        seq_i = names.index(SEQ_COL)
-    except ValueError:
+    if md.num_row_groups == 0:
+        return None
+    # locate leaves by their parquet COLUMN PATH: row-group column
+    # indices enumerate flattened leaves, which diverge from Arrow's
+    # top-level field positions as soon as a struct/map column exists —
+    # positional lookup would silently read a payload column's stats
+    rg0 = md.row_group(0)
+    del_i = seq_i = None
+    for j in range(rg0.num_columns):
+        path = rg0.column(j).path_in_schema
+        if path == DELETED_COL:
+            del_i = j
+        elif path == SEQ_COL:
+            seq_i = j
+    if del_i is None or seq_i is None:
         return None
     has_tomb = False
     mins: list[int] = []
@@ -560,6 +570,32 @@ class LakeTable:
             v = m.parent_version
         return list(reversed(out))
 
+    def lineage_span_for(
+        self, source_id: str, batch_id: int
+    ) -> tuple[int, int] | None:
+        """(parent_version, version) of the snapshot whose lineage
+        committed (source_id, batch_id) — the replay-recovery resolver.
+        LAZY newest-first walk of the parent chain with the monotone
+        early-stop (per source, lineage batch ids only decrease walking
+        back), so the common fence-replay check costs O(1) manifest
+        reads — never a full-chain materialization, which at ~10^5
+        versions would be ~10^5 JSON loads per replayed epoch. None if
+        unreachable (expired) or the id predates this source."""
+        v: int | None = self.current_version()
+        want = int(batch_id)
+        while v is not None:
+            m = self.manifest_at(v)
+            for entry in m.lineage:
+                if entry.get("source_id") != source_id:
+                    continue
+                found = int(entry.get("batch_id", -1))
+                if found == want and m.parent_version is not None:
+                    return (m.parent_version, m.version)
+                if found < want:
+                    return None
+            v = m.parent_version
+        return None
+
     @property
     def _lineage_archive_path(self) -> str:
         return os.path.join(self._meta_dir, "lineage.archive.jsonl")
@@ -850,14 +886,26 @@ class LakeTable:
         names a running process (a merge in flight, however long) OR it
         is younger than ``staging_older_than_sec`` (markerless legacy
         dirs; same retention contract as Iceberg's
-        remove_orphan_files)."""
-        orphans = self.orphan_files()
-        for p in orphans:
-            os.remove(p)
-        n = len(orphans)
+        remove_orphan_files).
+
+        Data-dir orphans get the SAME age guard: an in-flight merge
+        moves its finished bucket files under data/ BEFORE the manifest
+        commit, so a young unreferenced file may be a commit-in-progress,
+        not garbage — deleting it would let the imminent commit
+        reference a missing file. Only files older than the retention
+        window are removed (Iceberg's remove_orphan_files makes the
+        identical trade)."""
+        cutoff = time.time() - staging_older_than_sec
+        n = 0
+        for p in self.orphan_files():
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    n += 1
+            except OSError:
+                continue
         staging = os.path.join(self.root, "_staging")
         if os.path.isdir(staging):
-            cutoff = time.time() - staging_older_than_sec
             for d in os.listdir(staging):
                 path = os.path.join(staging, d)
                 if d.endswith(".pid"):
@@ -912,23 +960,16 @@ class LakeTable:
                     fh.write(json.dumps(rec) + "\n")
                 fh.flush()
                 os.fsync(fh.fileno())
-        removed = 0
-        for v in versions:
-            if v in keep:
-                continue
-            for f in self.manifest_at(v).files:
-                if f.path not in keep_files:
-                    p = os.path.join(self.root, f.path)
-                    if os.path.exists(p):
-                        os.remove(p)
-                        removed += 1
-            os.remove(self._manifest_path(v))
-        # re-root the parent chain of the oldest kept manifest. The
-        # rewrite is ATOMIC (temp file + os.replace over the original):
-        # with keep_last=1 the re-rooted manifest IS the one CURRENT
-        # points to, and a crash between a remove and a recreate would
-        # leave the table unloadable. (_write_manifest is unusable here —
-        # its O_EXCL create-new semantics would force that unsafe delete.)
+        # re-root the oldest kept manifest BEFORE deleting anything it
+        # depends on: with delta-form manifests the kept chain resolves
+        # through expired parents, so a crash after the removals but
+        # before this rewrite would leave CURRENT unloadable (a failure
+        # mode full-form manifests did not have). The rewrite is ATOMIC
+        # (temp file + os.replace over the original) and materializes
+        # the FULL file list; a crash anywhere after it leaves both the
+        # kept chain self-contained and the expired manifests intact for
+        # an idempotent re-run. (_write_manifest is unusable here — its
+        # O_EXCL create-new semantics would force an unsafe delete.)
         oldest = min(keep)
         om = self.manifest_at(oldest)
         if om.parent_version is not None and om.parent_version not in keep:
@@ -940,6 +981,17 @@ class LakeTable:
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(tmp, path)
+        removed = 0
+        for v in versions:
+            if v in keep:
+                continue
+            for f in self.manifest_at(v).files:
+                if f.path not in keep_files:
+                    p = os.path.join(self.root, f.path)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed += 1
+            os.remove(self._manifest_path(v))
         return removed
 
     def _all_versions(self) -> list[int]:

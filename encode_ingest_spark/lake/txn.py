@@ -192,16 +192,8 @@ class TableGroup:
         table: LakeTable, source_id: str, batch_id: int
     ) -> int | None:
         """The member version whose lineage committed (source_id,
-        batch_id) — newest-first walk with the same monotone early-stop
-        as the streaming recovery. The replay resolver for group commits
-        when a member's merge fence-skipped."""
-        for m in reversed(table.snapshots()):
-            for entry in m.lineage:
-                if entry.get("source_id") != source_id:
-                    continue
-                found = int(entry.get("batch_id", -1))
-                if found == batch_id:
-                    return m.version
-                if found < batch_id:
-                    return None
-        return None
+        batch_id) — the replay resolver for group commits when a
+        member's merge fence-skipped. Delegates to the table's lazy
+        newest-first lineage walk."""
+        span = table.lineage_span_for(source_id, batch_id)
+        return None if span is None else span[1]

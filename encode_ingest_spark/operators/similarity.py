@@ -244,9 +244,12 @@ def embedding_near_dup_pairs(
     if method != "srp":
         raise ValueError(f"unknown method {method!r} (expected 'srp' or 'exact')")
     if dim is None:
-        head = vectors.select(vec_col).first()
-        if head is None or head[0] is None:
-            # empty input (or all-null vectors): no pairs, well-typed
+        # infer from the first NON-NULL vector — an arbitrary first row
+        # with a null embedding (failed-embed rows) must not masquerade
+        # as an empty corpus
+        head = vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if head is None:
+            # truly empty (or all-null) input: no pairs, well-typed
             from pyspark.sql import types as T
 
             id_type = vectors.schema[id_col].dataType

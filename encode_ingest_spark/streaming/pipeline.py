@@ -220,25 +220,10 @@ class CdcStreamPipeline:
         self.batch_results.append(res)
 
     def _lineage_span(self, batch_id: int) -> tuple[int, int] | None:
-        """(parent_version, version) of the snapshot whose lineage
-        committed ``batch_id`` for this pipeline's source — the replay
-        recovery for the derived-table refresh. None when the snapshot
-        is no longer reachable (expired) or the batch predates this
-        source's history; the only batches that can hit the crash
-        window are the most recent ones, which are always reachable.
-        Newest-first walk with early termination: per source the lineage
-        batch ids are monotone along the parent chain, so passing a
-        smaller id means the target can't appear further back."""
-        for m in reversed(self.table.snapshots()):
-            for entry in m.lineage:
-                if entry.get("source_id") != self.source_id:
-                    continue
-                found = int(entry.get("batch_id", -1))
-                if found == batch_id and m.parent_version is not None:
-                    return (m.parent_version, m.version)
-                if found < batch_id:
-                    return None
-        return None
+        """Replay recovery for the derived-table refresh: delegates to
+        the table's lazy newest-first lineage walk (O(1) manifest reads
+        for the crash-window batches, which are always near the head)."""
+        return self.table.lineage_span_for(self.source_id, batch_id)
 
     def run_available_now(
         self,
@@ -257,31 +242,44 @@ class CdcStreamPipeline:
         self.batch_results = []
         self.progress: list[dict] = []
         listener = None
-        if collect_metrics:
-            listener = _ProgressListener(self.progress)
-            spark.streams.addListener(listener)
-        query = (
-            self._stream_df(spark)
-            .writeStream.foreachBatch(self._apply_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+        raw: list[dict] = []
         try:
-            query.awaitTermination(timeout_sec)
-        finally:
-            if query.isActive:  # pragma: no cover - timeout safety
-                query.stop()
-            if listener is not None:
-                # listener events arrive on a separate delivery thread —
-                # drain until the stream of progress updates goes quiet
-                import time as _time
+            if collect_metrics:
+                # listeners are SESSION-global: record raw events tagged
+                # with their query id and filter to OUR query afterwards,
+                # so concurrent pipelines/queries don't cross-pollute
+                listener = _ProgressListener(raw)
+                spark.streams.addListener(listener)
+            query = (
+                self._stream_df(spark)
+                .writeStream.foreachBatch(self._apply_batch)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                query.awaitTermination(timeout_sec)
+            finally:
+                if query.isActive:  # pragma: no cover - timeout safety
+                    query.stop()
+                if listener is not None:
+                    # events arrive on a separate delivery thread — drain
+                    # until the stream of updates goes quiet
+                    import time as _time
 
-                deadline = _time.time() + 10
-                last = -1
-                while _time.time() < deadline and len(self.progress) != last:
-                    last = len(self.progress)
-                    _time.sleep(0.3)
+                    deadline = _time.time() + 10
+                    last = -1
+                    while _time.time() < deadline and len(raw) != last:
+                        last = len(raw)
+                        _time.sleep(0.3)
+                    qid = str(query.id)
+                    self.progress = [
+                        {k: v for k, v in p.items() if k != "query_id"}
+                        for p in raw
+                        if p["query_id"] == qid
+                    ]
+        finally:
+            if listener is not None:
                 spark.streams.removeListener(listener)
         return len([r for r in self.batch_results if not r.skipped])
 
@@ -311,6 +309,7 @@ class _ProgressListener(_SQL_Listener):
         p = event.progress
         self._sink.append(
             {
+                "query_id": str(p.id),
                 "batch_id": p.batchId,
                 "num_input_rows": p.numInputRows,
                 "processed_rows_per_sec": p.processedRowsPerSecond,

@@ -126,7 +126,15 @@ def test_orphan_cleanup(spark, tmp_path):
     os.makedirs(stray_dir, exist_ok=True)
     shutil.copy(src, stray_dir / "orphan.parquet")
     assert len(t.orphan_files()) == 1
-    assert t.remove_orphans() == 1
+    # a YOUNG unreferenced file may be a commit-in-progress — kept
+    assert t.remove_orphans() == 0
+    assert len(t.orphan_files()) == 1
+    # past the retention window it is garbage
+    import time as _time
+
+    old = _time.time() - 7200
+    os.utime(stray_dir / "orphan.parquet", (old, old))
+    assert t.remove_orphans(staging_older_than_sec=3600) == 1
     assert t.orphan_files() == []
     assert t.read().count() == 1
 

@@ -152,3 +152,42 @@ def test_lineage_survives_snapshot_expiry(spark, tmp_path):
     # idempotent under repeat
     t.expire_snapshots(keep_last=1)
     assert len(t.lineage_df().collect()) == 4
+
+
+def test_expire_crash_before_deletions_leaves_table_loadable(
+    spark, tmp_path, monkeypatch
+):
+    """The re-root of the oldest kept (delta-form) manifest happens
+    BEFORE any expired manifest is deleted — a crash anywhere in the
+    deletion phase must leave CURRENT loadable from a fresh process."""
+    import os as _os
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    merge_into(t, repo_file_events(spark, n_keys=200, events_per_key=1, seed=5),
+               batch_id=1)
+    for i in range(4):
+        merge_into(t, _one_key_batch(spark, i), batch_id=2 + i, stage_batch=True)
+    assert "delta" in _raw(t, t.current_version())
+    before = {tuple(r) for r in t.read().collect()}
+
+    real_remove = _os.remove
+
+    def crash_on_manifest(path, *a, **kw):
+        if str(path).endswith(".manifest.json"):
+            raise OSError("injected crash during expire deletions")
+        return real_remove(path, *a, **kw)
+
+    monkeypatch.setattr(_os, "remove", crash_on_manifest)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected crash"):
+        t.expire_snapshots(keep_last=2)
+    monkeypatch.setattr(_os, "remove", real_remove)
+
+    # fresh process view: all manifests CURRENT depends on must resolve
+    t2 = LakeTable.load(spark, t.root)
+    assert {tuple(r) for r in t2.read().collect()} == before
+    # and a re-run of expire completes idempotently
+    t2.expire_snapshots(keep_last=2)
+    t3 = LakeTable.load(spark, t.root)
+    assert {tuple(r) for r in t3.read().collect()} == before
