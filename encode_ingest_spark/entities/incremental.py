@@ -26,6 +26,10 @@ the table.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..lake import LakeTable, merge_into
@@ -38,10 +42,42 @@ from .repo_entities import (
 )
 
 
-#: dirty-repo sets up to this size are collected to the driver and pushed
+#: dirty-group sets up to this size are collected to the driver and pushed
 #: into the snapshot scan as an `isin` predicate (parquet row-group /
 #: dictionary pruning); larger sets fall back to the semi-join-only plan.
 DIRTY_GROUP_PUSHDOWN_CAP = 10_000
+
+
+@dataclass(frozen=True)
+class ProjectionSpec:
+    """Row-wise derived table: each changed source key maps 1:1 to a
+    derived key. ``build(changes, extra)`` projects the change rows into
+    the merge batch; ``extra`` supplies the CDC envelope (op carried
+    from ``_change_type``, event_seq carried from the source ``_seq`` —
+    monotone per derived key because it is monotone per source key)."""
+
+    name: str
+    build: Callable[[DataFrame, dict], DataFrame]
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """Dirty-group aggregate derived table, recomputed per affected
+    group. ``group_id`` is a row-level group expression over SOURCE-
+    shaped rows; it may reference MUTABLE payload columns — the refresh
+    derives dirty groups from both the post-image and the ``_before``
+    pre-image, so an update that moves a row between groups dirties
+    both. ``build(subset)`` aggregates the dirty groups' current rows
+    into rolled rows keyed by ``id_col``; groups with no remaining rows
+    become deletes. ``pushdown_col`` names a plain source column whose
+    dirty values form an `isin` predicate the parquet reader can prune
+    with (pair with the table's ``write.sort_within_buckets``)."""
+
+    name: str
+    id_col: str
+    group_id: Callable[[], Column]
+    build: Callable[[DataFrame], DataFrame]
+    pushdown_col: str | None = None
 
 
 def incremental_split_refresh(
@@ -63,6 +99,45 @@ def incremental_split_refresh(
     (collected when ≤ DIRTY_GROUP_PUSHDOWN_CAP — a micro-batch touches
     few repos; the cap guards pathological batches). Every step is then
     proportional to the change set, not the table."""
+    specs = {name: REPO_FILE_SPECS[name] for name in targets}
+    return refresh_derived(
+        source, targets, specs, from_version, to_version, batch_id
+    )
+
+
+#: the built-in repo-file derived tables, expressed in the generic spec
+#: vocabulary — users register their OWN derived tables the same way
+REPO_FILE_SPECS: dict[str, ProjectionSpec | RollupSpec] = {
+    "file": ProjectionSpec("file", split_files),
+    "repo": RollupSpec(
+        "repo",
+        id_col="repo_id",
+        group_id=lambda: F.col("repo"),
+        build=split_repos,
+        pushdown_col="repo",
+    ),
+    "commit_activity": RollupSpec(
+        "commit_activity",
+        id_col="activity_id",
+        group_id=lambda: composite_id(F.col("repo"), F.col("commit")),
+        build=split_commit_activities,
+        pushdown_col="repo",
+    ),
+}
+
+
+def refresh_derived(
+    source: LakeTable,
+    targets: dict[str, LakeTable],
+    specs: dict[str, "ProjectionSpec | RollupSpec"],
+    from_version: int,
+    to_version: int | None = None,
+    batch_id: int | None = None,
+) -> dict[str, MergeResult]:
+    """Generic incremental maintenance: refresh each named derived table
+    per its spec from the source changelog. The engine's user-facing
+    materialized-view primitive — ``incremental_split_refresh`` is just
+    this with the built-in ``REPO_FILE_SPECS``."""
     to_v = to_version if to_version is not None else source.current_version()
     if batch_id is not None:
         # replay fast path: drop targets whose fence already covers this
@@ -76,12 +151,15 @@ def incremental_split_refresh(
         if not pending:
             return {}
         targets = pending
-    # the change set is consumed by up to four jobs (file batch, two
-    # dirty-group sets, the pushdown collect) — materialize it once, AS
-    # PARQUET SCRATCH: on wide-string payloads a parquet stage measures
-    # ~2x cheaper than localCheckpoint (lake/merge.py's measured numbers,
-    # 2.6 s vs 4.6 s on a 150k-row×2KB batch) and leaves no RDD blocks
-    # lingering across a long stream's epochs
+    missing = set(targets) - set(specs)
+    if missing:
+        raise ValueError(f"no spec for derived tables: {sorted(missing)}")
+    # the change set is consumed by several jobs (one per spec plus the
+    # pushdown collects) — materialize it once, AS PARQUET SCRATCH: on
+    # wide-string payloads a parquet stage measures ~2x cheaper than
+    # localCheckpoint (lake/merge.py's measured numbers, 2.6 s vs 4.6 s
+    # on a 150k-row×2KB batch) and leaves no RDD blocks lingering across
+    # a long stream's epochs
     import os
     import shutil
     import tempfile
@@ -89,98 +167,80 @@ def incremental_split_refresh(
     shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     scratch = tempfile.mkdtemp(prefix="chlog_refresh_", dir=shm)
     try:
-        raw = source.read_changes(from_version, to_v)
+        raw = source.read_changes(from_version, to_v, include_before=True)
         stage = os.path.join(scratch, "changes")
         raw.write.mode("overwrite").parquet(stage)
         changes = source.spark.read.schema(raw.schema).parquet(stage)
-        return _split_refresh_from_changes(
-            source, targets, changes, to_v, batch_id
+
+        keys = source.current_manifest().key_cols
+        # pre-image rows re-shaped like source rows (keys are immutable
+        # per key, payload from _before): group expressions over MUTABLE
+        # columns evaluate on these to dirty the OLD group of a moved row
+        before_rows = changes.filter(F.col("_before").isNotNull()).select(
+            *keys, "_before.*"
         )
+
+        results: dict[str, MergeResult] = {}
+        is_del = F.col("_change_type") == F.lit("delete")
+        for name, target in targets.items():
+            spec = specs[name]
+            if isinstance(spec, ProjectionSpec):
+                batch = spec.build(
+                    changes,
+                    {
+                        "op": F.when(is_del, F.lit("delete")).otherwise(
+                            F.lit("upsert")
+                        ),
+                        "event_seq": F.col("_seq"),
+                    },
+                )
+                results[name] = merge_into(
+                    target, batch, source_id="entity_refresh", batch_id=batch_id
+                )
+                continue
+
+            gid = spec.group_id()
+            dirty = (
+                changes.select(gid.alias(spec.id_col))
+                .unionByName(before_rows.select(gid.alias(spec.id_col)))
+                .filter(F.col(spec.id_col).isNotNull())
+                .distinct()
+            )
+            cur = source.read(version=to_v)
+            if spec.pushdown_col is not None:
+                # dirty groups live inside these plain-column values — a
+                # pushdown-able `isin` the parquet reader prunes with
+                # (row-group stats + dictionary filtering), which a
+                # semi-join alone cannot
+                vals = [
+                    r[0]
+                    for r in changes.select(spec.pushdown_col)
+                    .unionByName(before_rows.select(spec.pushdown_col))
+                    .distinct()
+                    .limit(DIRTY_GROUP_PUSHDOWN_CAP + 1)
+                    .collect()
+                ]
+                if len(vals) <= DIRTY_GROUP_PUSHDOWN_CAP:
+                    cur = cur.filter(F.col(spec.pushdown_col).isin(vals))
+            subset = cur.join(
+                dirty, spec.group_id() == dirty[spec.id_col], "left_semi"
+            )
+            rolled = spec.build(subset)
+            gone = dirty.join(rolled, spec.id_col, "left_anti")
+            batch = (
+                rolled.withColumn("op", F.lit("upsert"))
+                .unionByName(
+                    gone.withColumn("op", F.lit("delete")),
+                    allowMissingColumns=True,
+                )
+                .withColumn("event_seq", F.lit(to_v).cast("long"))
+            )
+            results[name] = merge_into(
+                target, batch, source_id="entity_refresh", batch_id=batch_id
+            )
+        return results
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-
-
-def _split_refresh_from_changes(
-    source: LakeTable,
-    targets: dict[str, LakeTable],
-    changes,
-    to_v: int,
-    batch_id: int | None,
-) -> dict[str, MergeResult]:
-    results: dict[str, MergeResult] = {}
-    is_del = F.col("_change_type") == F.lit("delete")
-
-    if "file" in targets:
-        batch = split_files(
-            changes,
-            extra={
-                "op": F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")),
-                "event_seq": F.col("_seq"),
-            },
-        )
-        results["file"] = merge_into(
-            targets["file"], batch, source_id="entity_refresh", batch_id=batch_id
-        )
-
-    current = None
-    if "repo" in targets or "commit_activity" in targets:
-        current = source.read(version=to_v)
-        # every dirty group (repo rollup OR (repo,commit) activity) lives
-        # inside the change set's repos — one pushdown-able predicate
-        # prunes the recompute scan for both targets. `isin` on a plain
-        # column reaches the parquet reader (row-group stats + dictionary
-        # filtering), which a semi-join alone cannot.
-        dirty_repos = [
-            r[0]
-            for r in changes.select("repo")
-            .distinct()
-            .limit(DIRTY_GROUP_PUSHDOWN_CAP + 1)
-            .collect()
-        ]
-        if len(dirty_repos) <= DIRTY_GROUP_PUSHDOWN_CAP:
-            current = current.filter(F.col("repo").isin(dirty_repos))
-
-    if "repo" in targets:
-        dirty = changes.select("repo").distinct()
-        rolled = split_repos(current.join(dirty, "repo", "left_semi"))
-        gone = dirty.select(F.col("repo").alias("repo_id")).join(
-            rolled, "repo_id", "left_anti"
-        )
-        batch = (
-            rolled.withColumn("op", F.lit("upsert"))
-            .unionByName(
-                gone.withColumn("op", F.lit("delete")), allowMissingColumns=True
-            )
-            .withColumn("event_seq", F.lit(to_v).cast("long"))
-        )
-        results["repo"] = merge_into(
-            targets["repo"], batch, source_id="entity_refresh", batch_id=batch_id
-        )
-
-    if "commit_activity" in targets:
-        dirty = changes.select(
-            composite_id(F.col("repo"), F.col("commit")).alias("activity_id")
-        ).distinct()
-        rolled = split_commit_activities(
-            current.join(
-                dirty,
-                composite_id(F.col("repo"), F.col("commit")) == dirty["activity_id"],
-                "left_semi",
-            )
-        )
-        gone = dirty.join(rolled, "activity_id", "left_anti")
-        batch = (
-            rolled.withColumn("op", F.lit("upsert"))
-            .unionByName(
-                gone.withColumn("op", F.lit("delete")), allowMissingColumns=True
-            )
-            .withColumn("event_seq", F.lit(to_v).cast("long"))
-        )
-        results["commit_activity"] = merge_into(
-            targets["commit_activity"], batch,
-            source_id="entity_refresh", batch_id=batch_id,
-        )
-    return results
 
 
 def transactional_split_refresh(

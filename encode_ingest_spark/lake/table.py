@@ -501,6 +501,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         prune: bool = True,
+        include_before: bool = False,
     ) -> DataFrame:
         """Changelog between two snapshots — the engine is a CDC *source*
         as well as a sink (Iceberg's changelog scan / Delta's
@@ -516,7 +517,11 @@ class LakeTable:
         table — at 10^10 rows this is the difference between reading a
         batch's worth of buckets and scanning two full snapshots.
         ``prune=False`` forces the full two-snapshot diff (benchmark /
-        cross-check path)."""
+        cross-check path). ``include_before=True`` adds a ``_before``
+        struct column holding the OLD payload (null for inserts) — the
+        Delta-CDF-preimage analogue, needed by consumers maintaining
+        aggregates grouped on a MUTABLE column: an update that moves a
+        row between groups dirties BOTH its old and new group."""
         m_to = self.manifest_at(
             to_version if to_version is not None else self.current_version()
         )
@@ -554,12 +559,14 @@ class LakeTable:
             .when(~F.col("_new").eqNullSafe(F.col("_old")), F.lit("update"))
         )
         payload = F.coalesce(F.col("_new"), F.col("_old"))
-        return (
+        out = (
             j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
-            .select(*keys, "_change_type", payload.alias("_p"))
-            .select(*keys, "_change_type", "_p.*")
         )
+        extra = [F.col("_old").alias("_before")] if include_before else []
+        return out.select(
+            *keys, "_change_type", payload.alias("_p"), *extra
+        ).select(*keys, "_change_type", "_p.*", *(["_before"] if include_before else []))
 
     def snapshots(self) -> list[Manifest]:
         out = []

@@ -187,3 +187,70 @@ def test_derived_refresh_recovers_from_crash_between_merge_and_refresh(
     }
     for name, cols in checks.items():
         assert _live(targets[name], cols) == _want(source, name, cols), name
+
+
+def test_user_defined_rollup_spec_on_mutable_column(spark, tmp_path):
+    """refresh_derived with a custom RollupSpec grouped on a MUTABLE
+    payload column (lang): an update that moves a row between groups
+    must dirty BOTH groups (pre-image via read_changes _before), and a
+    group losing its last row must become a delete."""
+    from encode_ingest_spark.entities.incremental import (
+        RollupSpec,
+        refresh_derived,
+    )
+
+    source = LakeTable.create(spark, str(tmp_path / "src"), SRC_SCHEMA,
+                              ["repo", "path", "commit"], num_buckets=4)
+    lang_stats = LakeTable.create(
+        spark, str(tmp_path / "langs"),
+        T._parse_datatype_string("lang_id string, n_files long, total_chars long"),
+        ["lang_id"], num_buckets=2,
+    )
+
+    def build_lang_stats(df):
+        return df.groupBy(F.col("lang").alias("lang_id")).agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.length("content")).alias("total_chars"),
+        )
+
+    spec = {
+        "langs": RollupSpec(
+            "langs", id_col="lang_id",
+            group_id=lambda: F.col("lang"),
+            build=build_lang_stats, pushdown_col="lang",
+        )
+    }
+    sch = ("repo string, path string, commit string, lang string, "
+           "content string, op string, event_seq long")
+    rows = [
+        ("o/r", "a.py", "c" * 40, "python", "aa", "insert", 1),
+        ("o/r", "b.py", "c" * 40, "python", "bbbb", "insert", 2),
+        ("o/r", "c.go", "c" * 40, "go", "cc", "insert", 3),
+    ]
+    merge_into(source, spark.createDataFrame(rows, sch), batch_id=1)
+    v1 = source.current_version()
+    refresh_derived(source, {"langs": lang_stats}, spec,
+                    from_version=0, to_version=v1, batch_id=1)
+    got = {r.lang_id: (r.n_files, r.total_chars)
+           for r in lang_stats.read().collect()}
+    assert got == {"python": (2, 6), "go": (1, 2)}
+
+    # move b.py from python to go: BOTH groups must refresh
+    upd = [("o/r", "b.py", "c" * 40, "go", "bbbb", "update", 10)]
+    merge_into(source, spark.createDataFrame(upd, sch), batch_id=2)
+    v2 = source.current_version()
+    refresh_derived(source, {"langs": lang_stats}, spec,
+                    from_version=v1, to_version=v2, batch_id=2)
+    got = {r.lang_id: (r.n_files, r.total_chars)
+           for r in lang_stats.read().collect()}
+    assert got == {"python": (1, 2), "go": (2, 6)}
+
+    # move the last python row away: the python group becomes a DELETE
+    upd2 = [("o/r", "a.py", "c" * 40, "go", "aa", "update", 20)]
+    merge_into(source, spark.createDataFrame(upd2, sch), batch_id=3)
+    v3 = source.current_version()
+    refresh_derived(source, {"langs": lang_stats}, spec,
+                    from_version=v2, to_version=v3, batch_id=3)
+    got = {r.lang_id: (r.n_files, r.total_chars)
+           for r in lang_stats.read().collect()}
+    assert got == {"go": (3, 8)}
