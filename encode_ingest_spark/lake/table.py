@@ -1001,6 +1001,56 @@ class LakeTable:
             os.remove(self._manifest_path(v))
         return removed
 
+    def maintain(
+        self,
+        tombstone_horizon_seq: int | None = None,
+        max_files_per_bucket: int | None = None,
+        keep_snapshots: int | None = None,
+        remove_orphan_files: bool = True,
+    ) -> dict[str, int]:
+        """One-call housekeeping — the maintenance pass an operator (or
+        a scheduler) runs between ingest windows, each step manifest- or
+        stats-pruned so a healthy table is a near-no-op:
+
+        1. fold overgrown buckets (MOR deltas + broadcast file pairs)
+           past ``max_files_per_bucket`` (default: table property
+           "compact.max_files_per_bucket" or 8);
+        2. purge tombstones below ``tombstone_horizon_seq`` (skipped
+           when None — the horizon is the SOURCE's watermark contract,
+           the engine cannot guess it);
+        3. expire snapshots beyond ``keep_snapshots`` (skipped when
+           None; lineage is archived first);
+        4. GC unreferenced data files and dead staging dirs (age- and
+           liveness-guarded).
+
+        Returns per-step counts for observability."""
+        report: dict[str, int] = {}
+        if max_files_per_bucket is None:
+            max_files_per_bucket = int(
+                self.current_manifest().properties.get(
+                    "compact.max_files_per_bucket", 8
+                )
+                or 0
+            )
+        if max_files_per_bucket:
+            overgrown = self.overgrown_buckets(max_files_per_bucket)
+            if overgrown:
+                self.compact_buckets(overgrown)
+            report["compacted_buckets"] = len(overgrown)
+        if tombstone_horizon_seq is not None:
+            before = self.current_version()
+            self.purge_tombstones(tombstone_horizon_seq)
+            report["tombstone_purge_committed"] = int(
+                self.current_version() != before
+            )
+        if keep_snapshots is not None:
+            report["expired_data_files"] = self.expire_snapshots(
+                keep_last=keep_snapshots
+            )
+        if remove_orphan_files:
+            report["orphans_removed"] = self.remove_orphans()
+        return report
+
     def _all_versions(self) -> list[int]:
         out = []
         for fn in os.listdir(self._meta_dir):

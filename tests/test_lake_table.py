@@ -445,3 +445,35 @@ def test_write_sort_within_buckets_clusters_files(spark, tmp_path):
     key = ["repo", "path", "commit", "content"]
     assert ({tuple(r) for r in t.read().select(*key).collect()}
             == {tuple(r) for r in t2.read().select(*key).collect()})
+
+
+def test_maintain_one_call_housekeeping(spark, tmp_path):
+    """maintain() chains compaction, tombstone purge, snapshot expiry and
+    orphan GC — each step pruned, a healthy table near-no-op."""
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    for i in range(3):
+        merge_into(t, repo_file_events(spark, n_keys=80, events_per_key=2,
+                                       seed=70 + i, delete_pct=30),
+                   batch_id=i + 1, mode="mor")
+    live = {tuple(r) for r in t.read().collect()}
+    had_tombstones = t.read(include_tombstones=True).count() > len(live)
+    assert had_tombstones
+
+    rep = t.maintain(
+        tombstone_horizon_seq=10**9,
+        max_files_per_bucket=2,
+        keep_snapshots=2,
+    )
+    assert rep["compacted_buckets"] >= 1   # MOR deltas folded
+    assert rep["tombstone_purge_committed"] == 1
+    assert {tuple(r) for r in t.read().collect()} == live
+    assert t.read(include_tombstones=True).count() == len(live)
+    assert len(t._all_versions()) == 2
+    # idempotent second pass: nothing left to do
+    rep2 = t.maintain(tombstone_horizon_seq=10**9, max_files_per_bucket=2,
+                      keep_snapshots=2)
+    assert rep2["compacted_buckets"] == 0
+    assert rep2["tombstone_purge_committed"] == 0
