@@ -936,17 +936,61 @@ class LakeTable:
                     continue
         return n
 
+    @property
+    def _pins_dir(self) -> str:
+        return os.path.join(self._meta_dir, "pins")
+
+    def pin_version(self, name: str, version: int) -> None:
+        """Register ``version`` as a RETENTION ROOT under ``name`` (e.g.
+        a TableGroup's consistent-snapshot pin): expire_snapshots keeps
+        pinned versions and their data files alive regardless of
+        keep_last. Re-pinning under the same name replaces the old pin
+        (atomic)."""
+        os.makedirs(self._pins_dir, exist_ok=True)
+        tmp = os.path.join(self._pins_dir, f".{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(int(version)))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self._pins_dir, f"{name}.pin"))
+
+    def unpin_version(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._pins_dir, f"{name}.pin"))
+        except OSError:
+            pass
+
+    def pinned_versions(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if os.path.isdir(self._pins_dir):
+            for fn in os.listdir(self._pins_dir):
+                if fn.endswith(".pin"):
+                    try:
+                        with open(os.path.join(self._pins_dir, fn)) as fh:
+                            out[fn[:-4]] = int(fh.read().strip())
+                    except (OSError, ValueError):
+                        continue
+        return out
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop manifests older than the last ``keep_last`` and delete data
         files only they referenced. Time travel to expired versions stops
         working (same contract as Iceberg's expire_snapshots). Lineage
         records of expired manifests are folded into the append-only
         archive FIRST (fsync'd before any manifest deletion), so ingest
-        history survives retention."""
+        history survives retention. PINNED versions (``pin_version`` —
+        e.g. a TableGroup's consistent snapshot) are retention roots:
+        they, and the data files they reference, survive regardless of
+        ``keep_last``; pinned delta-form manifests are materialized to
+        full first so they stay loadable after their parents expire."""
         versions = self._all_versions()
         if len(versions) <= keep_last:
             return 0
         keep = set(versions[-keep_last:])
+        # pinned versions (TableGroup snapshots etc.) are retention
+        # roots — the re-root loop below materializes any of them whose
+        # parent chain is expiring
+        keep |= {v for v in self.pinned_versions().values() if v in set(versions)}
         keep_files: set[str] = set()
         for v in keep:
             for f in self.manifest_at(v).files:
@@ -967,27 +1011,29 @@ class LakeTable:
                     fh.write(json.dumps(rec) + "\n")
                 fh.flush()
                 os.fsync(fh.fileno())
-        # re-root the oldest kept manifest BEFORE deleting anything it
-        # depends on: with delta-form manifests the kept chain resolves
-        # through expired parents, so a crash after the removals but
-        # before this rewrite would leave CURRENT unloadable (a failure
-        # mode full-form manifests did not have). The rewrite is ATOMIC
+        # re-root every kept manifest whose parent is expiring, BEFORE
+        # deleting anything it depends on: with delta-form manifests the
+        # kept chain resolves through expired parents, so a crash after
+        # the removals but before this rewrite would leave CURRENT (or a
+        # pin) unloadable — a failure mode full-form manifests did not
+        # have. With pins the kept set can be non-contiguous, so this is
+        # a loop, not just the window's oldest. Each rewrite is ATOMIC
         # (temp file + os.replace over the original) and materializes
-        # the FULL file list; a crash anywhere after it leaves both the
-        # kept chain self-contained and the expired manifests intact for
-        # an idempotent re-run. (_write_manifest is unusable here — its
+        # the FULL file list; a crash anywhere after it leaves the kept
+        # manifests self-contained and the expired ones intact for an
+        # idempotent re-run. (_write_manifest is unusable here — its
         # O_EXCL create-new semantics would force an unsafe delete.)
-        oldest = min(keep)
-        om = self.manifest_at(oldest)
-        if om.parent_version is not None and om.parent_version not in keep:
-            om.parent_version = None
-            path = self._manifest_path(oldest)
-            tmp = os.path.join(self._meta_dir, f".reroot.{uuid.uuid4().hex}")
-            with open(tmp, "w") as fh:
-                json.dump(om.to_json(), fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, path)
+        for v in sorted(keep):
+            om = self.manifest_at(v)
+            if om.parent_version is not None and om.parent_version not in keep:
+                om.parent_version = None
+                path = self._manifest_path(v)
+                tmp = os.path.join(self._meta_dir, f".reroot.{uuid.uuid4().hex}")
+                with open(tmp, "w") as fh:
+                    json.dump(om.to_json(), fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, path)
         removed = 0
         for v in versions:
             if v in keep:

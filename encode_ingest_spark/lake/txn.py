@@ -98,6 +98,30 @@ class TableGroup:
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self._meta_dir, "CURRENT"))
 
+    @property
+    def _pin_name(self) -> str:
+        """Stable per-group retention-pin identity in member tables."""
+        import hashlib
+
+        return "group-" + hashlib.md5(
+            os.path.abspath(self.root).encode()
+        ).hexdigest()[:12]
+
+    def _pin_members(self, tables: dict[str, dict[str, Any]]) -> None:
+        """Register the group's CURRENT vector as retention roots in
+        each member: LakeTable.expire_snapshots keeps pinned versions
+        (and their files) alive, so a member's aggressive snapshot
+        expiry cannot break group reads. Only the current vector is
+        protected — time travel to OLD group versions is subject to
+        member retention, like any other historical snapshot."""
+        for entry in tables.values():
+            try:
+                LakeTable(self.spark, entry["root"]).pin_version(
+                    self._pin_name, int(entry["version"])
+                )
+            except OSError:  # pragma: no cover - best-effort pin
+                pass
+
     # ---------- create / load ----------
     @staticmethod
     def create(
@@ -106,16 +130,12 @@ class TableGroup:
         """Create a group pinning each member at its CURRENT version."""
         g = TableGroup(spark, root)
         os.makedirs(g._meta_dir, exist_ok=False)
-        g._write_manifest(
-            {
-                "version": 0,
-                "tables": {
-                    name: {"root": t.root, "version": t.current_version()}
-                    for name, t in tables.items()
-                },
-                "watermarks": {},
-            }
-        )
+        vector = {
+            name: {"root": t.root, "version": t.current_version()}
+            for name, t in tables.items()
+        }
+        g._write_manifest({"version": 0, "tables": vector, "watermarks": {}})
+        g._pin_members(vector)
         return g
 
     @staticmethod
@@ -185,6 +205,7 @@ class TableGroup:
             "parent_version": m["version"],
         }
         self._write_manifest(nm)
+        self._pin_members(tables)
         return nm
 
     @staticmethod

@@ -178,3 +178,39 @@ def test_group_commit_fences_and_rejects_unknown_members(spark, tmp_path):
     m2 = group.commit({"file": 0}, source_id="s", batch_id=5)
     assert m2["version"] == 1
     assert group.last_batch("s") == 5
+
+
+def test_member_expiry_cannot_break_group_reads(spark, tmp_path):
+    """Group-pinned member versions are retention roots: a member's
+    aggressive expire_snapshots keeps the pinned snapshot (and its
+    files) alive and loadable, so group readers never dangle."""
+    source, targets, group = _setup(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=120, events_per_key=2, seed=59)
+    merge_into(source, ev, batch_id=1)
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=source.current_version(), batch_id=1)
+    pinned_v = group.pinned_versions()["file"]
+    want = {tuple(r) for r in group.read("file")
+            .select("file_id", "content_sha256").collect()}
+
+    # the file member advances well past the group pin, then expires
+    # down to 1 snapshot
+    ft = targets["file"]
+    for i in range(3):
+        extra = spark.createDataFrame(
+            [(f"xf{i}", "l", "py", ["x"], 1, "s" * 64, "o/r", "a", "d",
+              "upsert", 100 + i)],
+            FILE_SCHEMA + ", op string, event_seq long",
+        )
+        merge_into(ft, extra, batch_id=10 + i)
+    ft.expire_snapshots(keep_last=1)
+
+    # the pinned version survived member expiry — fresh instance, fresh
+    # group: reads still resolve
+    fresh = TableGroup.load(spark, group.root)
+    got = {tuple(r) for r in fresh.read("file")
+           .select("file_id", "content_sha256").collect()}
+    assert got == want
+    assert LakeTable.load(spark, ft.root).read(version=pinned_v).count() > 0
+    # unpinned versions between the pin and CURRENT are gone
+    assert len(LakeTable.load(spark, ft.root)._all_versions()) <= 3
