@@ -208,10 +208,14 @@ def refresh_derived(
             )
             cur = source.read(version=to_v)
             if spec.pushdown_col is not None:
-                # dirty groups live inside these plain-column values — a
-                # pushdown-able `isin` the parquet reader prunes with
-                # (row-group stats + dictionary filtering), which a
-                # semi-join alone cannot
+                # dirty groups live inside these plain-column values —
+                # two pruning levels from one collected set: (a) a
+                # manifest-level FILE prune against the per-file
+                # col_stats ranges (tight when the source clusters with
+                # write.sort_within_buckets; COW-only, see read()), and
+                # (b) a pushdown-able `isin` the parquet reader prunes
+                # row groups / dictionaries with — neither of which a
+                # semi-join alone can do
                 vals = [
                     r[0]
                     for r in changes.select(spec.pushdown_col)
@@ -221,7 +225,10 @@ def refresh_derived(
                     .collect()
                 ]
                 if len(vals) <= DIRTY_GROUP_PUSHDOWN_CAP:
-                    cur = cur.filter(F.col(spec.pushdown_col).isin(vals))
+                    cur = source.read(
+                        version=to_v,
+                        file_value_ranges={spec.pushdown_col: vals},
+                    ).filter(F.col(spec.pushdown_col).isin(vals))
             subset = cur.join(
                 dirty, spec.group_id() == dirty[spec.id_col], "left_semi"
             )

@@ -163,7 +163,7 @@ class Manifest:
         )
 
 
-def _footer_stats(pf) -> dict[str, Any] | None:
+def _footer_stats(pf, value_cols: Iterable[str] = ()) -> dict[str, Any] | None:
     """Pruning statistics from a parquet FOOTER (KB of metadata, zero
     data pages read) — collected once at write time and stored in the
     manifest, the Iceberg manifest-stats pattern. Conservative: any
@@ -174,6 +174,11 @@ def _footer_stats(pf) -> dict[str, Any] | None:
     * ``min_seq`` / ``max_seq`` — across row groups; ``min_seq`` is
       forced to -1 when null seqs exist (they order as -1 everywhere
       else in the engine)
+    * ``col_stats`` — {col: [min, max]} for ``value_cols`` (the table's
+      write-clustering columns): with clustered files these are TIGHT
+      ranges, enabling manifest-level FILE pruning for dirty-group
+      predicates. Parquet's possibly-truncated string stats are still
+      valid bounds (spec: min_value ≤ min, max_value ≥ max).
     """
     md = pf.metadata
     if md.num_row_groups == 0:
@@ -184,14 +189,32 @@ def _footer_stats(pf) -> dict[str, Any] | None:
     # positional lookup would silently read a payload column's stats
     rg0 = md.row_group(0)
     del_i = seq_i = None
+    val_idx: dict[str, int] = {}
     for j in range(rg0.num_columns):
         path = rg0.column(j).path_in_schema
         if path == DELETED_COL:
             del_i = j
         elif path == SEQ_COL:
             seq_i = j
+        elif path in value_cols:
+            val_idx[path] = j
     if del_i is None or seq_i is None:
         return None
+    col_stats: dict[str, list] = {}
+    for col, j in val_idx.items():
+        lows, highs, ok = [], [], True
+        for rg in range(md.num_row_groups):
+            cs = md.row_group(rg).column(j).statistics
+            if cs is None or not cs.has_min_max:
+                ok = False
+                break
+            lows.append(cs.min)
+            highs.append(cs.max)
+        if ok and lows:
+            try:
+                col_stats[col] = [min(lows), max(highs)]
+            except TypeError:  # mixed/unorderable stat types: skip col
+                pass
     has_tomb = False
     mins: list[int] = []
     maxs: list[int] = []
@@ -216,7 +239,12 @@ def _footer_stats(pf) -> dict[str, Any] | None:
     if seq_stats_ok and mins:
         min_seq = -1 if any_null_seq else min(mins)
         max_seq = max(maxs)
-    return {"has_tombstones": has_tomb, "min_seq": min_seq, "max_seq": max_seq}
+    out: dict[str, Any] = {
+        "has_tombstones": has_tomb, "min_seq": min_seq, "max_seq": max_seq,
+    }
+    if col_stats:
+        out["col_stats"] = col_stats
+    return out
 
 
 def bucket_expr(key_cols: list[str], num_buckets: int) -> F.Column:
@@ -418,6 +446,7 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         include_tombstones: bool = False,
         include_internal: bool = False,
+        file_value_ranges: dict[str, list] | None = None,
     ) -> DataFrame:
         """Scan the table at a snapshot (default: current).
 
@@ -426,10 +455,40 @@ class LakeTable:
         opened, the parquet scan list is built on the driver from KB-sized
         metadata. Old-schema files are aligned (null-fill / widen-cast) to
         the current schema before union.
-        """
+
+        ``file_value_ranges`` = {col: [values]} prunes FILES whose
+        manifest ``col_stats`` range cannot contain any of the values —
+        manifest-level value pruning, tight when the table clusters with
+        ``write.sort_within_buckets``. PRUNING ONLY, not a filter: kept
+        files may still hold other values, so callers apply their own
+        predicate/join on top (exactly parquet row-group pruning's
+        contract, one level up). Stats-less files are kept. SAFETY: the
+        pruning applies only when the scanned file set holds NO MOR
+        delta files — COW manifests hold every key exactly once, so
+        dropping a file drops whole keys; with deltas, value pruning on
+        a MUTABLE column could drop a key's newer delta while keeping
+        its stale base row and resurrect old state. Delta-holding scans
+        silently skip the value pruning (correct, just unpruned)."""
         m = self.manifest_at(version if version is not None else self.current_version())
         want = set(buckets) if buckets is not None else None
         files = [f for f in m.files if want is None or f.bucket in want]
+        if file_value_ranges and not any(f.is_delta for f in files):
+            def may_contain(f: DataFile) -> bool:
+                st = f.stats if isinstance(f.stats, dict) else None
+                cs = (st or {}).get("col_stats") or {}
+                for col, values in file_value_ranges.items():
+                    rng = cs.get(col)
+                    if rng is None:
+                        continue  # no stats: conservative keep
+                    lo, hi = rng
+                    try:
+                        if not any(lo <= v <= hi for v in values):
+                            return False
+                    except TypeError:
+                        continue
+                return True
+
+            files = [f for f in files if may_contain(f)]
         target_schema = m.schema
         has_delta = any(f.is_delta for f in files)
         if not files:
@@ -746,7 +805,7 @@ class LakeTable:
                 rows = pf.metadata.num_rows
                 if rows == 0:
                     continue
-                stats = _footer_stats(pf)
+                stats = _footer_stats(pf, value_cols=sort_cols)
                 dest_name = f"{uuid.uuid4().hex}.parquet"
                 dest = os.path.join(dest_dir, dest_name)
                 os.replace(src, dest)

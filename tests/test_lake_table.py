@@ -477,3 +477,45 @@ def test_maintain_one_call_housekeeping(spark, tmp_path):
                       keep_snapshots=2)
     assert rep2["compacted_buckets"] == 0
     assert rep2["tombstone_purge_committed"] == 0
+
+
+def test_file_value_range_pruning(spark, tmp_path):
+    """Manifest-level FILE pruning from per-file col_stats (clustered
+    writes): a dirty-value scan reads only files whose range can hold
+    the values; MOR delta presence disables it (stale-row safety)."""
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    sch = ("repo string, path string, commit string, lang string, "
+           "content string, op string, event_seq long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=2,
+        properties={"write.sort_within_buckets": "repo"},
+    )
+    rows_a = [("aaa/r", f"p{i}", "c" * 40, "py", f"v{i}", "insert", i)
+              for i in range(40)]
+    merge_into(t, spark.createDataFrame(rows_a, sch), batch_id=1)
+    # broadcast merge appends a winners file per bucket beside survivors
+    rows_z = [("zzz/r", f"q{i}", "d" * 40, "go", f"w{i}", "insert", 100 + i)
+              for i in range(40)]
+    merge_into(t, spark.createDataFrame(rows_z, sch), batch_id=2,
+               stage_batch=True, merge_strategy="broadcast")
+    m = t.current_manifest()
+    assert any(
+        (f.stats or {}).get("col_stats", {}).get("repo") for f in m.files
+    )
+    full_files = t.read().inputFiles()
+    pruned = t.read(file_value_ranges={"repo": ["zzz/r"]})
+    assert 0 < len(pruned.inputFiles()) < len(full_files)
+    # pruning is a superset guarantee: every zzz row is in the kept files
+    assert pruned.filter(F.col("repo") == "zzz/r").count() == 40
+
+    # MOR deltas present → value pruning silently disabled
+    tm = LakeTable.create(
+        spark, str(tmp_path / "m"), SCHEMA, KEYS, num_buckets=2,
+        properties={"write.sort_within_buckets": "repo"},
+    )
+    merge_into(tm, spark.createDataFrame(rows_a, sch), batch_id=1)
+    merge_into(tm, spark.createDataFrame(rows_z, sch), batch_id=2, mode="mor")
+    assert len(tm.read(file_value_ranges={"repo": ["zzz/r"]}).inputFiles()) == \
+        len(tm.read().inputFiles())
