@@ -36,7 +36,11 @@ RAW_DONOR_SCHEMA = (
 )
 
 
-def transform_donor(raw: DataFrame, organisms: DataFrame | None = None) -> DataFrame:
+def transform_donor(
+    raw: DataFrame,
+    organisms: DataFrame | None = None,
+    extra: dict[str, F.Column] | None = None,
+) -> DataFrame:
     """Donor mapper — field-for-field parity with
     DonorTransformations.scala:13-54:
 
@@ -47,9 +51,15 @@ def transform_donor(raw: DataFrame, organisms: DataFrame | None = None) -> DataF
     * organism_type = organism.scientific_name via left join (J6 —
       organisms are tiny → broadcast), falling back to the raw FK string
     * part_of_dataset_id = 'ENCODE' constant
+
+    ``extra`` appends caller columns computed over the RAW rows (e.g.
+    the CDC envelope when the mapper runs as an incremental-refresh
+    ProjectionSpec over a raw-donor changelog).
     """
     donor_id = transform_id(F.col("@id"))
+    extras = [c.alias(n) for n, c in (extra or {}).items()]
     out = raw.select(
+        *extras,
         donor_id.alias("donor_id"),
         donor_id.alias("label"),
         cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),

@@ -254,3 +254,69 @@ def test_user_defined_rollup_spec_on_mutable_column(spark, tmp_path):
     got = {r.lang_id: (r.n_files, r.total_chars)
            for r in lang_stats.read().collect()}
     assert got == {"go": (3, 8)}
+
+
+def test_reference_donor_mapper_as_incremental_projection(spark, tmp_path):
+    """The reference's OWN entity mapper (transform_donor, §2.10) runs
+    as a ProjectionSpec over a raw-donor changelog: the derived donor
+    table is maintained incrementally and always equals the full
+    transform of the current raw snapshot — the reference's weekly
+    full-recompute DAG collapsed to change-driven maintenance."""
+    from encode_ingest_spark.entities import RAW_DONOR_SCHEMA, transform_donor
+    from encode_ingest_spark.entities.incremental import (
+        ProjectionSpec,
+        refresh_derived,
+    )
+    from tests.test_entities import DONORS
+
+    raw_schema = T._parse_datatype_string(RAW_DONOR_SCHEMA)
+    source = LakeTable.create(spark, str(tmp_path / "raw"), raw_schema,
+                              ["@id"], num_buckets=2)
+    donor_schema = transform_donor(
+        spark.createDataFrame([], raw_schema)
+    ).schema
+    donors = LakeTable.create(spark, str(tmp_path / "donor"), donor_schema,
+                              ["donor_id"], num_buckets=2)
+    spec = {
+        "donor": ProjectionSpec(
+            "donor",
+            lambda changes, extra: transform_donor(changes, extra=extra),
+        )
+    }
+
+    def ev(rows, op, seq0):
+        df = spark.createDataFrame(rows, raw_schema)
+        return (df.withColumn("op", F.lit(op))
+                  .withColumn("event_seq",
+                              F.lit(seq0) + F.monotonically_increasing_id()))
+
+    merge_into(source, ev(DONORS, "insert", 1), batch_id=1)
+    v1 = source.current_version()
+    refresh_derived(source, {"donor": donors}, spec,
+                    from_version=0, to_version=v1, batch_id=1)
+
+    def full():
+        return {tuple(str(v) for v in r) for r in
+                transform_donor(source.read())
+                .select("donor_id", "age_lower_bound", "age_upper_bound",
+                        "sibling_donor_id", "organism_type").collect()}
+
+    def live():
+        return {tuple(str(v) for v in r) for r in donors.read()
+                .select("donor_id", "age_lower_bound", "age_upper_bound",
+                        "sibling_donor_id", "organism_type").collect()}
+
+    assert live() == full() and len(live()) == 2
+
+    # update donor 1's age; delete donor 2
+    upd = [list(DONORS[0])]
+    upd[0][11] = "40-45"  # age
+    merge_into(source, ev([tuple(upd[0])], "update", 100), batch_id=2)
+    dele = [(DONORS[1][0],) + (None,) * (len(DONORS[1]) - 1)]
+    merge_into(source, ev(dele, "delete", 200), batch_id=3)
+    v3 = source.current_version()
+    refresh_derived(source, {"donor": donors}, spec,
+                    from_version=v1, to_version=v3, batch_id=3)
+    assert live() == full() and len(live()) == 1
+    got = donors.read().first()
+    assert (got.age_lower_bound, got.age_upper_bound) == (40.0, 45.0)
