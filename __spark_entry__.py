@@ -4,11 +4,12 @@
 ``queries()`` — one entry per implemented operator from SURVEY.md §2
 (plus training-data dedup/similarity/text operators), each a callable
 (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL twin for each query. 49 of
-the 50 queries are oracle-gated (the CDC flagship reads a staged
-deterministic parquet both engines share; the LSH ANN oracle recomputes
-the same deterministic SRP buckets in SQL); the one rows-only entry is
-``m1_media_features`` (mapInPandas binary plumbing — no SQL analogue).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twin for each query. ALL 50
+queries are oracle-gated: the CDC flagship reads a staged deterministic
+parquet both engines share; the LSH ANN oracle recomputes the same
+deterministic SRP buckets in SQL; the multimodal plumbing's fake
+decoder hashes the payload's hex form so its md5-keystream statistics
+are SQL-recomputable.
 
 Implementation lives in encode_ingest_spark/suite.py.
 """

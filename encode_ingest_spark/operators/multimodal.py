@@ -67,8 +67,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def _fake_decode(payload: bytes) -> tuple[float, float, int]:
     """Deterministic stand-in for a real decoder: statistics of the md5
-    keystream of the payload."""
-    h = hashlib.md5(payload).digest()
+    keystream of the payload's HEX form. Hashing the hex text (not the
+    raw bytes) keeps the fake cross-engine checkable — SQL engines can
+    md5 a string but not an arbitrary byte blob — while the payload
+    column itself stays real binary through the Arrow boundary."""
+    h = hashlib.md5(payload.hex().encode()).digest()
     vals = list(h)
     mean = sum(vals) / len(vals)
     var = sum((v - mean) ** 2 for v in vals) / len(vals)
@@ -114,7 +117,8 @@ def extract_features(
         import pandas as _pd
 
         def fake_decode(payload: bytes, kind: str = ""):
-            h = _hl.md5(payload).digest()
+            # hex-keystream fake (see _fake_decode): oracle-checkable
+            h = _hl.md5(bytes(payload).hex().encode()).digest()
             vals = list(h)
             mean = sum(vals) / len(vals)
             var = sum((v - mean) ** 2 for v in vals) / len(vals)

@@ -1466,13 +1466,46 @@ def cdc_repo_pipeline(spark, sf_dir):
 
 
 # ===========================================================================
-# Non-SQL-expressible entries (rows-only checks): multimodal plumbing
+# Multimodal plumbing — oracle-gated: the deterministic fake decoder
+# hashes the payload's HEX form, so DuckDB recomputes the identical
+# md5 keystream statistics without needing blob hashing. The Spark side
+# still moves real binary through the Arrow/mapInPandas boundary — the
+# oracle checks the values the plumbing delivers.
 # ===========================================================================
 
 
+@q(
+    "m1_media_features",
+    """
+    WITH base AS (
+      SELECT id AS media_id,
+             (['image','audio','video'])[CAST(id % 3 AS INT) + 1] AS kind,
+             md5(repeat(md5(concat('42', CAST(id AS VARCHAR))), 8)) AS dig
+      FROM range(0, 64) t(id)),
+    v AS (
+      SELECT media_id, kind,
+             list_transform(range(0, 16),
+               j -> CAST(concat('0x', substr(dig, CAST(2*j+1 AS INT), 2))
+                         AS INT)) AS vals
+      FROM base),
+    s AS (
+      SELECT media_id, kind, vals,
+             CAST(list_sum(vals) AS DOUBLE) / 16.0 AS mean
+      FROM v)
+    SELECT media_id, kind,
+           round(mean, 4) AS feat_mean,
+           round(sqrt(list_sum(list_transform(
+                 vals, x -> (x - mean) * (x - mean))) / 16.0), 4) AS feat_std,
+           CAST(16 AS INT) AS feat_dim,
+           'fake-md5' AS decoder
+    FROM s
+    """,
+)
 def m1_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media → mapInPandas feature
-    extraction (deterministic fake decoder)."""
+    extraction (deterministic fake decoder, hex-keystream — the oracle
+    recomputes the same statistics in SQL, so the Arrow boundary's
+    delivered values are cross-engine-verified)."""
     from .operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=64, seed=42)
@@ -1566,7 +1599,6 @@ def s3_lsh_topk(spark, sf_dir):
     )
 
 
-QUERIES["m1_media_features"] = m1_media_features
 
 
 # ===========================================================================
