@@ -126,6 +126,30 @@ REPO_FILE_SPECS: dict[str, ProjectionSpec | RollupSpec] = {
 }
 
 
+def projection_spec_for(
+    name: str,
+    mapper: Callable[[DataFrame], DataFrame],
+    id_expr: Callable[[], Column],
+    id_col: str,
+) -> ProjectionSpec:
+    """Wrap ANY raw→entity mapper (raw_df → entity_df, reference §2.10
+    shape) into a ProjectionSpec WITHOUT modifying it: the CDC envelope
+    (op, event_seq) is computed over the change rows keyed by the same
+    minted id expression and joined back onto the mapper output — a
+    change-set-sized join, so every one of the reference's 13 mappers
+    becomes incrementally maintainable in one line. Mappers with
+    dimension inputs close over them (e.g.
+    ``lambda raw: transform_antibody(raw, targets=targets_df)``)."""
+
+    def build(changes: DataFrame, extra: dict) -> DataFrame:
+        env = changes.select(
+            id_expr().alias(id_col), *[c.alias(n) for n, c in extra.items()]
+        )
+        return mapper(changes).join(env, id_col)
+
+    return ProjectionSpec(name, build)
+
+
 def refresh_derived(
     source: LakeTable,
     targets: dict[str, LakeTable],

@@ -320,3 +320,108 @@ def test_reference_donor_mapper_as_incremental_projection(spark, tmp_path):
     assert live() == full() and len(live()) == 1
     got = donors.read().first()
     assert (got.age_lower_bound, got.age_upper_bound) == (40.0, 45.0)
+
+
+def test_dim_joined_mapper_as_incremental_projection(spark, tmp_path):
+    """A mapper with a DIMENSION input (donor + organisms broadcast
+    join) runs incrementally via a spec closure capturing the dim — the
+    multi-input mapper shape, no engine changes needed."""
+    from encode_ingest_spark.entities import RAW_DONOR_SCHEMA, transform_donor
+    from encode_ingest_spark.entities.incremental import (
+        ProjectionSpec,
+        refresh_derived,
+    )
+    from tests.test_entities import DONORS
+
+    raw_schema = T._parse_datatype_string(RAW_DONOR_SCHEMA)
+    organisms = spark.createDataFrame(
+        [("/organisms/human/", "Homo sapiens")],
+        "`@id` string, scientific_name string",
+    )
+    source = LakeTable.create(spark, str(tmp_path / "raw"), raw_schema,
+                              ["@id"], num_buckets=2)
+    donor_schema = transform_donor(
+        spark.createDataFrame([], raw_schema), organisms
+    ).schema
+    donors = LakeTable.create(spark, str(tmp_path / "donor"), donor_schema,
+                              ["donor_id"], num_buckets=2)
+    spec = {
+        "donor": ProjectionSpec(
+            "donor",
+            lambda changes, extra: transform_donor(
+                changes, organisms=organisms, extra=extra
+            ),
+        )
+    }
+    df = (spark.createDataFrame(DONORS, raw_schema)
+          .withColumn("op", F.lit("insert"))
+          .withColumn("event_seq", F.monotonically_increasing_id() + 1))
+    merge_into(source, df, batch_id=1)
+    refresh_derived(source, {"donor": donors}, spec,
+                    from_version=0, batch_id=1)
+    got = {r.donor_id: r.organism_type for r in donors.read().collect()}
+    assert set(got.values()) == {"Homo sapiens"}  # dim join resolved
+    assert len(got) == 2
+
+
+def test_projection_spec_for_wraps_unmodified_mapper(spark, tmp_path):
+    """projection_spec_for adapts a mapper with NO envelope hook
+    (transform_antibody + its targets dim) into an incremental spec via
+    the id-keyed envelope join-back — the one-liner that makes all 13
+    reference mappers incrementally maintainable."""
+    from encode_ingest_spark.entities import (
+        RAW_ANTIBODY_SCHEMA,
+        RAW_TARGET_SCHEMA,
+        transform_antibody,
+    )
+    from encode_ingest_spark.entities.incremental import (
+        projection_spec_for,
+        refresh_derived,
+    )
+    from encode_ingest_spark.functions.scalars import transform_id
+
+    raw_schema = T._parse_datatype_string(RAW_ANTIBODY_SCHEMA)
+    targets_dim = spark.createDataFrame(
+        [("/antibodies/ENCAB001/", "/organisms/human/", "CTCF")],
+        RAW_TARGET_SCHEMA,
+    )
+    source = LakeTable.create(spark, str(tmp_path / "raw"), raw_schema,
+                              ["@id"], num_buckets=2)
+    ab_schema = transform_antibody(
+        spark.createDataFrame([], raw_schema), targets_dim
+    ).schema
+    derived = LakeTable.create(spark, str(tmp_path / "ab"), ab_schema,
+                               ["antibody_id"], num_buckets=2)
+    spec = {
+        "antibody": projection_spec_for(
+            "antibody",
+            lambda raw: transform_antibody(raw, targets_dim),
+            id_expr=lambda: transform_id(F.col("@id")),
+            id_col="antibody_id",
+        )
+    }
+    rows = [
+        {"@id": "/antibodies/ENCAB001/",
+         "date_created": "2020-01-01T00:00:00+00:00",
+         "source": "/sources/s/", "host_organism": "/organisms/rabbit/",
+         "award": "/awards/a/", "lab": "/labs/l/", "product_id": "P1",
+         "lot_id": "L1"},
+    ]
+    df = (spark.createDataFrame(rows, raw_schema)
+          .withColumn("op", F.lit("insert"))
+          .withColumn("event_seq", F.lit(1)))
+    merge_into(source, df, batch_id=1)
+    refresh_derived(source, {"antibody": derived}, spec,
+                    from_version=0, batch_id=1)
+    got = derived.read().first()
+    assert got.antibody_id == "ENCAB001" and got.target == "CTCF"
+
+    # delete flows through the wrapper too
+    dele = (spark.createDataFrame(rows, raw_schema)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("event_seq", F.lit(2)))
+    v1 = source.current_version()
+    merge_into(source, dele, batch_id=2)
+    refresh_derived(source, {"antibody": derived}, spec,
+                    from_version=v1, batch_id=2)
+    assert derived.read().count() == 0
