@@ -295,6 +295,101 @@ def bench_streaming_e2e(spark, sf_dir: str, n_batches: int = 4) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_soak(sf_dir: str, cpus: int, n_files: int = 60) -> dict:
+    """Endurance soak (steady-state invariants a short bench can't
+    show): a MOR streaming ingest with the full derived-table DAG under
+    a transactional group, followed by maintain(). Asserts — and
+    reports — bounded files/bucket, bounded manifest cache, FK-clean
+    group snapshots, and derived == full recompute."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.entities import split_all
+    from encode_ingest_spark.entities.incremental import (
+        referential_integrity_report,
+    )
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import LakeTable, TableGroup
+    from encode_ingest_spark.session import get_spark
+    from encode_ingest_spark.streaming.pipeline import (
+        CdcStreamPipeline,
+        write_event_files,
+    )
+
+    spark = get_spark("soak", cores=cpus)
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    base = tempfile.mkdtemp(prefix="bench_soak_", dir=shm)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    try:
+        src = LakeTable.create(
+            spark, os.path.join(base, "src"), schema,
+            ["repo", "path", "commit"], num_buckets=16,
+            properties={"write.sort_within_buckets": "repo",
+                        "mor.compact.threshold": "3"},
+        )
+        shapes = {
+            "file": ("file_id string, label string, file_format string, "
+                     "xref array<string>, size_bytes long, content_sha256 "
+                     "string, repo_id string, commit_activity_id string, "
+                     "part_of_dataset_id string", ["file_id"]),
+            "repo": ("repo_id string, n_files long, languages array<string>, "
+                     "n_commits long, part_of_dataset_id string", ["repo_id"]),
+            "commit_activity": (
+                "activity_id string, repo_id string, commit_sha string, "
+                "generated_file_id array<string>, used_language "
+                "array<string>, n_files long, activity_type string",
+                ["activity_id"]),
+        }
+        targets = {
+            name: LakeTable.create(
+                spark, os.path.join(base, name),
+                T._parse_datatype_string(ddl), keys, num_buckets=8,
+            )
+            for name, (ddl, keys) in shapes.items()
+        }
+        grp = TableGroup.create(spark, os.path.join(base, "grp"), targets)
+        ev = repo_file_events(spark, n_keys=3000, events_per_key=3, seed=97)
+        write_event_files(ev, os.path.join(base, "ev"), n_files=n_files)
+        pipe = CdcStreamPipeline(
+            src, os.path.join(base, "ev"), os.path.join(base, "ckpt"),
+            max_files_per_trigger=1, merge_mode="mor", derived_group=grp,
+        )
+        t0 = _time.perf_counter()
+        epochs = pipe.run_available_now(spark, timeout_sec=2400)
+        dt = _time.perf_counter() - t0
+        per_bucket: dict[int, int] = {}
+        for f in src.current_manifest().files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        maint = src.maintain(tombstone_horizon_seq=10**12, keep_snapshots=3)
+        fresh = LakeTable.load(spark, src.root)
+        fk = referential_integrity_report(
+            grp.read("file"), grp.read("repo"), grp.read("commit_activity")
+        ).first()
+        want = split_all(fresh.read())
+        got = {tuple(r) for r in grp.read("file")
+               .select("file_id", "content_sha256").collect()}
+        exp = {tuple(r) for r in want["file"]
+               .select("file_id", "content_sha256").collect()}
+        return {
+            "metric": "endurance soak (MOR stream + derived group + maintain)",
+            "value": round(dt, 1),
+            "unit": "sec",
+            "epochs": epochs,
+            "events": 9000,
+            "max_files_per_bucket": max(per_bucket.values()),
+            "manifest_cache_entries": len(src._manifest_cache),
+            "maintain": maint,
+            "fk_orphans": [int(fk.orphan_repo_refs), int(fk.orphan_activity_refs)],
+            "derived_equals_full_recompute": got == exp,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from encode_ingest_spark.session import get_spark
     from encode_ingest_spark.suite import QUERIES
@@ -485,12 +580,17 @@ def main() -> None:
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--flood-pct", type=int, default=0,
                     help="redirect this %% of events to ONE hot key (skew probe)")
+    ap.add_argument("--soak", action="store_true",
+                    help="endurance soak: MOR stream + derived group + maintain")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
     ap.add_argument("--probe", default="cdc", choices=["cdc", "sketch", "cdc-jvms"])
     args = ap.parse_args()
 
+    if args.soak:
+        print(json.dumps(run_soak(args.sf_dir, min(args.cores, 16))))
+        return
     if args.scaling:
         if args.probe == "cdc-jvms":
             print(
