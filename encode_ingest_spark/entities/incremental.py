@@ -69,15 +69,29 @@ class RollupSpec:
     pre-image, so an update that moves a row between groups dirties
     both. ``build(subset)`` aggregates the dirty groups' current rows
     into rolled rows keyed by ``id_col``; groups with no remaining rows
-    become deletes. ``pushdown_col`` names a plain source column whose
-    dirty values form an `isin` predicate the parquet reader can prune
-    with (pair with the table's ``write.sort_within_buckets``)."""
+    become deletes.
+
+    ``pushdown_col`` names a plain source column whose dirty values form
+    a scan predicate (manifest file pruning + parquet row-group/dict
+    pruning; pair with the table's ``write.sort_within_buckets``).
+    **INVARIANT: group membership must functionally determine the
+    pushdown column** — every source row of a dirty group must carry one
+    of the dirty groups' pushdown values, or the pruned recompute will
+    silently miss rows (the builtins satisfy this: repo IS the group /
+    a component of it). When unsure, leave ``pushdown_col=None`` —
+    correctness never depends on it, only scan cost does.
+
+    ``mutable_groups=False`` declares ``group_id`` a function of the
+    table's KEY columns only (immutable per key): the refresh then skips
+    the ``_before`` pre-image entirely — the changelog payload halves —
+    because a row can never move between groups."""
 
     name: str
     id_col: str
     group_id: Callable[[], Column]
     build: Callable[[DataFrame], DataFrame]
     pushdown_col: str | None = None
+    mutable_groups: bool = True
 
 
 def incremental_split_refresh(
@@ -99,9 +113,12 @@ def incremental_split_refresh(
     (collected when ≤ DIRTY_GROUP_PUSHDOWN_CAP — a micro-batch touches
     few repos; the cap guards pathological batches). Every step is then
     proportional to the change set, not the table."""
-    specs = {name: REPO_FILE_SPECS[name] for name in targets}
+    # unknown names are ignored (a caller may pass split_all()'s whole
+    # output dict; only the three built-in shapes are maintained here)
+    known = {n: t for n, t in targets.items() if n in REPO_FILE_SPECS}
+    specs = {name: REPO_FILE_SPECS[name] for name in known}
     return refresh_derived(
-        source, targets, specs, from_version, to_version, batch_id
+        source, known, specs, from_version, to_version, batch_id
     )
 
 
@@ -115,6 +132,7 @@ REPO_FILE_SPECS: dict[str, ProjectionSpec | RollupSpec] = {
         group_id=lambda: F.col("repo"),
         build=split_repos,
         pushdown_col="repo",
+        mutable_groups=False,  # repo is a key column
     ),
     "commit_activity": RollupSpec(
         "commit_activity",
@@ -122,6 +140,7 @@ REPO_FILE_SPECS: dict[str, ProjectionSpec | RollupSpec] = {
         group_id=lambda: composite_id(F.col("repo"), F.col("commit")),
         build=split_commit_activities,
         pushdown_col="repo",
+        mutable_groups=False,  # (repo, commit) are key columns
     ),
 }
 
@@ -191,7 +210,16 @@ def refresh_derived(
     shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     scratch = tempfile.mkdtemp(prefix="chlog_refresh_", dir=shm)
     try:
-        raw = source.read_changes(from_version, to_v, include_before=True)
+        # the _before pre-image doubles the changelog payload; carry it
+        # only when some requested rollup can actually move rows between
+        # groups (the built-in key-derived rollups cannot)
+        need_before = any(
+            isinstance(specs[n], RollupSpec) and specs[n].mutable_groups
+            for n in targets
+        )
+        raw = source.read_changes(
+            from_version, to_v, include_before=need_before
+        )
         stage = os.path.join(scratch, "changes")
         raw.write.mode("overwrite").parquet(stage)
         changes = source.spark.read.schema(raw.schema).parquet(stage)
@@ -200,9 +228,26 @@ def refresh_derived(
         # pre-image rows re-shaped like source rows (keys are immutable
         # per key, payload from _before): group expressions over MUTABLE
         # columns evaluate on these to dirty the OLD group of a moved row
-        before_rows = changes.filter(F.col("_before").isNotNull()).select(
-            *keys, "_before.*"
+        before_rows = (
+            changes.filter(F.col("_before").isNotNull()).select(
+                *keys, "_before.*"
+            )
+            if need_before
+            else None
         )
+
+        def change_rows_for(spec: RollupSpec) -> DataFrame:
+            if spec.mutable_groups and before_rows is not None:
+                both_cols = [c for c in changes.columns
+                             if c not in ("_change_type", "_before")]
+                return changes.select(*both_cols).unionByName(
+                    before_rows.select(*both_cols)
+                )
+            return changes
+
+        # one collect per pushdown column, shared across specs (the two
+        # built-in rollups both push down on `repo`)
+        pushdown_cache: dict[tuple[str, bool], list] = {}
 
         results: dict[str, MergeResult] = {}
         is_del = F.col("_change_type") == F.lit("delete")
@@ -224,35 +269,52 @@ def refresh_derived(
                 continue
 
             gid = spec.group_id()
+            rows_for_dirty = change_rows_for(spec)
             dirty = (
-                changes.select(gid.alias(spec.id_col))
-                .unionByName(before_rows.select(gid.alias(spec.id_col)))
+                rows_for_dirty.select(gid.alias(spec.id_col))
                 .filter(F.col(spec.id_col).isNotNull())
                 .distinct()
             )
-            cur = source.read(version=to_v)
+            cur = None
             if spec.pushdown_col is not None:
                 # dirty groups live inside these plain-column values —
                 # two pruning levels from one collected set: (a) a
                 # manifest-level FILE prune against the per-file
                 # col_stats ranges (tight when the source clusters with
                 # write.sort_within_buckets; COW-only, see read()), and
-                # (b) a pushdown-able `isin` the parquet reader prunes
-                # row groups / dictionaries with — neither of which a
-                # semi-join alone can do
-                vals = [
-                    r[0]
-                    for r in changes.select(spec.pushdown_col)
-                    .unionByName(before_rows.select(spec.pushdown_col))
-                    .distinct()
-                    .limit(DIRTY_GROUP_PUSHDOWN_CAP + 1)
-                    .collect()
-                ]
+                # (b) a pushdown-able predicate the parquet reader
+                # prunes row groups / dictionaries with — neither of
+                # which a semi-join alone can do
+                ck = (spec.pushdown_col, spec.mutable_groups)
+                vals = pushdown_cache.get(ck)
+                if vals is None:
+                    vals = [
+                        r[0]
+                        for r in rows_for_dirty.select(spec.pushdown_col)
+                        .distinct()
+                        .limit(DIRTY_GROUP_PUSHDOWN_CAP + 1)
+                        .collect()
+                    ]
+                    pushdown_cache[ck] = vals
                 if len(vals) <= DIRTY_GROUP_PUSHDOWN_CAP:
+                    # NULL is never matched by isin(): handle it apart —
+                    # a user group_id may map null pushdown values into
+                    # a real group (e.g. coalesce(lang, 'unknown'))
+                    non_null = [v for v in vals if v is not None]
+                    pred = F.col(spec.pushdown_col).isin(non_null)
+                    # value-range FILE pruning only when no null is
+                    # sought: col_stats ranges say nothing about a
+                    # file's null rows, so pruning could drop them
+                    fvr = None
+                    if len(non_null) == len(vals):
+                        fvr = {spec.pushdown_col: non_null}
+                    else:
+                        pred = pred | F.col(spec.pushdown_col).isNull()
                     cur = source.read(
-                        version=to_v,
-                        file_value_ranges={spec.pushdown_col: vals},
-                    ).filter(F.col(spec.pushdown_col).isin(vals))
+                        version=to_v, file_value_ranges=fvr
+                    ).filter(pred)
+            if cur is None:
+                cur = source.read(version=to_v)
             subset = cur.join(
                 dirty, spec.group_id() == dirty[spec.id_col], "left_semi"
             )

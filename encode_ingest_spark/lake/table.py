@@ -212,9 +212,18 @@ def _footer_stats(pf, value_cols: Iterable[str] = ()) -> dict[str, Any] | None:
             highs.append(cs.max)
         if ok and lows:
             try:
-                col_stats[col] = [min(lows), max(highs)]
+                lo, hi = min(lows), max(highs)
             except TypeError:  # mixed/unorderable stat types: skip col
-                pass
+                continue
+            # manifest stats must survive json.dump: only plain scalars
+            # qualify (timestamp/date/bytes/decimal stats would crash
+            # every subsequent commit) — skipping just means no file
+            # pruning on that column, never an error
+            if all(
+                isinstance(x, (int, float, str)) and not isinstance(x, bool)
+                for x in (lo, hi)
+            ):
+                col_stats[col] = [lo, hi]
     has_tomb = False
     mins: list[int] = []
     maxs: list[int] = []
@@ -636,30 +645,55 @@ class LakeTable:
             v = m.parent_version
         return list(reversed(out))
 
+    def _lineage_roots(self) -> list[int]:
+        """Roots of every reachable manifest chain: CURRENT plus any
+        pinned versions (retention pins survive expiry DISCONNECTED from
+        the current chain once their parents are re-rooted away)."""
+        roots = [self.current_version()]
+        for v in sorted(set(self.pinned_versions().values()), reverse=True):
+            if v not in roots:
+                roots.append(v)
+        return roots
+
     def lineage_span_for(
         self, source_id: str, batch_id: int
-    ) -> tuple[int, int] | None:
+    ) -> tuple[int | None, int] | None:
         """(parent_version, version) of the snapshot whose lineage
         committed (source_id, batch_id) — the replay-recovery resolver.
+        ``parent_version`` is None when the committing snapshot was
+        re-rooted by expiry (its diff base is gone — the version is
+        still resolvable, a changelog from before it is not).
         LAZY newest-first walk of the parent chain with the monotone
         early-stop (per source, lineage batch ids only decrease walking
         back), so the common fence-replay check costs O(1) manifest
         reads — never a full-chain materialization, which at ~10^5
-        versions would be ~10^5 JSON loads per replayed epoch. None if
-        unreachable (expired) or the id predates this source."""
-        v: int | None = self.current_version()
+        versions would be ~10^5 JSON loads per replayed epoch. Chains
+        rooted at PINNED versions are walked too (a pin disconnected by
+        expiry still resolves its batch). None if unreachable (expired)
+        or the id predates this source."""
         want = int(batch_id)
-        while v is not None:
-            m = self.manifest_at(v)
-            for entry in m.lineage:
-                if entry.get("source_id") != source_id:
-                    continue
-                found = int(entry.get("batch_id", -1))
-                if found == want and m.parent_version is not None:
-                    return (m.parent_version, m.version)
-                if found < want:
-                    return None
-            v = m.parent_version
+        visited: set[int] = set()
+        for root in self._lineage_roots():
+            v: int | None = root
+            while v is not None and v not in visited:
+                visited.add(v)
+                try:
+                    m = self.manifest_at(v)
+                except OSError:
+                    break
+                stop_chain = False
+                for entry in m.lineage:
+                    if entry.get("source_id") != source_id:
+                        continue
+                    found = int(entry.get("batch_id", -1))
+                    if found == want:
+                        return (m.parent_version, m.version)
+                    if found < want:
+                        stop_chain = True  # monotone: not further back
+                        break
+                if stop_chain:
+                    break
+                v = m.parent_version
         return None
 
     @property
@@ -679,12 +713,23 @@ class LakeTable:
                 for line in fh:
                     if line.strip():
                         records.append(json.loads(line))
-        for m in self.snapshots():
-            for entry in m.lineage:
-                records.append(
-                    {**entry, "snapshot_id": m.snapshot_id,
-                     "committed_at": m.committed_at}
-                )
+        # walk CURRENT's chain plus any pinned chains (a pinned version
+        # disconnected by expiry keeps its lineage reachable here)
+        visited: set[int] = set()
+        for root in self._lineage_roots():
+            v: int | None = root
+            while v is not None and v not in visited:
+                visited.add(v)
+                try:
+                    m = self.manifest_at(v)
+                except OSError:
+                    break
+                for entry in m.lineage:
+                    records.append(
+                        {**entry, "snapshot_id": m.snapshot_id,
+                         "committed_at": m.committed_at}
+                    )
+                v = m.parent_version
         # a crash between archive-append and manifest deletion makes a
         # re-run re-archive the same entries — dedup on the natural key
         seen: set[tuple] = set()

@@ -188,7 +188,12 @@ class TableGroup:
         if batch_id is not None:
             wm = m.get("watermarks", {}).get(source_id)
             if wm is not None and int(wm.get("batch_id", -1)) >= batch_id:
-                return m  # fence: already committed
+                # fence: already committed — but RE-PIN the committed
+                # vector: a crash between a prior commit's manifest swap
+                # and its pin write would otherwise leave the current
+                # vector unpinned forever (the replay is the healer)
+                self._pin_members(m["tables"])
+                return m
         tables = {k: dict(v) for k, v in m["tables"].items()}
         unknown = set(versions) - set(tables)
         if unknown:
@@ -204,8 +209,12 @@ class TableGroup:
             "watermarks": watermarks,
             "parent_version": m["version"],
         }
-        self._write_manifest(nm)
+        # pin BEFORE the group manifest swap: over-pinning (crash after
+        # pin, before swap) only retains an extra member snapshot until
+        # the next commit re-pins; under-pinning (the old order) left a
+        # committed vector unprotected against member snapshot expiry
         self._pin_members(tables)
+        self._write_manifest(nm)
         return nm
 
     @staticmethod

@@ -222,8 +222,13 @@ class CdcStreamPipeline:
     def _lineage_span(self, batch_id: int) -> tuple[int, int] | None:
         """Replay recovery for the derived-table refresh: delegates to
         the table's lazy newest-first lineage walk (O(1) manifest reads
-        for the crash-window batches, which are always near the head)."""
-        return self.table.lineage_span_for(self.source_id, batch_id)
+        for the crash-window batches, which are always near the head).
+        A span whose diff base was expired (parent None) is
+        unrecoverable for a changelog replay — returns None."""
+        span = self.table.lineage_span_for(self.source_id, batch_id)
+        if span is None or span[0] is None:
+            return None
+        return (span[0], span[1])
 
     def run_available_now(
         self,

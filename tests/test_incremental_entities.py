@@ -425,3 +425,54 @@ def test_projection_spec_for_wraps_unmodified_mapper(spark, tmp_path):
     refresh_derived(source, {"antibody": derived}, spec,
                     from_version=v1, batch_id=2)
     assert derived.read().count() == 0
+
+
+def test_rollup_spec_with_null_group_values(spark, tmp_path):
+    """A user rollup mapping NULL pushdown values into a real group
+    (coalesce(lang,'unknown')) must recompute that group correctly —
+    isin() never matches NULL, so the refresh adds an IS NULL arm and
+    skips value-range file pruning when nulls are sought."""
+    from encode_ingest_spark.entities.incremental import (
+        RollupSpec,
+        refresh_derived,
+    )
+
+    source = LakeTable.create(spark, str(tmp_path / "src"), SRC_SCHEMA,
+                              ["repo", "path", "commit"], num_buckets=2)
+    stats = LakeTable.create(
+        spark, str(tmp_path / "stats"),
+        T._parse_datatype_string("lang_id string, n long"),
+        ["lang_id"], num_buckets=2,
+    )
+    spec = {
+        "stats": RollupSpec(
+            "stats", id_col="lang_id",
+            group_id=lambda: F.coalesce(F.col("lang"), F.lit("unknown")),
+            build=lambda df: df.groupBy(
+                F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang_id")
+            ).agg(F.count(F.lit(1)).alias("n")),
+            pushdown_col="lang",
+        )
+    }
+    sch = ("repo string, path string, commit string, lang string, "
+           "content string, op string, event_seq long")
+    rows = [
+        ("o/r", "a.py", "c" * 40, None, "x", "insert", 1),
+        ("o/r", "b.py", "c" * 40, None, "y", "insert", 2),
+        ("o/r", "c.go", "c" * 40, "go", "z", "insert", 3),
+    ]
+    merge_into(source, spark.createDataFrame(rows, sch), batch_id=1)
+    refresh_derived(source, {"stats": stats}, spec,
+                    from_version=0, batch_id=1)
+    got = {r.lang_id: r.n for r in stats.read().collect()}
+    assert got == {"unknown": 2, "go": 1}
+
+    # touch only a null-lang row: the 'unknown' group must recompute
+    # from ALL null rows, not zero of them
+    upd = [("o/r", "a.py", "c" * 40, None, "x2", "update", 10)]
+    v1 = source.current_version()
+    merge_into(source, spark.createDataFrame(upd, sch), batch_id=2)
+    refresh_derived(source, {"stats": stats}, spec,
+                    from_version=v1, batch_id=2)
+    got = {r.lang_id: r.n for r in stats.read().collect()}
+    assert got == {"unknown": 2, "go": 1}

@@ -519,3 +519,36 @@ def test_file_value_range_pruning(spark, tmp_path):
     merge_into(tm, spark.createDataFrame(rows_z, sch), batch_id=2, mode="mor")
     assert len(tm.read(file_value_ranges={"repo": ["zzz/r"]}).inputFiles()) == \
         len(tm.read().inputFiles())
+
+
+def test_timestamp_cluster_column_stats_stay_json_safe(spark, tmp_path):
+    """Clustering on a non-scalar-stats column (timestamp) must not
+    poison the manifest: col_stats only keeps JSON-safe scalars, and
+    commits keep working."""
+    from encode_ingest_spark.lake import LakeTable, merge_into
+
+    sch_t = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("seen_at", T.TimestampType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), sch_t, KEYS, num_buckets=2,
+        properties={"write.sort_within_buckets": "seen_at,repo"},
+    )
+    rows = [("o/r", f"p{i}", "c" * 40, None, f"v{i}", "insert", i)
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, seen_at timestamp, "
+        "content string, op string, event_seq long",
+    ).withColumn("seen_at", F.current_timestamp())
+    res = merge_into(t, df, batch_id=1)  # must not raise on json.dump
+    stats = [f.stats.get("col_stats", {}) for f in res.manifest.files]
+    assert all("seen_at" not in cs for cs in stats)  # timestamp skipped
+    assert any("repo" in cs for cs in stats)         # string kept
+    # and the manifest round-trips
+    fresh = LakeTable.load(spark, t.root)
+    assert fresh.read().count() == 10

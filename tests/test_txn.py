@@ -214,3 +214,62 @@ def test_member_expiry_cannot_break_group_reads(spark, tmp_path):
     assert LakeTable.load(spark, ft.root).read(version=pinned_v).count() > 0
     # unpinned versions between the pin and CURRENT are gone
     assert len(LakeTable.load(spark, ft.root)._all_versions()) <= 3
+
+
+def test_replayed_group_commit_heals_missing_pins(spark, tmp_path):
+    """Crash between group swap and pin write: the pins are absent for
+    the committed vector. A replayed (fence-skipped) commit must re-pin
+    — the healer for the crash window."""
+    source, targets, group = _setup(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=80, events_per_key=2, seed=61)
+    merge_into(source, ev, batch_id=1)
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=source.current_version(), batch_id=1)
+    # simulate the crash window: wipe the pins the commit wrote
+    import os
+    import shutil
+
+    for t in targets.values():
+        shutil.rmtree(os.path.join(t._meta_dir, "pins"), ignore_errors=True)
+    assert targets["file"].pinned_versions() == {}
+    # fence-skipped replay re-pins the committed vector
+    gv = group.current_version()
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=source.current_version(), batch_id=1)
+    assert group.current_version() == gv
+    for name, t in targets.items():
+        pins = t.pinned_versions()
+        assert pins and list(pins.values())[0] == group.pinned_versions()[name]
+
+
+def test_pinned_version_lineage_survives_chain_disconnect(spark, tmp_path):
+    """A pin below the retention window is re-rooted off the current
+    chain by expiry — its lineage must stay reachable (lineage_df and
+    the replay resolver), or a group replay could resolve the wrong
+    member version."""
+    source, targets, group = _setup(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=80, events_per_key=2, seed=63)
+    merge_into(source, ev, batch_id=1)
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=source.current_version(), batch_id=1)
+    ft = targets["file"]
+    pinned_v = group.pinned_versions()["file"]
+
+    for i in range(3):
+        extra = spark.createDataFrame(
+            [(f"gf{i}", "l", "py", ["x"], 1, "s" * 64, "o/r", "a", "d",
+              "upsert", 500 + i)],
+            FILE_SCHEMA + ", op string, event_seq long",
+        )
+        merge_into(ft, extra, source_id="other", batch_id=50 + i)
+    ft.expire_snapshots(keep_last=1)
+
+    fresh = LakeTable.load(spark, ft.root)
+    # the pinned version is disconnected from CURRENT's chain, yet its
+    # batch resolves (diff base severed by re-root → parent None) and
+    # its lineage rows are present
+    span = fresh.lineage_span_for("entity_refresh", 1)
+    assert span is not None and span[1] == pinned_v
+    assert group.version_for_batch(fresh, "entity_refresh", 1) == pinned_v
+    batches = {(r.source_id, r.batch_id) for r in fresh.lineage_df().collect()}
+    assert ("entity_refresh", 1) in batches
