@@ -39,4 +39,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the flagship oracle reads a staged parquet both engines share;
+    # stage it NOW so the DuckDB side is runnable first / standalone
+    # (falls back silently — the Spark side stages on first run anyway)
+    try:
+        from encode_ingest_spark.suite import ensure_flagship_staged
+
+        ensure_flagship_staged()
+    except Exception:
+        pass
     return dict(ORACLES)

@@ -202,13 +202,20 @@ def refresh_derived(
     # wide-string payloads a parquet stage measures ~2x cheaper than
     # localCheckpoint (lake/merge.py's measured numbers, 2.6 s vs 4.6 s
     # on a 150k-row×2KB batch) and leaves no RDD blocks lingering across
-    # a long stream's epochs
+    # a long stream's epochs. Staged UNDER source.root/_staging (with
+    # the table's pid-marker liveness convention) like every other
+    # staging path in the engine: the table root is the one location
+    # executors on a multi-node cluster are guaranteed to share — a
+    # driver-local tempdir is invisible to them (ADVICE r3).
     import os
     import shutil
-    import tempfile
+    import uuid as _uuid
 
-    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-    scratch = tempfile.mkdtemp(prefix="chlog_refresh_", dir=shm)
+    scratch = os.path.join(
+        source.root, "_staging", f"chlog_refresh_{_uuid.uuid4().hex}"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    marker = source._stage_marker(scratch)
     try:
         # the _before pre-image doubles the changelog payload; carry it
         # only when some requested rollup can actually move rows between
@@ -334,6 +341,10 @@ def refresh_derived(
         return results
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
 
 
 def transactional_split_refresh(

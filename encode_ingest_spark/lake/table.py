@@ -956,7 +956,20 @@ class LakeTable:
         by a crashed merge before its commit). Safe to delete."""
         referenced: set[str] = set()
         for v in self._all_versions():
-            for f in self.manifest_at(v).files:
+            try:
+                files = self.manifest_at(v).files
+            except OSError:
+                # expired-but-undeleted delta child of an already-deleted
+                # parent (crash mid-expire): its raw payload still names
+                # the files it ADDED; inherited files are referenced by
+                # whichever surviving manifests still carry them
+                with open(self._manifest_path(v)) as fh:
+                    raw = json.load(fh)
+                files = [
+                    DataFile.from_json(x)
+                    for x in raw.get("delta", {}).get("added_files", [])
+                ]
+            for f in files:
                 referenced.add(os.path.normpath(os.path.join(self.root, f.path)))
         orphans = []
         for dirpath, _dirnames, filenames in os.walk(self._data_dir):
@@ -1096,18 +1109,45 @@ class LakeTable:
         # parent chain is expiring
         keep |= {v for v in self.pinned_versions().values() if v in set(versions)}
         keep_files: set[str] = set()
-        for v in keep:
-            for f in self.manifest_at(v).files:
+        for v in sorted(keep):
+            try:
+                files = self.manifest_at(v).files
+            except OSError:
+                if v == versions[-1]:
+                    raise  # CURRENT unresolvable = corruption, stop here
+                # a crash-orphaned delta child (parent deleted by an
+                # interrupted prior run) cannot be kept — nothing can
+                # resolve it; let the deletion loop clear it
+                keep.discard(v)
+                continue
+            for f in files:
                 keep_files.add(f.path)
+        # archive lineage from RAW manifest JSON: lineage/snapshot_id are
+        # not behind delta resolution, so this works even for an expired
+        # child whose parent a crashed prior run already deleted. Dedupe
+        # against already-archived snapshot ids — a crash between the
+        # archive fsync and the deletions must not double-write history
+        # on the idempotent re-run.
+        already: set[int] = set()
+        if os.path.exists(self._lineage_archive_path):
+            with open(self._lineage_archive_path) as fh:
+                for line in fh:
+                    try:
+                        already.add(int(json.loads(line)["snapshot_id"]))
+                    except (ValueError, KeyError):
+                        continue
         archived = []
         for v in versions:
             if v in keep:
                 continue
-            m = self.manifest_at(v)
-            for entry in m.lineage:
+            with open(self._manifest_path(v)) as fh:
+                raw = json.load(fh)
+            if int(raw["snapshot_id"]) in already:
+                continue
+            for entry in raw.get("lineage", []):
                 archived.append(
-                    {**entry, "snapshot_id": m.snapshot_id,
-                     "committed_at": m.committed_at}
+                    {**entry, "snapshot_id": raw["snapshot_id"],
+                     "committed_at": raw.get("committed_at", 0.0)}
                 )
         if archived:
             with open(self._lineage_archive_path, "a") as fh:
@@ -1139,16 +1179,32 @@ class LakeTable:
                     os.fsync(fh.fileno())
                 os.replace(tmp, path)
         removed = 0
-        for v in versions:
-            if v in keep:
-                continue
-            for f in self.manifest_at(v).files:
+        # delete NEWEST-FIRST: a delta-form manifest resolves through
+        # its (earlier-version) parent, so children must go before
+        # parents — a crash mid-loop then leaves every surviving
+        # manifest still resolvable and the re-run idempotent. An
+        # unresolvable child (legacy crash state from the old
+        # oldest-first order) is handled by falling back to its raw
+        # delta payload: the files IT added are deletion candidates;
+        # inherited ones were the deleted parent's responsibility.
+        for v in sorted((v for v in versions if v not in keep), reverse=True):
+            try:
+                files = self.manifest_at(v).files
+            except OSError:
+                with open(self._manifest_path(v)) as fh:
+                    raw = json.load(fh)
+                files = [
+                    DataFile.from_json(x)
+                    for x in raw.get("delta", {}).get("added_files", [])
+                ]
+            for f in files:
                 if f.path not in keep_files:
                     p = os.path.join(self.root, f.path)
                     if os.path.exists(p):
                         os.remove(p)
                         removed += 1
             os.remove(self._manifest_path(v))
+            self._manifest_cache.pop(v, None)
         return removed
 
     def maintain(

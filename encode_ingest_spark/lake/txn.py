@@ -107,35 +107,88 @@ class TableGroup:
             os.path.abspath(self.root).encode()
         ).hexdigest()[:12]
 
-    def _pin_members(self, tables: dict[str, dict[str, Any]]) -> None:
-        """Register the group's CURRENT vector as retention roots in
-        each member: LakeTable.expire_snapshots keeps pinned versions
-        (and their files) alive, so a member's aggressive snapshot
-        expiry cannot break group reads. Only the current vector is
-        protected — time travel to OLD group versions is subject to
-        member retention, like any other historical snapshot."""
+    def _pin_name_for(self, gversion: int) -> str:
+        """Per-GROUP-VERSION pin name: pins are namespaced by the group
+        version they protect, so concurrent committers never clobber a
+        committed vector's pins with an uncommitted one, and the last
+        ``keep_pinned`` group versions each hold their own retention
+        roots (group time travel within that window survives member
+        snapshot expiry)."""
+        return f"{self._pin_name}.g{int(gversion):012d}"
+
+    def keep_pinned(self) -> int:
+        """How many recent group versions stay retention-protected in
+        member tables (group property ``retention.keep_pinned``)."""
+        props = self.current_manifest().get("properties", {})
+        return max(1, int(props.get("retention.keep_pinned", 3)))
+
+    def _pin_members(
+        self, tables: dict[str, dict[str, Any]], gversion: int
+    ) -> None:
+        """Register a group version's vector as retention roots in each
+        member: LakeTable.expire_snapshots keeps pinned versions (and
+        their files) alive, so a member's aggressive snapshot expiry
+        cannot break group reads at any protected group version."""
+        name = self._pin_name_for(gversion)
         for entry in tables.values():
             try:
                 LakeTable(self.spark, entry["root"]).pin_version(
-                    self._pin_name, int(entry["version"])
+                    name, int(entry["version"])
                 )
             except OSError:  # pragma: no cover - best-effort pin
+                pass
+
+    def _gc_member_pins(
+        self, tables: dict[str, dict[str, Any]], keep_from: int
+    ) -> None:
+        """Drop this group's per-version pins BELOW ``keep_from`` (plus
+        any legacy un-versioned pin) from every member — run only after
+        a successful commit, so superseded pins outlive every in-flight
+        reader of the versions they protected."""
+        prefix = self._pin_name + ".g"
+        for entry in tables.values():
+            try:
+                t = LakeTable(self.spark, entry["root"])
+                for name in list(t.pinned_versions()):
+                    if name == self._pin_name:
+                        t.unpin_version(name)  # pre-r4 single-pin scheme
+                    elif name.startswith(prefix):
+                        try:
+                            n = int(name[len(prefix):])
+                        except ValueError:
+                            continue
+                        if n < keep_from:
+                            t.unpin_version(name)
+            except OSError:  # pragma: no cover - best-effort GC
                 pass
 
     # ---------- create / load ----------
     @staticmethod
     def create(
-        spark: SparkSession, root: str, tables: dict[str, LakeTable]
+        spark: SparkSession,
+        root: str,
+        tables: dict[str, LakeTable],
+        keep_pinned: int = 3,
     ) -> "TableGroup":
-        """Create a group pinning each member at its CURRENT version."""
+        """Create a group pinning each member at its CURRENT version.
+        ``keep_pinned`` = how many recent group versions stay
+        retention-protected in members (time travel within that window
+        survives aggressive member snapshot expiry)."""
         g = TableGroup(spark, root)
         os.makedirs(g._meta_dir, exist_ok=False)
         vector = {
             name: {"root": t.root, "version": t.current_version()}
             for name, t in tables.items()
         }
-        g._write_manifest({"version": 0, "tables": vector, "watermarks": {}})
-        g._pin_members(vector)
+        g._write_manifest(
+            {
+                "version": 0,
+                "tables": vector,
+                "watermarks": {},
+                "properties": {"retention.keep_pinned": int(keep_pinned)},
+            }
+        )
+        g._pin_members(vector, 0)
         return g
 
     @staticmethod
@@ -192,7 +245,7 @@ class TableGroup:
                 # vector: a crash between a prior commit's manifest swap
                 # and its pin write would otherwise leave the current
                 # vector unpinned forever (the replay is the healer)
-                self._pin_members(m["tables"])
+                self._pin_members(m["tables"], m["version"])
                 return m
         tables = {k: dict(v) for k, v in m["tables"].items()}
         unknown = set(versions) - set(tables)
@@ -203,19 +256,65 @@ class TableGroup:
         watermarks = dict(m.get("watermarks", {}))
         if batch_id is not None:
             watermarks[source_id] = {"batch_id": int(batch_id)}
+        nv = m["version"] + 1
         nm = {
-            "version": m["version"] + 1,
+            "version": nv,
             "tables": tables,
             "watermarks": watermarks,
             "parent_version": m["version"],
+            "properties": m.get("properties", {}),
         }
         # pin BEFORE the group manifest swap: over-pinning (crash after
         # pin, before swap) only retains an extra member snapshot until
         # the next commit re-pins; under-pinning (the old order) left a
-        # committed vector unprotected against member snapshot expiry
-        self._pin_members(tables)
-        self._write_manifest(nm)
+        # committed vector unprotected against member snapshot expiry.
+        # Pins are namespaced by group version, so a losing concurrent
+        # committer can only have raced THIS version's pins — healed
+        # below from the winner's committed manifest.
+        self._pin_members(tables, nv)
+        try:
+            self._write_manifest(nm)
+        except CommitConflictError:
+            # a concurrent winner committed nv first and our pin write
+            # above may have overwritten its pins with our uncommitted
+            # vector — re-pin the ACTUAL committed vector before
+            # surfacing the conflict (the manifest is fsync'd before
+            # CURRENT swaps, but guard a mid-write read anyway)
+            try:
+                self._pin_members(self.manifest_at(nv)["tables"], nv)
+            except (OSError, ValueError, KeyError):  # pragma: no cover
+                pass
+            raise
+        keep_pinned = max(
+            1, int(nm["properties"].get("retention.keep_pinned", 3))
+        )
+        self._gc_member_pins(tables, keep_from=nv - keep_pinned + 1)
         return nm
+
+    def expire_snapshots(self, keep_last: int | None = None) -> int:
+        """Delete group manifests older than the last ``keep_last``
+        (default: the ``retention.keep_pinned`` window) and GC the
+        member pins of the expired group versions. Group time travel to
+        expired versions stops working — same contract as the member
+        tables' expire_snapshots."""
+        if keep_last is None:
+            keep_last = self.keep_pinned()
+        keep_last = max(1, int(keep_last))
+        versions = sorted(
+            int(fn[1:].split(".")[0])
+            for fn in os.listdir(self._meta_dir)
+            if fn.endswith(".manifest.json")
+        )
+        if len(versions) <= keep_last:
+            return 0
+        keep = versions[-keep_last:]
+        self._gc_member_pins(self.current_manifest()["tables"], keep[0])
+        removed = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+                removed += 1
+        return removed
 
     @staticmethod
     def version_for_batch(

@@ -1411,6 +1411,25 @@ _STAGE_DIR = _stage_root()
 _FLAGSHIP_EVENTS = os.path.join(_STAGE_DIR, "repo_events_k2000_e3_s42_v1")
 
 
+def ensure_flagship_staged(spark=None) -> str:
+    """Make sure the flagship's shared parquet exists, WITHOUT requiring
+    the Spark query to have run first (ADVICE r3: the DuckDB oracle must
+    be runnable standalone). Borrows the active SparkSession when one
+    exists; otherwise creates the process's local session (left running —
+    any later getOrCreate in this process reuses it). Returns the staged
+    directory path the oracle SQL reads."""
+    if not os.path.exists(os.path.join(_FLAGSHIP_EVENTS, "_SUCCESS")):
+        from pyspark.sql import SparkSession
+
+        s = spark or SparkSession.getActiveSession()
+        if s is None:
+            from .session import get_spark
+
+            s = get_spark("stage-flagship", cores=2)
+        staged_repo_events(s)
+    return _FLAGSHIP_EVENTS
+
+
 def staged_repo_events(spark) -> DataFrame:
     """Stage ``repo_file_events(n_keys=2000, events_per_key=3, seed=42)``
     to parquet once (atomic tmp-dir + rename; concurrent stagers race

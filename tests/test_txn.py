@@ -35,7 +35,7 @@ ACT_SCHEMA = (
 )
 
 
-def _setup(spark, tmp_path):
+def _setup(spark, tmp_path, keep_pinned=3):
     source = LakeTable.create(spark, str(tmp_path / "src"), SRC_SCHEMA,
                               ["repo", "path", "commit"], num_buckets=4)
 
@@ -50,7 +50,8 @@ def _setup(spark, tmp_path):
         "repo": mk("repo", REPO_SCHEMA, ["repo_id"]),
         "commit_activity": mk("act", ACT_SCHEMA, ["activity_id"]),
     }
-    group = TableGroup.create(spark, str(tmp_path / "grp"), targets)
+    group = TableGroup.create(spark, str(tmp_path / "grp"), targets,
+                              keep_pinned=keep_pinned)
     return source, targets, group
 
 
@@ -273,3 +274,96 @@ def test_pinned_version_lineage_survives_chain_disconnect(spark, tmp_path):
     assert group.version_for_batch(fresh, "entity_refresh", 1) == pinned_v
     batches = {(r.source_id, r.batch_id) for r in fresh.lineage_df().collect()}
     assert ("entity_refresh", 1) in batches
+
+
+def test_group_time_travel_retention_window(spark, tmp_path):
+    """VERDICT r3 directive 4: the last ``keep_pinned`` group versions
+    are retention roots in members — a 3-versions-old group snapshot
+    stays readable (and FK-clean) after aggressive member
+    expire_snapshots + maintain(); group expire_snapshots prunes group
+    manifests together with their member pins."""
+    source, targets, group = _setup(spark, tmp_path, keep_pinned=4)
+    sv = source.current_version()
+    for i in range(1, 5):
+        merge_into(
+            source,
+            repo_file_events(spark, n_keys=40, events_per_key=1, seed=70 + i),
+            batch_id=i,
+        )
+        transactional_split_refresh(
+            source, group, from_version=sv,
+            to_version=source.current_version(), batch_id=i,
+        )
+        sv = source.current_version()
+    assert group.current_version() == 4
+
+    old_v = 1  # 3 versions old
+    want = {tuple(r) for r in group.read("file", version=old_v)
+            .select("file_id", "content_sha256").collect()}
+    assert want
+
+    for t in targets.values():
+        t.expire_snapshots(keep_last=1)
+        t.maintain(keep_snapshots=1)
+
+    fresh = TableGroup.load(spark, group.root)
+    got = {tuple(r) for r in fresh.read("file", version=old_v)
+           .select("file_id", "content_sha256").collect()}
+    assert got == want
+    assert _fk_clean(fresh, version=old_v)
+    assert _fk_clean(fresh)  # current vector too
+
+    # per-version pins cover exactly the protected window (g1..g4 after
+    # the g0 pin was GC'd at commit time), namespaced by group version
+    names = sorted(targets["file"].pinned_versions())
+    assert 1 <= len(names) <= 4
+    assert all(".g" in n for n in names)
+
+    # group-level expiry: manifests g0..g2 go, their member pins too
+    removed = fresh.expire_snapshots(keep_last=2)
+    assert removed == 3
+    with pytest.raises(OSError):
+        fresh.read("file", version=old_v)
+    kept = sorted(targets["file"].pinned_versions())
+    assert all(int(n.rsplit(".g", 1)[1]) >= 3 for n in kept)
+    # the surviving window still reads clean
+    assert _fk_clean(fresh, version=3)
+
+
+def test_group_commit_conflict_heals_winner_pins(spark, tmp_path):
+    """ADVICE r3: a losing concurrent group commit overwrites the
+    winner's pins for the contended version with its own uncommitted
+    vector BEFORE hitting the O_EXCL conflict — on conflict it must
+    re-pin the winner's committed vector before re-raising."""
+    import pytest as _pytest
+
+    from encode_ingest_spark.lake import CommitConflictError
+
+    source, targets, group = _setup(spark, tmp_path)
+    ev = repo_file_events(spark, n_keys=60, events_per_key=1, seed=77)
+    merge_into(source, ev, batch_id=1)
+    transactional_split_refresh(source, group, from_version=0,
+                                to_version=source.current_version(),
+                                batch_id=1)
+    committed = group.pinned_versions()
+
+    # a second committer racing the SAME next version: simulate by
+    # pre-creating the manifest the loser will try to write (the winner
+    # is the transactional refresh above only for version 1; here we
+    # stage the conflict at version 2)
+    winner = TableGroup.load(spark, group.root)
+    winner.commit({"file": committed["file"]}, source_id="w", batch_id=7)
+    winner_pins = {n: t.pinned_versions() for n, t in targets.items()}
+
+    loser = TableGroup.load(spark, group.root)
+    # force the loser to race version 2 as well: rewind its view by
+    # reading the v1 manifest as current via a monkeypatched
+    # current_version
+    loser.current_version = lambda: 1  # type: ignore[method-assign]
+    stale = targets["file"].current_version()
+    with _pytest.raises(CommitConflictError):
+        loser.commit({"file": 0}, source_id="l", batch_id=9)
+    # the loser's healing re-pin restored the winner's vector
+    for n, t in targets.items():
+        assert t.pinned_versions() == winner_pins[n], n
+    assert stale == targets["file"].current_version()
