@@ -320,6 +320,33 @@ def refresh_derived(
                     cur = source.read(
                         version=to_v, file_value_ranges=fvr
                     ).filter(pred)
+                else:
+                    # WIDE batch (> cap dirty values): collapse the set
+                    # to its [min, max] INTERVAL — one agg over the
+                    # change set, no driver-side value list — and prune
+                    # files whose col_stats range misses the interval
+                    # (tight when the table clusters on the column).
+                    # The BETWEEN predicate keeps every dirty-group row
+                    # (all dirty values lie inside the interval); the
+                    # dirty semi-join below does the exact filtering.
+                    c = F.col(spec.pushdown_col)
+                    stats = pushdown_cache.get(("__range__", ck))
+                    if stats is None:
+                        stats = rows_for_dirty.agg(
+                            F.min(spec.pushdown_col).alias("lo"),
+                            F.max(spec.pushdown_col).alias("hi"),
+                            F.max(c.isNull().cast("int")).alias("has_null"),
+                        ).first()
+                        pushdown_cache[("__range__", ck)] = stats
+                    if stats.lo is not None:
+                        pred = c.between(stats.lo, stats.hi)
+                        fvr = {spec.pushdown_col: [(stats.lo, stats.hi)]}
+                        if stats.has_null:
+                            pred = pred | c.isNull()
+                            fvr = None  # ranges say nothing about nulls
+                        cur = source.read(
+                            version=to_v, file_value_ranges=fvr
+                        ).filter(pred)
             if cur is None:
                 cur = source.read(version=to_v)
             subset = cur.join(

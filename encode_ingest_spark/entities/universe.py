@@ -1,0 +1,1047 @@
+"""Incremental maintenance of the reference's FULL entity universe —
+all 13 mappers / 16 output tables (TransformationPipelineBuilder.scala:
+40-174) re-run as change-driven maintenance instead of the reference's
+weekly full recompute (cron-workflow.yaml:5-9).
+
+Design — dirty-output-id recomputation, generalizing the single-source
+``RollupSpec`` to multi-input processing trees. Each output table
+declares a :class:`TreeSpec`:
+
+* ``dirty(spark, ch, old, new)`` — the output ids affected by this
+  epoch's changes, derived from the change rows of EVERY consuming raw
+  source. Uses the post-image AND the ``_before`` pre-image (a moved FK
+  dirties both its old and new parent), and resolves reverse-FK hops
+  (changed dim row → affected driving rows) against BOTH the
+  from-version and to-version snapshots — time travel makes the "what
+  did this row used to link to" question answerable without any extra
+  bookkeeping.
+* ``build(spark, snaps)`` — the UNMODIFIED reference tree (the same
+  wiring as ``entities.pipeline.transform_all``) over a dict of source
+  DataFrames.
+* ``restrict(snaps, dirty, ctx)`` — a GROUP-CLOSURE-PRESERVING subset
+  of the inputs: every grouping unit (driving row, step run,
+  experiment, biosample…) that contributes to a dirty output id is kept
+  WHOLE, so ``build`` over the subset equals ``build`` over everything
+  semi-joined to the dirty ids. This is the scale lever: the heavy
+  aggregates and the wide file payloads are only read for the change
+  set's groups, while tiny ontology dims stay broadcast-joined in full.
+
+One epoch = ``refresh_entity_universe``: per tree, MERGE the recomputed
+dirty rows (dirty ids with no recomputed row become deletes), then ONE
+``TableGroup`` commit so the 16 tables move to the new consistent
+vector atomically (the reference QC-checks FK integrity across the set,
+hack/check_for_missing_files.sh:16-47).
+
+The analysis tree's output key — ``{pipeline}_{experiment}`` — is a
+function of a cross-file aggregate (AnalysisActivityTransformations
+.scala:57-84 warn-and-null), so exact group closure needs a
+run → (pipeline, experiment) index. That index is itself maintained
+incrementally here as the auxiliary ``_run_pairs`` table (refreshed
+first each epoch, run-keyed like the step tree — bounded by the dirty
+runs), and the analysis restriction is then an equi-join against it.
+
+Dirty sets are small by contract (a micro-batch), so every dirty-side
+join is broadcast; the reverse-FK lookups scan only the FK columns of
+the affected source (column pruning) joined against a broadcast key
+set. At 10^10 rows the per-epoch cost is proportional to the change
+set plus the metadata dims — never a full pass over the file payloads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalars import transform_id
+from ..lake import LakeTable, merge_into
+from ..lake.merge import MergeResult
+from .activities import (
+    pipeline_run_id,
+    transform_alignment_activity,
+    transform_antibody,
+    transform_assay_activity,
+    transform_experiment_activity,
+    transform_library_preparation,
+    transform_reference_file_set,
+    transform_sample_treatment,
+    transform_sequencing_activity,
+    transform_step_activity,
+)
+from .activities import (
+    RAW_ANTIBODY_SCHEMA,
+    RAW_EXPERIMENT_SCHEMA,
+    RAW_REFERENCE_SET_SCHEMA,
+    RAW_REPLICATE_SCHEMA,
+    RAW_TREATMENT_SCHEMA,
+)
+from .biosample import (
+    RAW_BIOSAMPLE_SCHEMA,
+    RAW_BIOSAMPLE_TYPE_SCHEMA,
+    RAW_GENETIC_MOD_SCHEMA,
+    transform_biosample,
+)
+from .documents import RAW_DONOR_SCHEMA, transform_donor
+from .files_library import (
+    RAW_FILE_SCHEMA,
+    RAW_FULL_LIBRARY_SCHEMA,
+    transform_file,
+    transform_library,
+)
+from .pipeline import (
+    _analysis_frames,
+    _experiment_by_library,
+    _libraries_by_experiment,
+    _step_run_frames,
+    _targets_by_antibody,
+)
+from .repo_entities import dataset_row
+
+# ---------------------------------------------------------------------------
+# The raw-entity universe: one CDC-fed LakeTable per reference extraction
+# stream (ARCHITECTURE.md:36-41), all keyed by ``@id``. Schemas are the
+# mappers' documented raw shapes; ``files.dataset``,
+# ``antibodies.targets`` and ``experiments.replicates`` are linkage
+# fields the pipeline trees read beyond the row-wise mapper fields.
+# ---------------------------------------------------------------------------
+UNIVERSE_SCHEMAS: dict[str, str] = {
+    "organisms": "`@id` string, scientific_name string",
+    "donors": RAW_DONOR_SCHEMA,
+    "references": RAW_REFERENCE_SET_SCHEMA,
+    "antibodies": RAW_ANTIBODY_SCHEMA + ", targets array<string>",
+    "targets": "`@id` string, organism string, label string",
+    "libraries": RAW_FULL_LIBRARY_SCHEMA,
+    "biosamples": RAW_BIOSAMPLE_SCHEMA,
+    "biosample_types": RAW_BIOSAMPLE_TYPE_SCHEMA,
+    "genetic_modifications": RAW_GENETIC_MOD_SCHEMA,
+    "treatments": RAW_TREATMENT_SCHEMA,
+    "experiments": RAW_EXPERIMENT_SCHEMA + ", replicates array<string>",
+    "fc_experiments": RAW_EXPERIMENT_SCHEMA + ", replicates array<string>",
+    "replicates": RAW_REPLICATE_SCHEMA,
+    "files": RAW_FILE_SCHEMA + ", dataset string",
+    "analysis_step_runs": "`@id` string, analysis_step_version string",
+    "analysis_step_versions": "`@id` string, name string, "
+                              "analysis_step string",
+    "analysis_steps": "`@id` string, pipelines array<string>",
+    "pipelines": "`@id` string, assay_term_names array<string>, "
+                 "title string",
+}
+
+#: buckets per raw table — sized for the sandbox; a deployment sets this
+#: per stream volume (files ≫ ontology dims)
+_DEFAULT_BUCKETS = 4
+
+REFRESH_SOURCE_ID = "entity_universe"
+
+
+def create_universe(
+    spark: SparkSession, root: str, num_buckets: int | None = None
+) -> dict[str, LakeTable]:
+    """One CDC-fed LakeTable per raw entity stream, keyed by ``@id``."""
+    out = {}
+    for name, ddl in UNIVERSE_SCHEMAS.items():
+        out[name] = LakeTable.create(
+            spark, f"{root}/{name}", T._parse_datatype_string(ddl),
+            ["@id"], num_buckets=num_buckets or _DEFAULT_BUCKETS,
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spec machinery
+# ---------------------------------------------------------------------------
+class _SnapshotView:
+    """Lazy, memoized per-version snapshot reader over the universe."""
+
+    def __init__(self, universe: dict[str, LakeTable], versions: dict[str, int]):
+        self._u = universe
+        self._v = versions
+        self._memo: dict[str, DataFrame] = {}
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._u
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._memo:
+            self._memo[name] = self._u[name].read(
+                version=self._v.get(name, self._u[name].current_version())
+            )
+        return self._memo[name]
+
+    def get(self, name: str, default=None):
+        return self[name] if name in self._u else default
+
+
+@dataclass(frozen=True)
+class TreeSpec:
+    """One reference processing tree, incrementally maintained."""
+
+    name: str
+    id_col: str
+    sources: tuple[str, ...]
+    build: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    dirty: Callable[
+        [SparkSession, dict[str, DataFrame], _SnapshotView, _SnapshotView],
+        DataFrame,
+    ]
+    restrict: (
+        Callable[[dict[str, DataFrame], DataFrame, dict[str, Any]],
+                 dict[str, DataFrame]]
+        | None
+    ) = None
+
+
+# ---------------------------------------------------------------------------
+# Dirty-set helpers. All return a 1-column DataFrame ``_raw`` of RAW
+# ids (the restriction unit); trees mint the output id from it.
+# ---------------------------------------------------------------------------
+def _keys(df: DataFrame, col: str = "@id") -> DataFrame:
+    return (
+        df.select(F.col(col).alias("_raw"))
+        .where(F.col("_raw").isNotNull())
+        .distinct()
+    )
+
+
+def _pre_post(ch: DataFrame, col: str) -> DataFrame:
+    """Both images of a MUTABLE scalar column over change rows — an
+    update that moves the FK dirties both its old and new parent."""
+    post = ch.select(F.col(col).alias("_raw"))
+    pre = ch.select(F.col(f"_before.{col}").alias("_raw"))
+    return post.unionByName(pre).where(F.col("_raw").isNotNull()).distinct()
+
+
+def _pre_post_array(ch: DataFrame, col: str) -> DataFrame:
+    post = ch.select(F.explode_outer(col).alias("_raw"))
+    pre = ch.select(F.explode_outer(F.col(f"_before.{col}")).alias("_raw"))
+    return post.unionByName(pre).where(F.col("_raw").isNotNull()).distinct()
+
+
+def _rev_fk(
+    old: _SnapshotView, new: _SnapshotView, src: str, fk: str,
+    dim_keys: DataFrame,
+) -> DataFrame:
+    """Rows of ``src`` (at BOTH snapshot versions — the link may have
+    been severed this epoch) whose scalar FK hits a changed dim key.
+    Column-pruned scan ⋈ broadcast key set."""
+    u = old[src].select("@id", fk).unionByName(new[src].select("@id", fk))
+    k = F.broadcast(dim_keys.withColumnRenamed("_raw", "_k"))
+    return (
+        u.join(k, F.col(fk) == F.col("_k"))
+        .select(F.col("@id").alias("_raw"))
+        .distinct()
+    )
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame | None:
+    frames = [f for f in frames if f is not None]
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def _minted(dirty_raw: DataFrame, id_col: str) -> DataFrame:
+    return dirty_raw.select(
+        transform_id(F.col("_raw")).alias(id_col), "_raw"
+    ).where(F.col(id_col).isNotNull())
+
+
+def _semi_raw(df: DataFrame, dirty: DataFrame, col: str = "@id") -> DataFrame:
+    """df rows whose ``col`` is a dirty RAW id (broadcast semi-join)."""
+    return df.join(
+        F.broadcast(dirty.select("_raw").distinct()),
+        df[col] == F.col("_raw"),
+        "left_semi",
+    )
+
+
+def _experiments_all(snaps: dict[str, DataFrame]) -> DataFrame:
+    e = snaps["experiments"]
+    fc = snaps.get("fc_experiments")
+    if fc is not None:
+        e = e.unionByName(fc, allowMissingColumns=True)
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Per-tree dirty / build / restrict
+# ---------------------------------------------------------------------------
+def _simple_dirty(src: str, id_col: str):
+    def dirty(spark, ch, old, new):
+        c = ch.get(src)
+        return _minted(_keys(c), id_col) if c is not None else None
+
+    return dirty
+
+
+def _fk_dim_dirty(src: str, id_col: str, dims: dict[str, str]):
+    """Driving-source changes + reverse-FK hops from changed dims:
+    ``dims`` maps dim source name → the driving source's FK column."""
+
+    def dirty(spark, ch, old, new):
+        frames = []
+        c = ch.get(src)
+        if c is not None:
+            frames.append(_keys(c))
+        for dim, fk in dims.items():
+            dc = ch.get(dim)
+            if dc is not None:
+                frames.append(_rev_fk(old, new, src, fk, _keys(dc)))
+        u = _union_all(frames)
+        return None if u is None else _minted(u, id_col)
+
+    return dirty
+
+
+def _driving_restrict(src: str, dims_full: tuple[str, ...] = ()):
+    def restrict(snaps, dirty, ctx):
+        out = dict(snaps)
+        out[src] = _semi_raw(snaps[src], dirty)
+        return out
+
+    return restrict
+
+
+# -- antibody: targets linkage rides the antibodies.targets array -----------
+def _antibody_dirty(spark, ch, old, new):
+    frames = []
+    c = ch.get("antibodies")
+    if c is not None:
+        frames.append(_keys(c))
+    tc = ch.get("targets")
+    if tc is not None:
+        tk = F.broadcast(_keys(tc).withColumnRenamed("_raw", "_k"))
+        for snaps in (old, new):
+            ab = snaps["antibodies"].select(
+                "@id", F.explode_outer("targets").alias("_t")
+            )
+            frames.append(
+                ab.join(tk, F.col("_t") == F.col("_k"))
+                .select(F.col("@id").alias("_raw")).distinct()
+            )
+    u = _union_all(frames)
+    return None if u is None else _minted(u, "antibody_id")
+
+
+# -- biosample: types FK + library biosample FK + genetic-mod arrays --------
+def _biosample_dirty(spark, ch, old, new):
+    frames = []
+    c = ch.get("biosamples")
+    if c is not None:
+        frames.append(_keys(c))
+    tc = ch.get("biosample_types")
+    if tc is not None:
+        frames.append(
+            _rev_fk(old, new, "biosamples", "biosample_ontology", _keys(tc))
+        )
+    lc = ch.get("libraries")
+    if lc is not None:
+        frames.append(_pre_post(lc, "biosample"))
+        frames.append(_pre_post_array(lc, "mixed_biosamples"))
+    gc = ch.get("genetic_modifications")
+    if gc is not None:
+        frames.append(_pre_post_array(gc, "biosamples_modified"))
+    u = _union_all(frames)
+    return None if u is None else _minted(u, "biosample_id")
+
+
+def _biosample_restrict(snaps, dirty, ctx):
+    out = dict(snaps)
+    out["biosamples"] = _semi_raw(snaps["biosamples"], dirty)
+    out["libraries"] = _semi_raw(snaps["libraries"], dirty, "biosample")
+    gm = snaps["genetic_modifications"]
+    dk = F.broadcast(dirty.select("_raw").distinct())
+    out["genetic_modifications"] = gm.join(
+        dk, F.array_contains(gm["biosamples_modified"], F.col("_raw")),
+        "left_semi",
+    )
+    return out
+
+
+# -- file family: library linkage via origin_batches ∩ library biosamples --
+def _library_biosample_keys(ch_lib: DataFrame) -> DataFrame:
+    """Biosample ids referenced by changed libraries (both images of the
+    scalar FK and the mixed list — FileTransformations.scala:50-57)."""
+    return _pre_post(ch_lib, "biosample").unionByName(
+        _pre_post_array(ch_lib, "mixed_biosamples")
+    ).distinct()
+
+
+def _files_touching_biosamples(
+    old: _SnapshotView, new: _SnapshotView, bios: DataFrame,
+    category: str | None,
+) -> DataFrame:
+    """File raw ids (both snapshot versions) whose origin_batches hit
+    any of the given biosample ids — explode + broadcast equi-join, NOT
+    an overlap cross-join."""
+    frames = []
+    bk = F.broadcast(bios.withColumnRenamed("_raw", "_k"))
+    for snaps in (old, new):
+        f = snaps["files"]
+        if category is not None:
+            f = f.filter(F.col("output_category") == category)
+        fx = f.select("@id", F.explode_outer("origin_batches").alias("_b"))
+        frames.append(
+            fx.join(bk, F.col("_b") == F.col("_k"))
+            .select(F.col("@id").alias("_raw")).distinct()
+        )
+    return _union_all(frames)
+
+
+def _file_dirty(spark, ch, old, new):
+    frames = []
+    c = ch.get("files")
+    if c is not None:
+        frames.append(_keys(c))
+    lc = ch.get("libraries")
+    if lc is not None:
+        frames.append(
+            _files_touching_biosamples(
+                old, new, _library_biosample_keys(lc), None
+            )
+        )
+    u = _union_all(frames)
+    return None if u is None else _minted(u, "file_id")
+
+
+def _file_restrict(snaps, dirty, ctx):
+    out = dict(snaps)
+    out["files"] = _semi_raw(snaps["files"], dirty)
+    return out  # libraries stay full: broadcast dim by contract (J14)
+
+
+def _composite_file_ids(ch: DataFrame, category: str, id_col: str,
+                        dataset_optional: bool) -> DataFrame:
+    """Both images of the ``{file}_{dataset}`` composite id over change
+    rows, each image filtered by ITS OWN output_category (a category
+    flip dirties the id on the side it belonged to)."""
+    def side(cat_col, ds_col):
+        fid = transform_id(F.col("@id"))
+        ds = transform_id(ds_col)
+        if dataset_optional:
+            ds = F.coalesce(ds, F.lit(""))
+        return (
+            ch.where(cat_col == category)
+            .select(
+                F.concat(fid, F.lit("_"), ds).alias(id_col),
+                F.col("@id").alias("_raw"),
+            )
+            .where(F.col(id_col).isNotNull())
+        )
+
+    return side(F.col("output_category"), F.col("dataset")).unionByName(
+        side(F.col("_before.output_category"), F.col("_before.dataset"))
+    ).distinct()
+
+
+def _activity_file_dirty(category: str, id_col: str, dataset_optional: bool,
+                         with_libraries: bool):
+    def dirty(spark, ch, old, new):
+        frames = []
+        c = ch.get("files")
+        if c is not None:
+            frames.append(
+                _composite_file_ids(c, category, id_col, dataset_optional)
+            )
+        if with_libraries:
+            lc = ch.get("libraries")
+            if lc is not None:
+                raw = _files_touching_biosamples(
+                    old, new, _library_biosample_keys(lc), category
+                )
+                if raw is not None:
+                    # composite ids of the affected files, from BOTH
+                    # snapshot versions (dataset may have changed)
+                    sides = []
+                    for snaps in (old, new):
+                        f = snaps["files"].filter(
+                            F.col("output_category") == category
+                        )
+                        fid = transform_id(F.col("@id"))
+                        ds = transform_id(F.col("dataset"))
+                        if dataset_optional:
+                            ds = F.coalesce(ds, F.lit(""))
+                        sides.append(
+                            _semi_raw(f, raw).select(
+                                F.concat(fid, F.lit("_"), ds).alias(id_col),
+                                F.col("@id").alias("_raw"),
+                            ).where(F.col(id_col).isNotNull())
+                        )
+                    frames.append(_union_all(sides))
+        return _union_all(frames)
+
+    return dirty
+
+
+# -- experiment-keyed trees -------------------------------------------------
+def _experiment_dirty(with_files: bool, id_col: str):
+    def dirty(spark, ch, old, new):
+        frames = []
+        for src in ("experiments", "fc_experiments"):
+            c = ch.get(src)
+            if c is not None:
+                frames.append(_keys(c))
+        rc = ch.get("replicates")
+        if rc is not None:
+            frames.append(_pre_post(rc, "experiment"))
+        lc = ch.get("libraries")
+        if lc is not None:
+            lk = F.broadcast(_keys(lc).withColumnRenamed("_raw", "_k"))
+            for snaps in (old, new):
+                reps = snaps["replicates"].select("experiment", "library")
+                frames.append(
+                    reps.join(lk, F.col("library") == F.col("_k"))
+                    .select(F.col("experiment").alias("_raw")).distinct()
+                )
+        if with_files:
+            fc = ch.get("files")
+            if fc is not None:
+                frames.append(_pre_post(fc, "dataset"))
+        u = _union_all(frames)
+        return None if u is None else _minted(u, id_col)
+
+    return dirty
+
+
+def _experiment_restrict(with_files: bool):
+    def restrict(snaps, dirty, ctx):
+        out = dict(snaps)
+        out["experiments"] = _semi_raw(snaps["experiments"], dirty)
+        if snaps.get("fc_experiments") is not None:
+            out["fc_experiments"] = _semi_raw(snaps["fc_experiments"], dirty)
+        out["replicates"] = _semi_raw(
+            snaps["replicates"], dirty, "experiment"
+        )
+        if with_files:
+            out["files"] = _semi_raw(snaps["files"], dirty, "dataset")
+        return out
+
+    return restrict
+
+
+# -- library-preparation (library-keyed, dirtied via replicates/experiments)
+def _libprep_dirty(spark, ch, old, new):
+    frames = []
+    c = ch.get("libraries")
+    if c is not None:
+        frames.append(_keys(c))
+    rc = ch.get("replicates")
+    if rc is not None:
+        frames.append(_pre_post(rc, "library"))
+    exp_frames = []
+    for src in ("experiments", "fc_experiments"):
+        ec = ch.get(src)
+        if ec is not None:
+            exp_frames.append(_pre_post_array(ec, "replicates"))
+    rep_ids = _union_all(exp_frames)
+    if rep_ids is not None:
+        rk = F.broadcast(rep_ids.withColumnRenamed("_raw", "_k"))
+        for snaps in (old, new):
+            reps = snaps["replicates"].select("@id", "library")
+            frames.append(
+                reps.join(rk, F.col("@id") == F.col("_k"))
+                .select(F.col("library").alias("_raw")).distinct()
+            )
+    u = _union_all(frames)
+    return None if u is None else _minted(u, "librarypreparationactivity_id")
+
+
+def _libprep_restrict(snaps, dirty, ctx):
+    out = dict(snaps)
+    out["libraries"] = _semi_raw(snaps["libraries"], dirty)
+    out["replicates"] = _semi_raw(snaps["replicates"], dirty, "library")
+    return out  # experiments joined through the restricted replicates
+
+
+# -- step / analysis family -------------------------------------------------
+def _dirty_runs(spark, ch, old, new, with_pipelines: bool) -> DataFrame | None:
+    """Raw step-run ids affected by changes anywhere in the step chain
+    (runs, versions, steps, their generated files — and, for the
+    analysis tree, pipelines via the steps.pipelines array)."""
+    frames = []
+    c = ch.get("analysis_step_runs")
+    if c is not None:
+        frames.append(_keys(c))
+    vc = ch.get("analysis_step_versions")
+    if vc is not None:
+        frames.append(
+            _rev_fk(old, new, "analysis_step_runs", "analysis_step_version",
+                    _keys(vc))
+        )
+    step_keys = []
+    sc = ch.get("analysis_steps")
+    if sc is not None:
+        step_keys.append(_keys(sc))
+    if with_pipelines:
+        pc = ch.get("pipelines")
+        if pc is not None:
+            pk = F.broadcast(_keys(pc).withColumnRenamed("_raw", "_k"))
+            for snaps in (old, new):
+                st = snaps["analysis_steps"].select(
+                    "@id", F.explode_outer("pipelines").alias("_p")
+                )
+                step_keys.append(
+                    st.join(pk, F.col("_p") == F.col("_k"))
+                    .select(F.col("@id").alias("_raw")).distinct()
+                )
+    steps_dirty = _union_all(step_keys)
+    if steps_dirty is not None:
+        vers = _rev_fk(
+            old, new, "analysis_step_versions", "analysis_step", steps_dirty
+        )
+        frames.append(
+            _rev_fk(old, new, "analysis_step_runs", "analysis_step_version",
+                    vers)
+        )
+    fc = ch.get("files")
+    if fc is not None:
+        frames.append(_pre_post(fc, "step_run"))
+    return _union_all(frames)
+
+
+def _step_dirty(spark, ch, old, new):
+    u = _dirty_runs(spark, ch, old, new, with_pipelines=False)
+    return None if u is None else _minted(u, "stepactivity_id")
+
+
+def _step_restrict(snaps, dirty, ctx):
+    out = dict(snaps)
+    out["analysis_step_runs"] = _semi_raw(snaps["analysis_step_runs"], dirty)
+    out["files"] = _semi_raw(snaps["files"], dirty, "step_run")
+    return out  # versions / steps stay full: tiny metadata dims
+
+
+def _run_pairs_frame(spark, snaps: dict[str, DataFrame]) -> DataFrame:
+    """The auxiliary run → (pipeline, experiment) index: one row per
+    step run that passes the warn-and-null rules (exactly one pipeline
+    on its step, exactly one dataset across its files —
+    AnalysisActivityTransformations.scala:57-84)."""
+    resolved, gen = _step_run_frames(
+        snaps["files"], snaps["analysis_step_runs"],
+        snaps["analysis_step_versions"], snaps["analysis_steps"],
+    )
+    per_run = gen.groupBy("step_run").agg(
+        F.array_distinct(F.collect_list("dataset")).alias("_datasets")
+    )
+    sr = resolved.select(
+        F.col("@id").alias("_srun"),
+        F.array_distinct(
+            F.coalesce(F.col("pipelines"), F.array().cast("array<string>"))
+        ).alias("_pids"),
+    )
+    runs = (
+        sr.join(per_run, F.col("_srun") == F.col("step_run"))
+        .select(
+            "_srun",
+            F.when(F.size("_pids") == 1, F.element_at("_pids", 1)).alias(
+                "pipeline"
+            ),
+            F.when(F.size("_datasets") == 1, F.element_at("_datasets", 1))
+            .alias("experiment"),
+        )
+        .filter(F.col("pipeline").isNotNull() & F.col("experiment").isNotNull())
+    )
+    return runs.select(
+        transform_id(F.col("_srun")).alias("run_id"),
+        F.col("_srun").alias("run_raw"),
+        pipeline_run_id(F.col("pipeline"), F.col("experiment")).alias("aid"),
+        "pipeline",
+        "experiment",
+    )
+
+
+def _run_pairs_dirty(spark, ch, old, new):
+    u = _dirty_runs(spark, ch, old, new, with_pipelines=True)
+    return (
+        None if u is None
+        else u.select(transform_id(F.col("_raw")).alias("run_id"), "_raw")
+        .where(F.col("run_id").isNotNull())
+    )
+
+
+def _analysis_dirty(spark, ch, old, new):
+    runs = _dirty_runs(spark, ch, old, new, with_pipelines=True)
+    if runs is None:
+        return None
+    sides = []
+    for view in (old, new):
+        # restrict to the dirty runs' WHOLE groups before resolving
+        # pairs: per-run grouping keys on step_run, so keeping every
+        # file of each dirty run gives exact pairs at change-set cost
+        snaps = {
+            "files": _semi_raw(view["files"], runs, "step_run"),
+            "analysis_step_runs": _semi_raw(view["analysis_step_runs"], runs),
+            "analysis_step_versions": view["analysis_step_versions"],
+            "analysis_steps": view["analysis_steps"],
+        }
+        sides.append(
+            _run_pairs_frame(spark, snaps)
+            .select(F.col("aid").alias("analysisactivity_id"))
+            .distinct()
+        )
+    return _union_all(sides).withColumn("_raw", F.col("analysisactivity_id"))
+
+
+def _analysis_restrict(snaps, dirty, ctx):
+    """Exact group closure via the incrementally-maintained _run_pairs
+    index (refreshed EARLIER this epoch): every run whose current pair
+    is dirty contributes, so its files must be read — and only those."""
+    rp_table: LakeTable | None = ctx.get("run_pairs")
+    if rp_table is None:
+        return snaps  # no index: fall back to full build ⋉ dirty
+    dk = F.broadcast(
+        dirty.select(F.col("analysisactivity_id").alias("_k")).distinct()
+    )
+    runs_keep = (
+        rp_table.read()
+        .join(dk, F.col("aid") == F.col("_k"), "left_semi")
+        .select(F.col("run_raw").alias("_raw"))
+        .distinct()
+    )
+    out = dict(snaps)
+    out["files"] = _semi_raw(snaps["files"], runs_keep, "step_run")
+    out["analysis_step_runs"] = _semi_raw(
+        snaps["analysis_step_runs"], runs_keep
+    )
+    return out  # pipelines / versions / steps: tiny metadata dims
+
+
+# ---------------------------------------------------------------------------
+# Builds (the transform_all wiring, tree by tree)
+# ---------------------------------------------------------------------------
+def _b_donor(spark, s):
+    return transform_donor(s["donors"], s["organisms"])
+
+
+def _b_refset(spark, s):
+    return transform_reference_file_set(s["references"], s["organisms"])
+
+
+def _b_antibody(spark, s):
+    return transform_antibody(
+        s["antibodies"], _targets_by_antibody(s["antibodies"], s["targets"])
+    )
+
+
+def _b_library(spark, s):
+    return transform_library(s["libraries"])
+
+
+def _b_biosample(spark, s):
+    return transform_biosample(
+        s["biosamples"], s["biosample_types"], s["libraries"],
+        s["genetic_modifications"],
+    )
+
+
+def _b_treatment(spark, s):
+    return transform_sample_treatment(s["treatments"])
+
+
+def _b_file(spark, s):
+    return transform_file(s["files"], s["libraries"])
+
+
+def _b_alignment(spark, s):
+    return transform_alignment_activity(
+        s["files"].filter(F.col("output_category") == "alignment")
+        .withColumn("assembly", F.get(F.col("assembly"), 0))
+    )
+
+
+def _b_sequencing(spark, s):
+    return transform_sequencing_activity(
+        s["files"].filter(F.col("output_category") == "raw data"),
+        s["libraries"],
+    )
+
+
+def _b_libprep(spark, s):
+    return transform_library_preparation(
+        s["libraries"],
+        _experiment_by_library(_experiments_all(s), s["replicates"]),
+    )
+
+
+def _b_experiment(spark, s):
+    exp = _experiments_all(s)
+    return transform_experiment_activity(
+        exp, s["replicates"],
+        _libraries_by_experiment(s["replicates"], s["libraries"]),
+    )
+
+
+def _b_assay(spark, s):
+    exp = _experiments_all(s)
+    files_by_exp = s["files"].select(
+        F.col("dataset").alias("experiment"), "@id"
+    )
+    return transform_assay_activity(
+        exp, files_by_exp, s["replicates"],
+        _libraries_by_experiment(s["replicates"], s["libraries"]),
+    )
+
+
+def _b_step(spark, s):
+    resolved, gen = _step_run_frames(
+        s["files"], s["analysis_step_runs"], s["analysis_step_versions"],
+        s["analysis_steps"],
+    )
+    return transform_step_activity(resolved, gen)
+
+
+def _b_analysis(spark, s):
+    from .activities import transform_analysis_activity
+
+    resolved, gen = _step_run_frames(
+        s["files"], s["analysis_step_runs"], s["analysis_step_versions"],
+        s["analysis_steps"],
+    )
+    return transform_analysis_activity(
+        s["pipelines"], _analysis_frames(resolved, gen)
+    )
+
+
+def _b_dataset(spark, s):
+    return dataset_row(spark)
+
+
+_STEP_SOURCES = (
+    "files", "analysis_step_runs", "analysis_step_versions", "analysis_steps",
+)
+
+TREE_SPECS: dict[str, TreeSpec] = {
+    # the auxiliary index FIRST: analysis restriction reads it post-refresh
+    "_run_pairs": TreeSpec(
+        "_run_pairs", "run_id", _STEP_SOURCES + ("pipelines",),
+        build=lambda spark, s: _run_pairs_frame(spark, s),
+        dirty=_run_pairs_dirty,
+        restrict=_step_restrict,
+    ),
+    "dataset": TreeSpec(
+        "dataset", "dataset_id", tuple(UNIVERSE_SCHEMAS),
+        build=_b_dataset,
+        dirty=lambda spark, ch, old, new: None,  # overridden below
+    ),
+    "donor": TreeSpec(
+        "donor", "donor_id", ("donors", "organisms"),
+        build=_b_donor,
+        dirty=_fk_dim_dirty("donors", "donor_id", {"organisms": "organism"}),
+        restrict=_driving_restrict("donors"),
+    ),
+    "referencefileset": TreeSpec(
+        "referencefileset", "referencefileset_id", ("references", "organisms"),
+        build=_b_refset,
+        dirty=_fk_dim_dirty(
+            "references", "referencefileset_id", {"organisms": "organism"}
+        ),
+        restrict=_driving_restrict("references"),
+    ),
+    "antibody": TreeSpec(
+        "antibody", "antibody_id", ("antibodies", "targets"),
+        build=_b_antibody,
+        dirty=_antibody_dirty,
+        restrict=_driving_restrict("antibodies"),
+    ),
+    "library": TreeSpec(
+        "library", "library_id", ("libraries",),
+        build=_b_library,
+        dirty=_simple_dirty("libraries", "library_id"),
+        restrict=_driving_restrict("libraries"),
+    ),
+    "biosample": TreeSpec(
+        "biosample", "biosample_id",
+        ("biosamples", "biosample_types", "libraries",
+         "genetic_modifications"),
+        build=_b_biosample,
+        dirty=_biosample_dirty,
+        restrict=_biosample_restrict,
+    ),
+    "sampletreatmentactivity": TreeSpec(
+        "sampletreatmentactivity", "sampletreatmentactivity_id",
+        ("treatments",),
+        build=_b_treatment,
+        dirty=_simple_dirty("treatments", "sampletreatmentactivity_id"),
+        restrict=_driving_restrict("treatments"),
+    ),
+    "file": TreeSpec(
+        "file", "file_id", ("files", "libraries"),
+        build=_b_file,
+        dirty=_file_dirty,
+        restrict=_file_restrict,
+    ),
+    "alignmentactivity": TreeSpec(
+        "alignmentactivity", "alignmentactivity_id", ("files",),
+        build=_b_alignment,
+        dirty=_activity_file_dirty(
+            "alignment", "alignmentactivity_id", dataset_optional=False,
+            with_libraries=False,
+        ),
+        restrict=_file_restrict,
+    ),
+    "sequencingactivity": TreeSpec(
+        "sequencingactivity", "sequencingactivity_id", ("files", "libraries"),
+        build=_b_sequencing,
+        dirty=_activity_file_dirty(
+            "raw data", "sequencingactivity_id", dataset_optional=True,
+            with_libraries=True,
+        ),
+        restrict=_file_restrict,
+    ),
+    "librarypreparationactivity": TreeSpec(
+        "librarypreparationactivity", "librarypreparationactivity_id",
+        ("libraries", "replicates", "experiments", "fc_experiments"),
+        build=_b_libprep,
+        dirty=_libprep_dirty,
+        restrict=_libprep_restrict,
+    ),
+    "experimentactivity": TreeSpec(
+        "experimentactivity", "experimentactivity_id",
+        ("experiments", "fc_experiments", "replicates", "libraries"),
+        build=_b_experiment,
+        dirty=_experiment_dirty(False, "experimentactivity_id"),
+        restrict=_experiment_restrict(False),
+    ),
+    "assayactivity": TreeSpec(
+        "assayactivity", "assayactivity_id",
+        ("experiments", "fc_experiments", "replicates", "libraries", "files"),
+        build=_b_assay,
+        dirty=_experiment_dirty(True, "assayactivity_id"),
+        restrict=_experiment_restrict(True),
+    ),
+    "stepactivity": TreeSpec(
+        "stepactivity", "stepactivity_id", _STEP_SOURCES,
+        build=_b_step,
+        dirty=_step_dirty,
+        restrict=_step_restrict,
+    ),
+    "analysisactivity": TreeSpec(
+        "analysisactivity", "analysisactivity_id",
+        _STEP_SOURCES + ("pipelines",),
+        build=_b_analysis,
+        dirty=_analysis_dirty,
+        restrict=_analysis_restrict,
+    ),
+}
+
+
+def create_entity_targets(
+    spark: SparkSession, root: str, num_buckets: int = _DEFAULT_BUCKETS
+) -> dict[str, LakeTable]:
+    """One LakeTable per output tree (plus the _run_pairs index), with
+    the schema each build derives over empty raw inputs."""
+    empty = {
+        name: spark.createDataFrame([], T._parse_datatype_string(ddl))
+        for name, ddl in UNIVERSE_SCHEMAS.items()
+    }
+    out = {}
+    for name, spec in TREE_SPECS.items():
+        schema = spec.build(spark, empty).schema
+        out[name] = LakeTable.create(
+            spark, f"{root}/{name}", schema, [spec.id_col],
+            num_buckets=num_buckets,
+        )
+    return out
+
+
+def _dirty_for(spec: TreeSpec, spark, ch, old, new) -> DataFrame | None:
+    if spec.name == "dataset":
+        # static singleton: reassert whenever any source changed
+        if not ch:
+            return None
+        return dataset_row(spark).select(
+            "dataset_id", F.col("dataset_id").alias("_raw")
+        )
+    return spec.dirty(spark, ch, old, new)
+
+
+def refresh_entity_universe(
+    spark: SparkSession,
+    universe: dict[str, LakeTable],
+    targets: dict[str, LakeTable],
+    from_versions: dict[str, int],
+    batch_id: int,
+    group=None,
+    specs: dict[str, TreeSpec] | None = None,
+) -> dict[str, MergeResult]:
+    """One maintenance epoch over the whole entity universe.
+
+    ``from_versions`` maps each raw source to the snapshot version the
+    LAST epoch refreshed to (0 bootstraps). ``batch_id`` must be
+    strictly increasing across epochs — it doubles as the derived
+    tables' ``event_seq`` and the exactly-once fence, so a replayed
+    epoch fence-skips per target and reconverges. When ``group`` is a
+    :class:`~..lake.txn.TableGroup` over ``targets``, the epoch ends
+    with ONE atomic group commit (all-or-nothing visibility)."""
+    specs = specs or TREE_SPECS
+    to_versions = {n: t.current_version() for n, t in universe.items()}
+    ch: dict[str, DataFrame] = {}
+    for n, t in universe.items():
+        if from_versions.get(n, 0) != to_versions[n]:
+            ch[n] = t.read_changes(
+                from_versions.get(n, 0), to_versions[n], include_before=True
+            )
+    results: dict[str, MergeResult] = {}
+    if ch:
+        old = _SnapshotView(universe, {n: from_versions.get(n, 0)
+                                       for n in universe})
+        new = _SnapshotView(universe, to_versions)
+        ctx = {"run_pairs": targets.get("_run_pairs")}
+        for name, spec in specs.items():
+            target = targets.get(name)
+            if target is None:
+                continue
+            if not any(s in ch for s in spec.sources):
+                continue
+            # replay fast path: manifest-only fence check
+            wm = target.current_manifest().watermarks.get(
+                REFRESH_SOURCE_ID, {}
+            )
+            if int(wm.get("batch_id", -1)) >= int(batch_id):
+                continue
+            dirty = _dirty_for(spec, spark, ch, old, new)
+            if dirty is None:
+                continue
+            base = {s: new[s] for s in spec.sources if s in universe}
+            snaps = (
+                spec.restrict(base, dirty, ctx) if spec.restrict else base
+            )
+            rolled = spec.build(spark, snaps).join(
+                F.broadcast(dirty.select(spec.id_col).distinct()),
+                spec.id_col, "left_semi",
+            )
+            gone = dirty.select(spec.id_col).distinct().join(
+                rolled, spec.id_col, "left_anti"
+            )
+            batch = (
+                rolled.withColumn("op", F.lit("upsert"))
+                .unionByName(
+                    gone.withColumn("op", F.lit("delete")),
+                    allowMissingColumns=True,
+                )
+                .withColumn("event_seq", F.lit(int(batch_id)).cast("long"))
+            )
+            results[name] = merge_into(
+                target, batch, source_id=REFRESH_SOURCE_ID,
+                batch_id=batch_id,
+            )
+    if group is not None and ch:
+        versions: dict[str, int] = {}
+        member_names = set(group.current_manifest()["tables"])
+        for name, t in targets.items():
+            if name not in member_names:
+                continue
+            if name in results:
+                versions[name] = results[name].manifest.version
+            else:
+                v = group.version_for_batch(t, REFRESH_SOURCE_ID, batch_id)
+                versions[name] = v if v is not None else t.current_version()
+        group.commit(versions, source_id=REFRESH_SOURCE_ID,
+                     batch_id=batch_id)
+    return results

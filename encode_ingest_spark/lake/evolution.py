@@ -84,15 +84,48 @@ def merge_schemas(
     return T.StructType(out)
 
 
+def _relax_nullability(dt: T.DataType) -> T.DataType:
+    """The same type with every nested nullability flag relaxed to
+    true. Spark refuses to CAST e.g. array<string(nullable)> to
+    array<string(non-null)> even though the representations are
+    identical — and nullability is metadata, not layout, so casting to
+    the relaxed shape is always safe."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relax_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _relax_nullability(dt.keyType),
+            _relax_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _relax_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     """Project df onto target: missing columns become typed nulls, present
-    columns are cast (widening only, guaranteed by merge_schemas). Pure
-    column expressions — stays inside whole-stage codegen."""
-    have = dict(df.dtypes)
+    columns are cast (widening only, guaranteed by merge_schemas). Columns
+    whose type differs only in (nested) nullability are passed through
+    untouched — same layout, and Spark rejects such casts. Pure column
+    expressions — stays inside whole-stage codegen."""
+    have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for f in target.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
+        src = have.get(f.name)
+        if src is None:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif src.simpleString() == f.dataType.simpleString():
+            cols.append(F.col(f.name))  # equal up to nullability: no cast
+        else:
+            cols.append(
+                F.col(f.name)
+                .cast(_relax_nullability(f.dataType))
+                .alias(f.name)
+            )
     return df.select(*cols)

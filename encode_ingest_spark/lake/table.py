@@ -75,6 +75,45 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the same version first (optimistic CC)."""
 
 
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _orderable_col(col: F.Column, dt: T.DataType) -> F.Column:
+    """Rewrite a column into an equality-comparable shape: MapType is
+    not comparable in Spark, so maps become key-sorted entry arrays
+    (recursively — a map value may itself contain maps). Value-equal
+    maps produce identical arrays, so struct equality over the
+    rewritten columns is exact change detection."""
+    if isinstance(dt, T.MapType):
+        entries = F.map_entries(col)
+        if _contains_map(dt.valueType):
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    _orderable_col(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+        return F.sort_array(entries)
+    if isinstance(dt, T.ArrayType) and _contains_map(dt.elementType):
+        return F.transform(col, lambda x: _orderable_col(x, dt.elementType))
+    if isinstance(dt, T.StructType) and _contains_map(dt):
+        return F.struct(
+            *[
+                _orderable_col(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+    return col
+
+
 @dataclass
 class DataFile:
     path: str  # relative to table root
@@ -385,9 +424,26 @@ class LakeTable:
         with open(self._manifest_path(version)) as fh:
             d = json.load(fh)
         delta = d.pop("delta", None)
+        parent = (
+            self.manifest_at(int(delta["of"])) if delta is not None else None
+        )
+        if parent is not None:
+            # schemas / watermarks may also be delta-form (changed
+            # entries only — the metadata leg of O(changed) commits in
+            # EVERY dimension); pre-delta-form manifests carry the full
+            # maps in the payload and skip this merge
+            if "schemas" not in d:
+                sch = {str(k): v for k, v in parent.schemas.items()}
+                sch.update(delta.get("schemas", {}))
+                d["schemas"] = sch
+            if "watermarks" not in d:
+                wms = {k: dict(v) for k, v in parent.watermarks.items()}
+                for k in delta.get("removed_watermarks", []):
+                    wms.pop(k, None)
+                wms.update(delta.get("watermarks", {}))
+                d["watermarks"] = wms
         m = Manifest.from_json({**d, "files": d.get("files", [])})
-        if delta is not None:
-            parent = self.manifest_at(int(delta["of"]))
+        if parent is not None:
             removed = set(delta["removed_paths"])
             m.files = [f for f in parent.files if f.path not in removed] + [
                 DataFile.from_json(x) for x in delta["added_files"]
@@ -417,12 +473,33 @@ class LakeTable:
         added = [f for f in manifest.files if f.path not in parent_paths]
         if len(removed) + len(added) >= max(len(manifest.files), 1):
             return payload  # delta not smaller (e.g. rebucket): stay full
-        payload = {k: v for k, v in payload.items() if k != "files"}
+        payload = {
+            k: v for k, v in payload.items()
+            if k not in ("files", "schemas", "watermarks")
+        }
+        # schemas append-only; watermarks change one source per commit —
+        # store only what differs from the parent (O(changed) metadata
+        # at 200 sources / long schema histories, not O(table state))
+        sch_delta = {
+            str(k): v for k, v in manifest.schemas.items()
+            if parent.schemas.get(k) != v
+        }
+        wm_delta = {
+            s: wm for s, wm in manifest.watermarks.items()
+            if parent.watermarks.get(s) != wm
+        }
+        wm_removed = sorted(
+            s for s in parent.watermarks if s not in manifest.watermarks
+        )
         payload["delta"] = {
             "of": manifest.parent_version,
             "removed_paths": removed,
             "added_files": [f.to_json() for f in added],
+            "schemas": sch_delta,
+            "watermarks": wm_delta,
         }
+        if wm_removed:
+            payload["delta"]["removed_watermarks"] = wm_removed
         return payload
 
     def _write_manifest(self, manifest: Manifest) -> None:
@@ -466,38 +543,86 @@ class LakeTable:
         the current schema before union.
 
         ``file_value_ranges`` = {col: [values]} prunes FILES whose
-        manifest ``col_stats`` range cannot contain any of the values —
+        manifest ``col_stats`` range cannot contain any of the values.
+        An entry may also be a 2-tuple ``(lo, hi)`` meaning an INTERVAL:
+        the file is kept when its range overlaps [lo, hi] — the
+        wide-batch fallback shape (a 15k-value dirty set collapses to
+        one interval; see entities/incremental.py) —
         manifest-level value pruning, tight when the table clusters with
         ``write.sort_within_buckets``. PRUNING ONLY, not a filter: kept
         files may still hold other values, so callers apply their own
         predicate/join on top (exactly parquet row-group pruning's
-        contract, one level up). Stats-less files are kept. SAFETY: the
-        pruning applies only when the scanned file set holds NO MOR
-        delta files — COW manifests hold every key exactly once, so
-        dropping a file drops whole keys; with deltas, value pruning on
-        a MUTABLE column could drop a key's newer delta while keeping
-        its stale base row and resurrect old state. Delta-holding scans
-        silently skip the value pruning (correct, just unpruned)."""
+        contract, one level up). Stats-less files are kept. SAFETY under
+        merge-on-read (VERDICT r3 directive 2, granularity by column
+        class):
+
+        * **KEY columns** prune per-FILE even in delta-holding buckets:
+          a key's value is identical in every version of its rows, so
+          dropping a file can only hide rows whose key value is out of
+          the sought set — rows the caller's own predicate (the
+          documented contract) excludes anyway. No stale state can
+          surface: whichever of a key's versions survives carries the
+          same key value.
+        * **NON-KEY (mutable) columns** prune ALL-OR-NOTHING per
+          bucket when the bucket holds deltas: last-writer-wins
+          resolution runs across the bucket's files, and dropping only
+          the file carrying a key's newest version would resurrect its
+          stale base row. The bucket is skipped only when EVERY file's
+          range (base AND delta, unioned driver-side from the manifest)
+          excludes the sought values. Resurrection guard test-pinned.
+        """
         m = self.manifest_at(version if version is not None else self.current_version())
         want = set(buckets) if buckets is not None else None
         files = [f for f in m.files if want is None or f.bucket in want]
-        if file_value_ranges and not any(f.is_delta for f in files):
-            def may_contain(f: DataFile) -> bool:
+        if file_value_ranges:
+            key_cols = set(m.key_cols)
+
+            def may_contain(f: DataFile, ranges: dict) -> bool:
                 st = f.stats if isinstance(f.stats, dict) else None
                 cs = (st or {}).get("col_stats") or {}
-                for col, values in file_value_ranges.items():
+                for col, values in ranges.items():
                     rng = cs.get(col)
                     if rng is None:
                         continue  # no stats: conservative keep
                     lo, hi = rng
                     try:
-                        if not any(lo <= v <= hi for v in values):
+                        ok = False
+                        for v in values:
+                            if isinstance(v, (tuple, list)):
+                                vlo, vhi = v
+                                if not (hi < vlo or lo > vhi):
+                                    ok = True
+                                    break
+                            elif lo <= v <= hi:
+                                ok = True
+                                break
+                        if not ok:
                             return False
                     except TypeError:
                         continue
                 return True
 
-            files = [f for f in files if may_contain(f)]
+            key_rng = {c: v for c, v in file_value_ranges.items()
+                       if c in key_cols}
+            mut_rng = {c: v for c, v in file_value_ranges.items()
+                       if c not in key_cols}
+            by_bucket: dict[int, list[DataFile]] = {}
+            for f in files:
+                by_bucket.setdefault(f.bucket, []).append(f)
+            kept: list[DataFile] = []
+            for fs in by_bucket.values():
+                has_delta = any(f.is_delta for f in fs)
+                if mut_rng and has_delta:
+                    # mutable-column condition: bucket-granular
+                    if not any(may_contain(f, mut_rng) for f in fs):
+                        continue
+                    kept.extend(f for f in fs if may_contain(f, key_rng))
+                else:
+                    kept.extend(
+                        f for f in fs
+                        if may_contain(f, key_rng) and may_contain(f, mut_rng)
+                    )
+            files = kept
         target_schema = m.schema
         has_delta = any(f.is_delta for f in files)
         if not files:
@@ -608,23 +733,45 @@ class LakeTable:
         data_cols = [
             f.name for f in m_to.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
         ]
-        o = old.select(
-            *keys,
-            F.struct(
-                *[F.col(c) for c in data_cols if c not in keys], F.col(SEQ_COL)
-            ).alias("_old"),
+        # equality over structs requires every leaf to be comparable —
+        # MAP columns are not (Spark forbids ordering/equality on maps).
+        # Build a parallel COMPARISON struct where maps become
+        # key-sorted entry arrays (deterministic, value-equal ⇒
+        # array-equal); the payload struct keeps the original types.
+        fields_by_name = {f.name: f for f in m_to.schema.fields}
+
+        def _cmp_col(c: str) -> F.Column:
+            return _orderable_col(F.col(c), fields_by_name[c].dataType)
+
+        has_map = any(
+            _contains_map(fields_by_name[c].dataType)
+            for c in data_cols if c not in keys
         )
-        nw = new.select(
-            *keys,
-            F.struct(
-                *[F.col(c) for c in data_cols if c not in keys], F.col(SEQ_COL)
-            ).alias("_new"),
-        )
+        payload_cols = [F.col(c) for c in data_cols if c not in keys]
+        o_sel = [*keys, F.struct(*payload_cols, F.col(SEQ_COL)).alias("_old")]
+        n_sel = [*keys, F.struct(*payload_cols, F.col(SEQ_COL)).alias("_new")]
+        if has_map:
+            cmp_cols = [
+                _cmp_col(c).alias(c) for c in data_cols if c not in keys
+            ]
+            o_sel.append(
+                F.struct(*cmp_cols, F.col(SEQ_COL)).alias("_oldc")
+            )
+            n_sel.append(
+                F.struct(*cmp_cols, F.col(SEQ_COL)).alias("_newc")
+            )
+        o = old.select(*o_sel)
+        nw = new.select(*n_sel)
         j = o.join(nw, keys, "full_outer")
+        neq = (
+            ~F.col("_newc").eqNullSafe(F.col("_oldc"))
+            if has_map
+            else ~F.col("_new").eqNullSafe(F.col("_old"))
+        )
         change = (
             F.when(F.col("_old").isNull(), F.lit("insert"))
             .when(F.col("_new").isNull(), F.lit("delete"))
-            .when(~F.col("_new").eqNullSafe(F.col("_old")), F.lit("update"))
+            .when(neq, F.lit("update"))
         )
         payload = F.coalesce(F.col("_new"), F.col("_old"))
         out = (

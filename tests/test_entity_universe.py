@@ -1,0 +1,409 @@
+"""VERDICT r3 directive 1: ALL 13 reference mappers / 16 output tables
+maintained incrementally from a raw-entity CDC changelog universe —
+after every epoch (inserts, FK moves, deletes), each derived table must
+equal the full ``transform_all`` recompute of the current raw
+snapshots, the whole set committed atomically via TableGroup, with the
+cross-table FK edges clean at every visible group version."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.entities import transform_all
+from encode_ingest_spark.entities.universe import (
+    TREE_SPECS,
+    UNIVERSE_SCHEMAS,
+    create_entity_targets,
+    create_universe,
+    refresh_entity_universe,
+)
+from encode_ingest_spark.lake import TableGroup, merge_into
+
+OUTPUT_TABLES = [n for n in TREE_SPECS if not n.startswith("_")]
+
+
+def _apply(spark, table, name, rows, op, seq0):
+    """Merge CDC rows (dict payloads) into a raw source table with
+    deterministic per-epoch-increasing event seqs."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        rows, T._parse_datatype_string(UNIVERSE_SCHEMAS[name])
+    )
+    w = Window.orderBy(F.col("@id"))
+    batch = df.withColumn("op", F.lit(op)).withColumn(
+        "event_seq", (F.lit(seq0) + F.row_number().over(w)).cast("long")
+    )
+    merge_into(table, batch, source_id="raw_cdc", batch_id=seq0)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(v) for v in r) for r in df.select(*cols).collect()
+    )
+
+
+SEED_EPOCH_1 = {
+    "organisms": [
+        {"@id": "/organisms/human/", "scientific_name": "Homo sapiens"},
+        {"@id": "/organisms/mouse/", "scientific_name": "Mus musculus"},
+    ],
+    "donors": [
+        {"@id": "/human-donors/D1/", "organism": "/organisms/human/",
+         "date_created": "2020-01-01T00:00:00+00:00", "age": "30",
+         "age_units": "year", "sex": "female", "twin": "/human-donors/D2/"},
+        {"@id": "/human-donors/D2/", "organism": "/organisms/human/",
+         "date_created": "2020-01-02T00:00:00+00:00", "age": "31",
+         "age_units": "year"},
+        {"@id": "/mouse-donors/D3/", "organism": "/organisms/mouse/",
+         "date_created": "2020-02-01T00:00:00+00:00"},
+    ],
+    "references": [
+        {"@id": "/reference-file-sets/REF1/", "organism": "/organisms/human/",
+         "lab": "/labs/l1/", "reference_type": "genome",
+         "files": ["/files/F1/"]},
+    ],
+    "targets": [
+        {"@id": "/targets/T1/", "organism": "/organisms/human/",
+         "label": "CTCF"},
+        {"@id": "/targets/T2/", "organism": "/organisms/mouse/",
+         "label": "POLR2A"},
+    ],
+    "antibodies": [
+        {"@id": "/antibodies/AB1/", "targets": ["/targets/T1/"],
+         "date_created": "2020-01-01T00:00:00+00:00", "lab": "/labs/l1/",
+         "product_id": "P1", "lot_id": "L1"},
+        {"@id": "/antibodies/AB2/", "targets": ["/targets/T2/"],
+         "date_created": "2020-01-03T00:00:00+00:00", "lab": "/labs/l2/"},
+        {"@id": "/antibodies/AB3/",
+         "targets": ["/targets/T1/", "/targets/T2/"],
+         "date_created": "2020-01-04T00:00:00+00:00"},
+    ],
+    "biosample_types": [
+        {"@id": "/biosample-types/BT1/", "classification": "tissue",
+         "term_id": "UBERON:1", "organ_slims": ["liver"],
+         "cell_slims": ["hep"]},
+        {"@id": "/biosample-types/BT2/", "classification": "cell line",
+         "term_id": "EFO:2"},
+    ],
+    "biosamples": [
+        {"@id": "/biosamples/BS1/", "organism": "human",
+         "human_life_stage": "adult", "perturbed": False,
+         "biosample_ontology": "/biosample-types/BT1/",
+         "date_created": "2020-01-05T00:00:00+00:00",
+         "donor": "/human-donors/D1/"},
+        {"@id": "/biosamples/BS2/", "organism": "human",
+         "human_life_stage": "child", "perturbed": True,
+         "biosample_ontology": "/biosample-types/BT2/",
+         "date_created": "2020-01-06T00:00:00+00:00"},
+        {"@id": "/biosamples/BS3/", "organism": "mouse",
+         "mouse_life_stage": "embryonic", "perturbed": False,
+         "biosample_ontology": "/biosample-types/BT1/",
+         "date_created": "2020-01-07T00:00:00+00:00"},
+    ],
+    "genetic_modifications": [
+        {"@id": "/genetic-modifications/GM1/",
+         "biosamples_modified": ["/biosamples/BS2/"],
+         "category": "insertion", "method": "CRISPR",
+         "purpose": "tagging", "zygosity": "heterozygous"},
+        {"@id": "/genetic-modifications/GM2/",
+         "biosamples_modified": ["/biosamples/BS1/", "/biosamples/BS3/"],
+         "category": "deletion", "method": "TALEN"},
+    ],
+    "libraries": [
+        {"@id": "/libraries/LB1/", "biosample": "/biosamples/BS1/",
+         "date_created": "2020-01-08T00:00:00+00:00", "lab": "/labs/l1/",
+         "product_id": "LP1", "lot_id": "LL1",
+         "strand_specificity": "forward",
+         "nucleic_acid_term_name": "RNA"},
+        {"@id": "/libraries/LB2/", "biosample": "/biosamples/BS2/",
+         "date_created": "2020-01-09T00:00:00+00:00", "lab": "/labs/l2/",
+         "product_id": "LP2"},
+        {"@id": "/libraries/LB3/",
+         "mixed_biosamples": ["/biosamples/BS2/", "/biosamples/BS3/"],
+         "date_created": "2020-01-10T00:00:00+00:00"},
+    ],
+    "treatments": [
+        {"@id": "/treatments/TR1/", "treatment_type": "chemical",
+         "treatment_term_name": "ethanol", "amount": 10.0,
+         "amount_units": "mM", "purpose": "perturbation",
+         "date_created": "2020-01-11T00:00:00+00:00"},
+        {"@id": "/treatments/TR2/", "treatment_type": "protein",
+         "treatment_term_name": "TNF", "duration": 4.0,
+         "duration_units": "hour",
+         "date_created": "2020-01-12T00:00:00+00:00"},
+    ],
+    "experiments": [
+        {"@id": "/experiments/EX1/", "assay_term_name": "RNA-seq",
+         "assay_term_id": "OBI:1", "assay_slims": ["Transcription"],
+         "status": "released", "date_created": "2020-01-13T00:00:00+00:00",
+         "date_submitted": "2020-01-14",
+         "replicates": ["/replicates/R1/", "/replicates/R2/"]},
+        {"@id": "/experiments/EX2/", "assay_term_name": "ChIP-seq",
+         "assay_term_id": "OBI:2", "assay_slims": ["DNA binding"],
+         "status": "released", "date_created": "2020-01-15T00:00:00+00:00",
+         "replicates": ["/replicates/R3/"]},
+    ],
+    "fc_experiments": [
+        {"@id": "/functional-characterization-experiments/FC1/",
+         "assay_term_name": "STARR-seq", "assay_term_id": "OBI:3",
+         "status": "released",
+         "date_created": "2020-01-16T00:00:00+00:00"},
+    ],
+    "replicates": [
+        {"@id": "/replicates/R1/", "experiment": "/experiments/EX1/",
+         "library": "/libraries/LB1/", "antibody": "/antibodies/AB1/"},
+        {"@id": "/replicates/R2/", "experiment": "/experiments/EX1/",
+         "library": "/libraries/LB2/"},
+        {"@id": "/replicates/R3/", "experiment": "/experiments/EX2/",
+         "library": "/libraries/LB3/", "antibody": "/antibodies/AB2/"},
+    ],
+    "files": [
+        {"@id": "/files/F1/", "output_category": "raw data",
+         "dataset": "/experiments/EX1/",
+         "origin_batches": ["/biosamples/BS1/"],
+         "assay_term_name": ["RNA-seq"], "file_format": "fastq",
+         "run_type": "paired-ended", "paired_end": "1",
+         "date_created": "2020-01-17T00:00:00+00:00", "file_size": 100},
+        {"@id": "/files/F2/", "output_category": "raw data",
+         "dataset": "/experiments/EX2/",
+         "origin_batches": ["/biosamples/BS2/", "/biosamples/BS3/"],
+         "assay_term_name": ["ChIP-seq"], "file_format": "fastq",
+         "date_created": "2020-01-18T00:00:00+00:00", "file_size": 200},
+        {"@id": "/files/F3/", "output_category": "alignment",
+         "dataset": "/experiments/EX1/", "derived_from": ["/files/F1/"],
+         "step_run": "/analysis-step-runs/SR1/", "assembly": ["GRCh38"],
+         "assay_term_name": ["RNA-seq"], "file_format": "bam",
+         "date_created": "2020-01-19T00:00:00+00:00", "file_size": 300},
+        {"@id": "/files/F4/", "output_category": "alignment",
+         "dataset": "/experiments/EX2/", "derived_from": ["/files/F2/"],
+         "step_run": "/analysis-step-runs/SR2/", "assembly": ["GRCh38"],
+         "assay_term_name": ["ChIP-seq"], "file_format": "bam",
+         "date_created": "2020-01-20T00:00:00+00:00", "file_size": 400},
+    ],
+    "analysis_step_runs": [
+        {"@id": "/analysis-step-runs/SR1/",
+         "analysis_step_version": "/analysis-step-versions/V1/"},
+        {"@id": "/analysis-step-runs/SR2/",
+         "analysis_step_version": "/analysis-step-versions/V1/"},
+    ],
+    "analysis_step_versions": [
+        {"@id": "/analysis-step-versions/V1/", "name": "v1.0",
+         "analysis_step": "/analysis-steps/S1/"},
+    ],
+    "analysis_steps": [
+        {"@id": "/analysis-steps/S1/", "pipelines": ["/pipelines/P1/"]},
+    ],
+    "pipelines": [
+        {"@id": "/pipelines/P1/", "assay_term_names": ["RNA-seq"],
+         "title": "RNA pipeline"},
+        {"@id": "/pipelines/P2/", "assay_term_names": ["ChIP-seq"],
+         "title": "ChIP pipeline"},
+    ],
+}
+
+# epoch 2: updates + FK moves + one insert (rows carry FULL new payloads)
+EPOCH_2 = {
+    "upsert": {
+        # FK move: replicate R2 leaves EX1 for EX2 (dirties both)
+        "replicates": [
+            {"@id": "/replicates/R2/", "experiment": "/experiments/EX2/",
+             "library": "/libraries/LB2/"},
+        ],
+        # library LB2 re-targets BS2 -> BS3 (dirties biosample rollups
+        # AND the J14 file linkage on both sides)
+        "libraries": [
+            {"@id": "/libraries/LB2/", "biosample": "/biosamples/BS3/",
+             "date_created": "2020-01-09T00:00:00+00:00",
+             "lab": "/labs/l2/", "product_id": "LP2-rev"},
+        ],
+        # file F3 moves datasets (its composite activity ids change) and
+        # a brand-new raw file lands
+        "files": [
+            {"@id": "/files/F3/", "output_category": "alignment",
+             "dataset": "/experiments/EX2/", "derived_from": ["/files/F1/"],
+             "step_run": "/analysis-step-runs/SR1/", "assembly": ["GRCh38"],
+             "assay_term_name": ["RNA-seq"], "file_format": "bam",
+             "date_created": "2020-01-19T00:00:00+00:00", "file_size": 333},
+            {"@id": "/files/F5/", "output_category": "raw data",
+             "dataset": "/experiments/EX1/",
+             "origin_batches": ["/biosamples/BS3/"],
+             "assay_term_name": ["RNA-seq"], "file_format": "fastq",
+             "date_created": "2020-02-01T00:00:00+00:00", "file_size": 500},
+        ],
+        # step S1 re-points its pipeline list (analysis pairs move)
+        "analysis_steps": [
+            {"@id": "/analysis-steps/S1/", "pipelines": ["/pipelines/P2/"]},
+        ],
+        # dim updates propagate through reverse-FK dirtying
+        "organisms": [
+            {"@id": "/organisms/mouse/",
+             "scientific_name": "Mus musculus (GRCm39)"},
+        ],
+        "targets": [
+            {"@id": "/targets/T1/", "organism": "/organisms/human/",
+             "label": "CTCF-rev"},
+        ],
+        "biosamples": [
+            {"@id": "/biosamples/BS1/", "organism": "human",
+             "human_life_stage": "adult", "perturbed": True,
+             "biosample_ontology": "/biosample-types/BT1/",
+             "date_created": "2020-01-05T00:00:00+00:00",
+             "donor": "/human-donors/D1/",
+             "health_status": "healthy"},
+        ],
+    },
+    "delete": {},
+}
+
+# epoch 3: deletes + fresh inserts
+EPOCH_3 = {
+    "upsert": {
+        "experiments": [
+            {"@id": "/experiments/EX3/", "assay_term_name": "ATAC-seq",
+             "assay_term_id": "OBI:4", "status": "released",
+             "date_created": "2020-03-01T00:00:00+00:00",
+             "replicates": ["/replicates/R4/"]},
+        ],
+        "replicates": [
+            {"@id": "/replicates/R4/", "experiment": "/experiments/EX3/",
+             "library": "/libraries/LB4/"},
+        ],
+        "libraries": [
+            {"@id": "/libraries/LB4/", "biosample": "/biosamples/BS1/",
+             "date_created": "2020-03-02T00:00:00+00:00"},
+        ],
+        "biosample_types": [
+            {"@id": "/biosample-types/BT1/", "classification": "organoid",
+             "term_id": "UBERON:1b", "organ_slims": ["liver", "lung"]},
+        ],
+    },
+    "delete": {
+        "files": [{"@id": "/files/F2/"}],
+        "replicates": [{"@id": "/replicates/R3/"}],
+        "treatments": [{"@id": "/treatments/TR2/"}],
+        "genetic_modifications": [{"@id": "/genetic-modifications/GM2/"}],
+        "antibodies": [{"@id": "/antibodies/AB3/"}],
+    },
+}
+
+
+def _fk_orphans(tables):
+    """Cross-table FK orphan counts over one consistent snapshot (the
+    reference's check_for_missing_files.sh QC, generalized)."""
+    file = tables["file"]
+    lib_ids = tables["library"].select("library_id")
+    bio_ids = tables["biosample"].select("biosample_id")
+    f_lib = (
+        file.select(F.explode("library_id").alias("library_id"))
+        .join(lib_ids, "library_id", "left_anti").count()
+    )
+    assay = tables["assayactivity"].select(
+        F.explode("generated_file_id").alias("file_id")
+    )
+    a_file = assay.join(
+        tables["file"].select("file_id"), "file_id", "left_anti"
+    ).count()
+    exp_bio = tables["experimentactivity"].select(
+        F.explode("uses_sample_biosample_id").alias("biosample_id")
+    )
+    e_bio = exp_bio.join(bio_ids, "biosample_id", "left_anti").count()
+    step = tables["stepactivity"].filter(
+        F.col("analysisactivity_id").isNotNull()
+    ).select("analysisactivity_id")
+    s_aa = step.join(
+        tables["analysisactivity"].select("analysisactivity_id"),
+        "analysisactivity_id", "left_anti",
+    ).count()
+    return {"file->library": f_lib, "assay->file": a_file,
+            "experiment->biosample": e_bio, "step->analysis": s_aa}
+
+
+@pytest.fixture(scope="module")
+def universe_run(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("universe")
+    universe = create_universe(spark, str(tmp / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp / "out"), num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    return universe, targets, group
+
+
+def _run_epoch(spark, universe, targets, group, fv, epoch, upserts, deletes):
+    seq0 = epoch * 1000
+    for name, rows in upserts.items():
+        _apply(spark, universe[name], name, rows, "upsert", seq0)
+    for name, rows in deletes.items():
+        _apply(spark, universe[name], name, rows, "delete", seq0 + 500)
+    results = refresh_entity_universe(
+        spark, universe, targets, fv, batch_id=epoch, group=group,
+    )
+    return results, {n: t.current_version() for n, t in universe.items()}
+
+
+def _assert_matches_full(spark, universe, targets, group):
+    inputs = {n: t.read() for n, t in universe.items()}
+    want = transform_all(spark, inputs)
+    for name in OUTPUT_TABLES:
+        got = _rows(group.read(name))
+        exp = _rows(want[name])
+        assert got == exp, f"{name}: incremental != full recompute"
+
+
+def test_entity_universe_incremental_equals_full(spark, universe_run):
+    universe, targets, group = universe_run
+    fv = {n: 0 for n in universe}
+
+    # ---- epoch 1: bootstrap (everything inserts) ----
+    results, fv = _run_epoch(
+        spark, universe, targets, group, fv, 1, SEED_EPOCH_1, {}
+    )
+    assert set(results) >= set(OUTPUT_TABLES)  # every tree bootstrapped
+    _assert_matches_full(spark, universe, targets, group)
+    assert all(v == 0 for v in _fk_orphans(
+        {n: group.read(n) for n in OUTPUT_TABLES}).values())
+    g1 = group.current_version()
+
+    # ---- epoch 2: updates + FK moves across every tree family ----
+    results, fv = _run_epoch(
+        spark, universe, targets, group, fv, 2,
+        EPOCH_2["upsert"], EPOCH_2["delete"],
+    )
+    _assert_matches_full(spark, universe, targets, group)
+    assert group.current_version() == g1 + 1
+    # the moved composite id really moved: F3's old alignment id gone
+    align = {r.alignmentactivity_id
+             for r in group.read("alignmentactivity").collect()}
+    assert "F3_EX2" in align and "F3_EX1" not in align
+    # the analysis pair re-pointed from P1 to P2
+    aa = {r.analysisactivity_id
+          for r in group.read("analysisactivity").collect()}
+    assert all(a.startswith("P2_") for a in aa), aa
+
+    # ---- epoch 3: deletes + fresh inserts ----
+    fv_before_3 = dict(fv)
+    results, fv = _run_epoch(
+        spark, universe, targets, group, fv, 3,
+        EPOCH_3["upsert"], EPOCH_3["delete"],
+    )
+    _assert_matches_full(spark, universe, targets, group)
+    assert all(v == 0 for v in _fk_orphans(
+        {n: group.read(n) for n in OUTPUT_TABLES}).values())
+    # deleted driving rows really disappeared from derived state
+    assert group.read("file").filter("file_id = 'F2'").count() == 0
+    assert group.read("antibody").filter(
+        "antibody_id = 'AB3'").count() == 0
+    assert group.read("sampletreatmentactivity").filter(
+        "sampletreatmentactivity_id = 'TR2'").count() == 0
+
+    # ---- replayed epoch (same from-versions, same batch id) fences
+    # off: state and group version unchanged
+    g3 = group.current_version()
+    refresh_entity_universe(
+        spark, universe, targets, fv_before_3, batch_id=3, group=group,
+    )
+    assert group.current_version() == g3
+    _assert_matches_full(spark, universe, targets, group)

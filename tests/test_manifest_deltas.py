@@ -191,3 +191,55 @@ def test_expire_crash_before_deletions_leaves_table_loadable(
     t2.expire_snapshots(keep_last=2)
     t3 = LakeTable.load(spark, t.root)
     assert {tuple(r) for r in t3.read().collect()} == before
+
+
+def test_schemas_watermarks_serialize_as_deltas(spark, tmp_path):
+    """VERDICT r3 directive 6: at 200 sources, a narrow commit's raw
+    manifest must carry only the CHANGED watermark entry (and only new
+    schema versions), not the full maps — commit metadata O(changed) in
+    every dimension — while resolution (fresh process, and across an
+    expire re-root) still yields the complete maps."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    merge_into(t, repo_file_events(spark, n_keys=300, events_per_key=1, seed=9),
+               batch_id=1)
+    # 200 synthetic source watermarks land in one commit (the shape a
+    # 200-stream deployment reaches after its first full cycle)
+    import copy
+
+    m = copy.deepcopy(t.current_manifest())
+    m.watermarks.update(
+        {f"src{i:03d}": {"batch_id": 1, "offset_end": 10 + i}
+         for i in range(200)}
+    )
+    m.version += 1
+    m.parent_version = m.version - 1
+    m.snapshot_id += 1
+    t._write_manifest(m)
+
+    # narrow single-source commit on top
+    merge_into(t, _one_key_batch(spark, 0), batch_id=2, stage_batch=True)
+    v = t.current_version()
+    raw = _raw(t, v)
+    assert "delta" in raw and "watermarks" not in raw and "schemas" not in raw
+    d = raw["delta"]
+    # only THE one changed watermark is stored; no schema churn at all
+    assert list(d["watermarks"]) == ["default"]
+    assert d["schemas"] == {}
+    assert len(json.dumps(raw)) < len(json.dumps(t.manifest_at(v).to_json())) / 5
+
+    # fresh process resolves the full maps through the delta chain
+    t2 = LakeTable(spark, t.root)
+    m2 = t2.manifest_at(v)
+    assert len(m2.watermarks) == 201  # 200 synthetic + the updated default
+    assert m2.watermarks["src199"] == {"batch_id": 1, "offset_end": 209}
+    assert m2.watermarks["default"]["batch_id"] == 2
+
+    # expire re-roots the kept manifest FULL; a fresh process still sees
+    # every watermark afterwards
+    merge_into(t, _one_key_batch(spark, 1), batch_id=3, stage_batch=True)
+    t.expire_snapshots(keep_last=1)
+    t3 = LakeTable.load(spark, t.root)
+    m3 = t3.current_manifest()
+    assert len(m3.watermarks) == 201
+    assert m3.watermarks["default"]["batch_id"] == 3
+    assert t3.read().count() > 0
