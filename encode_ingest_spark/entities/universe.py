@@ -140,12 +140,16 @@ REFRESH_SOURCE_ID = "entity_universe"
 def create_universe(
     spark: SparkSession, root: str, num_buckets: int | None = None
 ) -> dict[str, LakeTable]:
-    """One CDC-fed LakeTable per raw entity stream, keyed by ``@id``."""
+    """One CDC-fed LakeTable per raw entity stream, keyed by ``@id``.
+    Tables cluster on ``@id`` (shuffle-free within-bucket sort) so the
+    per-file col_stats ranges are tight and the dirty-set restriction
+    scans file-prune (see ``_restrict_scan``)."""
     out = {}
     for name, ddl in UNIVERSE_SCHEMAS.items():
         out[name] = LakeTable.create(
             spark, f"{root}/{name}", T._parse_datatype_string(ddl),
             ["@id"], num_buckets=num_buckets or _DEFAULT_BUCKETS,
+            properties={"write.sort_within_buckets": "@id"},
         )
     return out
 
@@ -173,6 +177,29 @@ class _SnapshotView:
 
     def get(self, name: str, default=None):
         return self[name] if name in self._u else default
+
+    def read_pruned(self, name: str, col: str, keys_df: DataFrame) -> DataFrame:
+        """This view's snapshot of ``name`` restricted to rows whose
+        ``col`` is in the (small) raw-id set — pushed into the scan
+        like ``_restrict_scan`` (isin + key-column file pruning), at
+        this view's pinned version."""
+        vals = [
+            r[0]
+            for r in keys_df.select("_raw").distinct()
+            .limit(RESTRICT_PUSHDOWN_CAP + 1).collect()
+        ]
+        if len(vals) <= RESTRICT_PUSHDOWN_CAP:
+            t = self._u[name]
+            non_null = [v for v in vals if v is not None]
+            fvr = (
+                {col: non_null}
+                if col in t.current_manifest().key_cols and non_null
+                else None
+            )
+            return t.read(
+                version=self._v.get(name), file_value_ranges=fvr
+            ).filter(F.col(col).isin(non_null))
+        return _semi_raw(self[name], keys_df, col)
 
 
 @dataclass(frozen=True)
@@ -261,6 +288,51 @@ def _semi_raw(df: DataFrame, dirty: DataFrame, col: str = "@id") -> DataFrame:
     )
 
 
+#: dirty sets up to this size collect to the driver and push into the
+#: raw-table SCAN (isin → parquet row-group/dict pruning; key columns
+#: additionally get manifest-level file pruning) — same cap philosophy
+#: as incremental.DIRTY_GROUP_PUSHDOWN_CAP
+RESTRICT_PUSHDOWN_CAP = 10_000
+
+
+def _restrict_scan(
+    ctx: dict[str, Any] | None,
+    snaps: dict[str, DataFrame],
+    src: str,
+    col: str,
+    dirty: DataFrame,
+) -> DataFrame:
+    """``snaps[src]`` restricted to rows whose ``col`` is a dirty raw
+    id — pushed INTO the table scan when possible: the dirty set is a
+    micro-batch by contract, so it collects to the driver and becomes
+    an ``isin`` predicate (parquet row-group/dictionary pruning) plus,
+    for the ``@id`` KEY column, manifest-level file pruning against the
+    per-file col_stats (universe tables cluster on ``@id``). At 10^10
+    raw rows this is the difference between scanning the files table
+    and scanning the change set's files. Over-cap sets (or non-table
+    inputs) fall back to the broadcast semi-join."""
+    uni = (ctx or {}).get("universe")
+    if uni is not None and src in uni:
+        vals = [
+            r[0]
+            for r in dirty.select("_raw").distinct()
+            .limit(RESTRICT_PUSHDOWN_CAP + 1).collect()
+        ]
+        if len(vals) <= RESTRICT_PUSHDOWN_CAP:
+            non_null = [v for v in vals if v is not None]
+            t: LakeTable = uni[src]
+            version = (ctx or {}).get("to_versions", {}).get(src)
+            fvr = (
+                {col: non_null}
+                if col in t.current_manifest().key_cols and non_null
+                else None
+            )
+            return t.read(version=version, file_value_ranges=fvr).filter(
+                F.col(col).isin(non_null)
+            )
+    return _semi_raw(snaps[src], dirty, col)
+
+
 def _experiments_all(snaps: dict[str, DataFrame]) -> DataFrame:
     e = snaps["experiments"]
     fc = snaps.get("fc_experiments")
@@ -302,7 +374,7 @@ def _fk_dim_dirty(src: str, id_col: str, dims: dict[str, str]):
 def _driving_restrict(src: str, dims_full: tuple[str, ...] = ()):
     def restrict(snaps, dirty, ctx):
         out = dict(snaps)
-        out[src] = _semi_raw(snaps[src], dirty)
+        out[src] = _restrict_scan(ctx, snaps, src, "@id", dirty)
         return out
 
     return restrict
@@ -353,8 +425,10 @@ def _biosample_dirty(spark, ch, old, new):
 
 def _biosample_restrict(snaps, dirty, ctx):
     out = dict(snaps)
-    out["biosamples"] = _semi_raw(snaps["biosamples"], dirty)
-    out["libraries"] = _semi_raw(snaps["libraries"], dirty, "biosample")
+    out["biosamples"] = _restrict_scan(ctx, snaps, "biosamples", "@id", dirty)
+    out["libraries"] = _restrict_scan(
+        ctx, snaps, "libraries", "biosample", dirty
+    )
     gm = snaps["genetic_modifications"]
     dk = F.broadcast(dirty.select("_raw").distinct())
     out["genetic_modifications"] = gm.join(
@@ -412,7 +486,7 @@ def _file_dirty(spark, ch, old, new):
 
 def _file_restrict(snaps, dirty, ctx):
     out = dict(snaps)
-    out["files"] = _semi_raw(snaps["files"], dirty)
+    out["files"] = _restrict_scan(ctx, snaps, "files", "@id", dirty)
     return out  # libraries stay full: broadcast dim by contract (J14)
 
 
@@ -512,14 +586,20 @@ def _experiment_dirty(with_files: bool, id_col: str):
 def _experiment_restrict(with_files: bool):
     def restrict(snaps, dirty, ctx):
         out = dict(snaps)
-        out["experiments"] = _semi_raw(snaps["experiments"], dirty)
+        out["experiments"] = _restrict_scan(
+            ctx, snaps, "experiments", "@id", dirty
+        )
         if snaps.get("fc_experiments") is not None:
-            out["fc_experiments"] = _semi_raw(snaps["fc_experiments"], dirty)
-        out["replicates"] = _semi_raw(
-            snaps["replicates"], dirty, "experiment"
+            out["fc_experiments"] = _restrict_scan(
+                ctx, snaps, "fc_experiments", "@id", dirty
+            )
+        out["replicates"] = _restrict_scan(
+            ctx, snaps, "replicates", "experiment", dirty
         )
         if with_files:
-            out["files"] = _semi_raw(snaps["files"], dirty, "dataset")
+            out["files"] = _restrict_scan(
+                ctx, snaps, "files", "dataset", dirty
+            )
         return out
 
     return restrict
@@ -554,8 +634,10 @@ def _libprep_dirty(spark, ch, old, new):
 
 def _libprep_restrict(snaps, dirty, ctx):
     out = dict(snaps)
-    out["libraries"] = _semi_raw(snaps["libraries"], dirty)
-    out["replicates"] = _semi_raw(snaps["replicates"], dirty, "library")
+    out["libraries"] = _restrict_scan(ctx, snaps, "libraries", "@id", dirty)
+    out["replicates"] = _restrict_scan(
+        ctx, snaps, "replicates", "library", dirty
+    )
     return out  # experiments joined through the restricted replicates
 
 
@@ -612,8 +694,10 @@ def _step_dirty(spark, ch, old, new):
 
 def _step_restrict(snaps, dirty, ctx):
     out = dict(snaps)
-    out["analysis_step_runs"] = _semi_raw(snaps["analysis_step_runs"], dirty)
-    out["files"] = _semi_raw(snaps["files"], dirty, "step_run")
+    out["analysis_step_runs"] = _restrict_scan(
+        ctx, snaps, "analysis_step_runs", "@id", dirty
+    )
+    out["files"] = _restrict_scan(ctx, snaps, "files", "step_run", dirty)
     return out  # versions / steps stay full: tiny metadata dims
 
 
@@ -675,8 +759,10 @@ def _analysis_dirty(spark, ch, old, new):
         # pairs: per-run grouping keys on step_run, so keeping every
         # file of each dirty run gives exact pairs at change-set cost
         snaps = {
-            "files": _semi_raw(view["files"], runs, "step_run"),
-            "analysis_step_runs": _semi_raw(view["analysis_step_runs"], runs),
+            "files": view.read_pruned("files", "step_run", runs),
+            "analysis_step_runs": view.read_pruned(
+                "analysis_step_runs", "@id", runs
+            ),
             "analysis_step_versions": view["analysis_step_versions"],
             "analysis_steps": view["analysis_steps"],
         }
@@ -705,9 +791,9 @@ def _analysis_restrict(snaps, dirty, ctx):
         .distinct()
     )
     out = dict(snaps)
-    out["files"] = _semi_raw(snaps["files"], runs_keep, "step_run")
-    out["analysis_step_runs"] = _semi_raw(
-        snaps["analysis_step_runs"], runs_keep
+    out["files"] = _restrict_scan(ctx, snaps, "files", "step_run", runs_keep)
+    out["analysis_step_runs"] = _restrict_scan(
+        ctx, snaps, "analysis_step_runs", "@id", runs_keep
     )
     return out  # pipelines / versions / steps: tiny metadata dims
 
@@ -992,7 +1078,11 @@ def refresh_entity_universe(
         old = _SnapshotView(universe, {n: from_versions.get(n, 0)
                                        for n in universe})
         new = _SnapshotView(universe, to_versions)
-        ctx = {"run_pairs": targets.get("_run_pairs")}
+        ctx = {
+            "run_pairs": targets.get("_run_pairs"),
+            "universe": universe,
+            "to_versions": to_versions,
+        }
         for name, spec in specs.items():
             target = targets.get(name)
             if target is None:

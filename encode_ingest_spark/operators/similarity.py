@@ -123,6 +123,7 @@ def lsh_topk(
     multi_probe: bool = True,
     seed: int = 42,
     round_digits: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: standard multi-table SRP-LSH — L independent
     hash tables of nbits each; candidates share a bucket in ANY table
@@ -135,7 +136,16 @@ def lsh_topk(
     (the shuffle carries (table, bucket, id, vec) — sketches + one vector
     copy per table, never all-pairs). multi_probe adds the query's 1-bit
     neighbor buckets per table.
-    """
+
+    ``broadcast_queries`` picks the join strategy for the candidate
+    stage (VERDICT r3 directive 3): ``True`` (default) broadcasts the
+    exploded query probes — right when |Q| is interactive-small.
+    ``False`` is the LARGE-query-set shape (|Q| ~ |N|, e.g. full-corpus
+    kNN-join): BOTH sides shuffle on their (table, bucket) key and meet
+    in a shuffled-hash join — the same partition-by-bucket shape as
+    ``embedding_near_dup_pairs`` — so no executor ever materializes the
+    whole probe set. Results are identical; only the physical plan
+    changes (plan-pinned: no BroadcastExchange)."""
     def buckets_for(vec: Column) -> Column:
         return F.array(
             *[
@@ -164,12 +174,18 @@ def lsh_topk(
     qb = q0.select(
         "query_id", "_qv", "_qtbl", F.explode(F.array(*probes)).alias("_qb")
     )
-    cand = nb.join(
-        F.broadcast(qb),
-        (F.col("_ntbl") == F.col("_qtbl"))
-        & (F.col("_nb") == F.col("_qb"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    )
+    eq = (F.col("_ntbl") == F.col("_qtbl")) & (F.col("_nb") == F.col("_qb"))
+    if broadcast_queries:
+        cand = nb.join(
+            F.broadcast(qb), eq & (F.col("query_id") != F.col("neighbor_id"))
+        )
+    else:
+        # pure equi-join on the bucket key (the self-exclusion moves to
+        # a post-filter so the join stays hash-joinable); the hint pins
+        # a shuffle-side strategy — AQE may not flip it to broadcast
+        cand = nb.join(qb.hint("shuffle_hash"), eq).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
     scored = (
         cand.select("query_id", "neighbor_id", "_qv", "_nv")
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -238,3 +238,22 @@ def test_near_dup_empty_input_is_well_typed(spark):
     out = embedding_near_dup_pairs(empty, threshold=0.9)
     assert out.columns == ["id_a", "id_b", "cos"]
     assert out.count() == 0
+
+
+def test_lsh_topk_bucketed_variant_matches_broadcast(spark):
+    """VERDICT r3 directive 3: broadcast_queries=False routes the
+    candidate stage through a shuffled (table,bucket) equi-join — same
+    result set as the broadcast path, and the physical plan contains no
+    BroadcastExchange (the large-query-set shape must never materialize
+    the probe set per executor)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 40)
+    dim = len(emb.select("embedding").first()[0])
+
+    bcast = lsh_topk(emb, q, dim=dim, k=5)
+    shuf = lsh_topk(emb, q, dim=dim, k=5, broadcast_queries=False)
+    assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
+
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
