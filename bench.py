@@ -582,6 +582,9 @@ def main() -> None:
                     help="redirect this %% of events to ONE hot key (skew probe)")
     ap.add_argument("--soak", action="store_true",
                     help="endurance soak: MOR stream + derived group + maintain")
+    ap.add_argument("--universe", action="store_true",
+                    help="entity-universe epoch: incremental vs full recompute")
+    ap.add_argument("--universe-exp", type=int, default=2000)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
@@ -590,6 +593,10 @@ def main() -> None:
 
     if args.soak:
         print(json.dumps(run_soak(args.sf_dir, min(args.cores, 16))))
+        return
+    if args.universe:
+        print(json.dumps(run_universe_bench(
+            args.sf_dir, args.cores, n_exp=args.universe_exp)))
         return
     if args.scaling:
         if args.probe == "cdc-jvms":
@@ -650,5 +657,223 @@ def main() -> None:
     print(json.dumps(run_bench(args.sf_dir, args.cores)))
 
 
+# ---------------------------------------------------------------------------
+# Entity-universe maintenance bench (round 4): the reference's weekly
+# full recompute vs one change-driven epoch over the same 13-mapper DAG.
+# ---------------------------------------------------------------------------
+def _synth_universe_batches(spark, n_exp: int, epoch: int,
+                            dirty_exp: int = 0, moved_reps: int = 0):
+    """Deterministic raw-entity CDC batches, pure column exprs (no
+    driver rows): epoch 1 = the full seed; epoch 2 = updates to the
+    files of ``dirty_exp`` experiments plus ``moved_reps`` replicate
+    FK moves. event_seq = epoch*1e9 + xxhash(@id)%1e9 — deterministic
+    and strictly increasing per key across epochs."""
+    from encode_ingest_spark.entities.universe import UNIVERSE_SCHEMAS
+    from encode_ingest_spark.lake.evolution import align_to_schema
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    E = n_exp
+
+    def fin(name, df):
+        target = T.StructType(
+            [T.StructField(f.name, f.dataType, True)
+             for f in T._parse_datatype_string(UNIVERSE_SCHEMAS[name]).fields]
+        )
+        out = align_to_schema(df, target)
+        return out.withColumn("op", F.lit("upsert")).withColumn(
+            "event_seq",
+            (F.lit(epoch) * F.lit(10**9)
+             + F.abs(F.xxhash64("@id")) % F.lit(10**9)).cast("long"),
+        )
+
+    def sid(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("string"), F.lit("/"))
+
+    i = F.col("id")
+    if epoch == 1:
+        exp = spark.range(E).select(
+            sid("/experiments/EX", i).alias("@id"),
+            F.when(i % 2 == 0, "RNA-seq").otherwise("ChIP-seq")
+            .alias("assay_term_name"),
+            F.concat(F.lit("OBI:"), i.cast("string")).alias("assay_term_id"),
+            F.lit("released").alias("status"),
+            F.lit("2020-01-01T00:00:00+00:00").alias("date_created"),
+            F.array(sid("/replicates/R", i * 2), sid("/replicates/R", i * 2 + 1))
+            .alias("replicates"),
+        )
+        reps = spark.range(2 * E).select(
+            sid("/replicates/R", i).alias("@id"),
+            sid("/experiments/EX", F.floor(i / 2)).alias("experiment"),
+            sid("/libraries/LB", i).alias("library"),
+        )
+        libs = spark.range(2 * E).select(
+            sid("/libraries/LB", i).alias("@id"),
+            sid("/biosamples/BS", i % E).alias("biosample"),
+            F.lit("2020-01-02T00:00:00+00:00").alias("date_created"),
+            F.concat(F.lit("P"), (i % 5).cast("string")).alias("product_id"),
+        )
+        bios = spark.range(E).select(
+            sid("/biosamples/BS", i).alias("@id"),
+            F.lit("human").alias("organism"),
+            F.lit("adult").alias("human_life_stage"),
+            sid("/biosample-types/BT", i % 2).alias("biosample_ontology"),
+            F.lit(False).alias("perturbed"),
+            F.lit("2020-01-03T00:00:00+00:00").alias("date_created"),
+        )
+        files = spark.range(4 * E).select(
+            sid("/files/F", i).alias("@id"),
+            F.when(i % 4 < 2, "raw data").otherwise("alignment")
+            .alias("output_category"),
+            sid("/experiments/EX", i % E).alias("dataset"),
+            F.when(i % 4 < 2, F.array(sid("/biosamples/BS", i % E)))
+            .alias("origin_batches"),
+            F.when(i % 4 >= 2, F.array(sid("/files/F", i - 2)))
+            .alias("derived_from"),
+            F.when(i % 4 >= 2, sid("/analysis-step-runs/SR", i))
+            .alias("step_run"),
+            F.when(i % 4 >= 2, F.array(F.lit("GRCh38"))).alias("assembly"),
+            F.array(F.when(i % 2 == 0, "RNA-seq").otherwise("ChIP-seq"))
+            .alias("assay_term_name"),
+            i.alias("file_size"),
+            F.lit("2020-01-04T00:00:00+00:00").alias("date_created"),
+        )
+        runs = spark.range(4 * E).filter(i % 4 >= 2).select(
+            sid("/analysis-step-runs/SR", i).alias("@id"),
+            sid("/analysis-step-versions/V", i % 3)
+            .alias("analysis_step_version"),
+        )
+        vers = spark.range(3).select(
+            sid("/analysis-step-versions/V", i).alias("@id"),
+            F.concat(F.lit("v1."), i.cast("string")).alias("name"),
+            sid("/analysis-steps/S", i % 2).alias("analysis_step"),
+        )
+        steps = spark.range(2).select(
+            sid("/analysis-steps/S", i).alias("@id"),
+            F.array(sid("/pipelines/P", i)).alias("pipelines"),
+        )
+        pipes = spark.range(2).select(
+            sid("/pipelines/P", i).alias("@id"),
+            F.array(F.lit("RNA-seq"), F.lit("ChIP-seq"))
+            .alias("assay_term_names"),
+            F.concat(F.lit("pipeline "), i.cast("string")).alias("title"),
+        )
+        orgs = spark.createDataFrame(
+            [("/organisms/human/", "Homo sapiens")],
+            "`@id` string, scientific_name string",
+        )
+        bt = spark.range(2).select(
+            sid("/biosample-types/BT", i).alias("@id"),
+            F.when(i == 0, "tissue").otherwise("cell line")
+            .alias("classification"),
+            F.concat(F.lit("UBERON:"), i.cast("string")).alias("term_id"),
+        )
+        return {
+            "experiments": fin("experiments", exp),
+            "replicates": fin("replicates", reps),
+            "libraries": fin("libraries", libs),
+            "biosamples": fin("biosamples", bios),
+            "files": fin("files", files),
+            "analysis_step_runs": fin("analysis_step_runs", runs),
+            "analysis_step_versions": fin("analysis_step_versions", vers),
+            "analysis_steps": fin("analysis_steps", steps),
+            "pipelines": fin("pipelines", pipes),
+            "organisms": fin("organisms", orgs),
+            "biosample_types": fin("biosample_types", bt),
+        }
+
+    # epoch 2: files of the first `dirty_exp` experiments change size;
+    # `moved_reps` replicates hop to the next experiment (FK move)
+    files2 = spark.range(4 * E).filter((i % E) < dirty_exp).select(
+        sid("/files/F", i).alias("@id"),
+        F.when(i % 4 < 2, "raw data").otherwise("alignment")
+        .alias("output_category"),
+        sid("/experiments/EX", i % E).alias("dataset"),
+        F.when(i % 4 < 2, F.array(sid("/biosamples/BS", i % E)))
+        .alias("origin_batches"),
+        F.when(i % 4 >= 2, F.array(sid("/files/F", i - 2)))
+        .alias("derived_from"),
+        F.when(i % 4 >= 2, sid("/analysis-step-runs/SR", i)).alias("step_run"),
+        F.when(i % 4 >= 2, F.array(F.lit("GRCh38"))).alias("assembly"),
+        F.array(F.when(i % 2 == 0, "RNA-seq").otherwise("ChIP-seq"))
+        .alias("assay_term_name"),
+        (i + 10_000_000).alias("file_size"),
+        F.lit("2020-01-04T00:00:00+00:00").alias("date_created"),
+    )
+    reps2 = spark.range(moved_reps).select(
+        sid("/replicates/R", i * 2).alias("@id"),
+        sid("/experiments/EX", (i + 1) % E).alias("experiment"),
+        sid("/libraries/LB", i * 2).alias("library"),
+    )
+    return {"files": fin("files", files2), "replicates": fin("replicates", reps2)}
+
+
+def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
+                       dirty_exp: int = 32) -> dict:
+    """One change-driven epoch over the full 13-mapper entity DAG vs the
+    reference's full-recompute shape (transform_all over the current
+    snapshots, COMPUTE ONLY — the incremental side additionally pays all
+    its table writes and the group commit, and still wins)."""
+    from encode_ingest_spark.entities import transform_all
+    from encode_ingest_spark.entities.universe import (
+        create_entity_targets,
+        create_universe,
+        refresh_entity_universe,
+    )
+    from encode_ingest_spark.lake import TableGroup, merge_into
+    from encode_ingest_spark.session import get_spark
+
+    spark = get_spark("bench-universe", cores=cpus)
+    root = tempfile.mkdtemp(prefix="uni_bench_")
+    try:
+        universe = create_universe(spark, root + "/raw", num_buckets=4)
+        targets = create_entity_targets(spark, root + "/out", num_buckets=4)
+        group = TableGroup.create(
+            spark, root + "/grp",
+            {n: t for n, t in targets.items() if not n.startswith("_")},
+        )
+        seed = _synth_universe_batches(spark, n_exp, epoch=1)
+        for name, df in seed.items():
+            merge_into(universe[name], df, source_id="bench", batch_id=1)
+        fv = {n: 0 for n in universe}
+        t0 = time.perf_counter()
+        refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                                group=group)
+        boot_sec = time.perf_counter() - t0
+        fv = {n: t.current_version() for n, t in universe.items()}
+
+        ep2 = _synth_universe_batches(spark, n_exp, epoch=2,
+                                      dirty_exp=dirty_exp, moved_reps=8)
+        for name, df in ep2.items():
+            merge_into(universe[name], df, source_id="bench", batch_id=2)
+        t0 = time.perf_counter()
+        refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                                group=group)
+        inc_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = transform_all(spark, {n: t.read() for n, t in universe.items()})
+        for df in out.values():
+            _force(df)
+        full_sec = time.perf_counter() - t0
+        return {
+            "metric": "entity-universe epoch: incremental refresh vs full "
+                      "recompute (13 mappers / 15 tables)",
+            "value": round(inc_sec, 3),
+            "unit": "sec",
+            "sf": sf_dir,
+            "cpus": cpus,
+            "n_experiments": n_exp,
+            "dirty_experiments": dirty_exp,
+            "bootstrap_sec": round(boot_sec, 3),
+            "incremental_epoch_sec": round(inc_sec, 3),
+            "full_recompute_sec": round(full_sec, 3),
+            "speedup_vs_full": round(full_sec / inc_sec, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
+

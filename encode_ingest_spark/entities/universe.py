@@ -1065,16 +1065,92 @@ def refresh_entity_universe(
     epoch fence-skips per target and reconverges. When ``group`` is a
     :class:`~..lake.txn.TableGroup` over ``targets``, the epoch ends
     with ONE atomic group commit (all-or-nothing visibility)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
     specs = specs or TREE_SPECS
     to_versions = {n: t.current_version() for n, t in universe.items()}
+    # Every tree re-consumes the changed sources' changelogs (dirty
+    # derivation + envelope joins), so stage each ONE as parquet
+    # scratch under its table root (shared-visibility staging + the
+    # pid-marker liveness convention — same pattern and same measured
+    # rationale as refresh_derived: a parquet stage beats recomputing
+    # the snapshot-diff join per consumer, and beats localCheckpoint
+    # ~2x on wide payloads).
     ch: dict[str, DataFrame] = {}
+    scratches: list[tuple[str, str]] = []
     for n, t in universe.items():
         if from_versions.get(n, 0) != to_versions[n]:
-            ch[n] = t.read_changes(
+            raw = t.read_changes(
                 from_versions.get(n, 0), to_versions[n], include_before=True
             )
+            stage = os.path.join(
+                t.root, "_staging", f"universe_refresh_{_uuid.uuid4().hex}"
+            )
+            os.makedirs(stage, exist_ok=True)
+            marker = t._stage_marker(stage)
+            scratches.append((stage, marker))
+            raw.write.mode("overwrite").parquet(stage)
+            ch[n] = spark.read.schema(raw.schema).parquet(stage)
     results: dict[str, MergeResult] = {}
+    try:
+        return _refresh_trees(
+            spark, universe, targets, specs, ch, from_versions, to_versions,
+            batch_id, group, results,
+        )
+    finally:
+        for stage, marker in scratches:
+            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+
+
+def _refresh_one_tree(
+    spark, spec, target, ch, old, new, ctx, universe, batch_id,
+) -> MergeResult | None:
+    # replay fast path: manifest-only fence check
+    wm = target.current_manifest().watermarks.get(REFRESH_SOURCE_ID, {})
+    if int(wm.get("batch_id", -1)) >= int(batch_id):
+        return None
+    dirty = _dirty_for(spec, spark, ch, old, new)
+    if dirty is None:
+        return None
+    # the dirty frame is consumed 3x (restrict collect, the upsert
+    # semi-join, the delete anti-join) — materialize its change-set-
+    # sized result once
+    dirty = dirty.localCheckpoint(eager=True)
+    base = {s: new[s] for s in spec.sources if s in universe}
+    snaps = spec.restrict(base, dirty, ctx) if spec.restrict else base
+    rolled = spec.build(spark, snaps).join(
+        F.broadcast(dirty.select(spec.id_col).distinct()),
+        spec.id_col, "left_semi",
+    )
+    gone = dirty.select(spec.id_col).distinct().join(
+        rolled, spec.id_col, "left_anti"
+    )
+    batch = (
+        rolled.withColumn("op", F.lit("upsert"))
+        .unionByName(
+            gone.withColumn("op", F.lit("delete")),
+            allowMissingColumns=True,
+        )
+        .withColumn("event_seq", F.lit(int(batch_id)).cast("long"))
+    )
+    return merge_into(
+        target, batch, source_id=REFRESH_SOURCE_ID, batch_id=batch_id
+    )
+
+
+def _refresh_trees(
+    spark, universe, targets, specs, ch, from_versions, to_versions,
+    batch_id, group, results, parallelism: int = 6,
+) -> dict[str, MergeResult]:
     if ch:
+        from concurrent.futures import ThreadPoolExecutor
+
         old = _SnapshotView(universe, {n: from_versions.get(n, 0)
                                        for n in universe})
         new = _SnapshotView(universe, to_versions)
@@ -1083,44 +1159,45 @@ def refresh_entity_universe(
             "universe": universe,
             "to_versions": to_versions,
         }
-        for name, spec in specs.items():
-            target = targets.get(name)
-            if target is None:
-                continue
-            if not any(s in ch for s in spec.sources):
-                continue
-            # replay fast path: manifest-only fence check
-            wm = target.current_manifest().watermarks.get(
-                REFRESH_SOURCE_ID, {}
+        pending = [
+            (name, spec)
+            for name, spec in specs.items()
+            if targets.get(name) is not None
+            and any(s in ch for s in spec.sources)
+        ]
+        # wave 1: trees other trees' restricts depend on (_run_pairs —
+        # the analysis tree reads its POST-refresh state). wave 2: all
+        # remaining trees run CONCURRENTLY — each targets its own table,
+        # so the merges are independent; threading overlaps the many
+        # small per-tree jobs (Spark schedules concurrent jobs fine),
+        # which is what keeps epoch latency flat as tree count grows.
+        wave1 = [(n, s) for n, s in pending if n.startswith("_")]
+        wave2 = [(n, s) for n, s in pending if not n.startswith("_")]
+        for name, spec in wave1:
+            r = _refresh_one_tree(
+                spark, spec, targets[name], ch, old, new, ctx, universe,
+                batch_id,
             )
-            if int(wm.get("batch_id", -1)) >= int(batch_id):
-                continue
-            dirty = _dirty_for(spec, spark, ch, old, new)
-            if dirty is None:
-                continue
-            base = {s: new[s] for s in spec.sources if s in universe}
-            snaps = (
-                spec.restrict(base, dirty, ctx) if spec.restrict else base
+            if r is not None:
+                results[name] = r
+
+        def run(item):
+            name, spec = item
+            return name, _refresh_one_tree(
+                spark, spec, targets[name], ch, old, new, ctx, universe,
+                batch_id,
             )
-            rolled = spec.build(spark, snaps).join(
-                F.broadcast(dirty.select(spec.id_col).distinct()),
-                spec.id_col, "left_semi",
-            )
-            gone = dirty.select(spec.id_col).distinct().join(
-                rolled, spec.id_col, "left_anti"
-            )
-            batch = (
-                rolled.withColumn("op", F.lit("upsert"))
-                .unionByName(
-                    gone.withColumn("op", F.lit("delete")),
-                    allowMissingColumns=True,
-                )
-                .withColumn("event_seq", F.lit(int(batch_id)).cast("long"))
-            )
-            results[name] = merge_into(
-                target, batch, source_id=REFRESH_SOURCE_ID,
-                batch_id=batch_id,
-            )
+
+        if parallelism > 1 and len(wave2) > 1:
+            with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                for name, r in ex.map(run, wave2):
+                    if r is not None:
+                        results[name] = r
+        else:
+            for item in wave2:
+                name, r = run(item)
+                if r is not None:
+                    results[name] = r
     if group is not None and ch:
         versions: dict[str, int] = {}
         member_names = set(group.current_manifest()["tables"])
