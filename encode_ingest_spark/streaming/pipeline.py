@@ -343,3 +343,125 @@ def write_event_files(
         .write.mode("append")
         .parquet(events_dir)
     )
+
+
+#: envelope for the MULTIPLEXED raw-entity changelog (one tailed log
+#: carrying all 18 extraction streams — the Kafka-topic shape of the
+#: reference's per-entity extraction outputs, ARCHITECTURE.md:36-41):
+#: ``entity`` routes to the raw source table, ``payload`` is the raw
+#: JSON document (parsed against that entity's schema per batch).
+UNIVERSE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("payload", T.StringType(), True),
+    ]
+)
+
+
+class UniverseStreamPipeline:
+    """Streaming maintenance of the FULL entity universe: tail one
+    multiplexed raw-entity changelog, and per micro-batch (a) route each
+    entity's events into its raw LakeTable MERGE, then (b) run one
+    transactional ``refresh_entity_universe`` epoch over the per-source
+    snapshot spans — the reference's weekly extract→transform DAG
+    collapsed into a single exactly-once streaming query.
+
+    Exactly-once composes three fences deep: the Spark checkpoint
+    (source offsets), each raw-table merge's (source_id, epoch) fence,
+    and each derived target's refresh fence + the group commit fence.
+    The crash window between the raw merges and the derived refresh is
+    healed on replay by recovering each source's pre-batch snapshot
+    version from its lineage (same mechanism as CdcStreamPipeline's
+    ``_lineage_span``)."""
+
+    def __init__(
+        self,
+        universe: dict[str, LakeTable],
+        targets: dict[str, LakeTable],
+        events_dir: str,
+        checkpoint_dir: str,
+        group=None,
+        source_id: str = "universe_stream",
+        max_files_per_trigger: int | None = None,
+    ):
+        self.universe = universe
+        self.targets = targets
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.group = group
+        self.source_id = source_id
+        self.max_files_per_trigger = max_files_per_trigger
+        self.epochs_merged = 0
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from ..entities.universe import (
+            UNIVERSE_SCHEMAS,
+            refresh_entity_universe,
+        )
+
+        spark = batch.sparkSession
+        bid = int(epoch_id) + 1
+        from_versions = {
+            n: t.current_version() for n, t in self.universe.items()
+        }
+        present = sorted(
+            r[0] for r in batch.select("entity").distinct().collect()
+        )
+        any_merged = False
+        for name in present:
+            t = self.universe.get(name)
+            if t is None:
+                continue
+            schema = T._parse_datatype_string(UNIVERSE_SCHEMAS[name])
+            rows = (
+                batch.filter(F.col("entity") == name)
+                .select(
+                    F.from_json("payload", schema).alias("_p"),
+                    "op",
+                    "event_seq",
+                )
+                .select("_p.*", "op", "event_seq")
+            )
+            res = merge_into(
+                t, rows, source_id=self.source_id, batch_id=bid
+            )
+            if res.skipped:
+                # replayed epoch: recover the PRE-batch snapshot so the
+                # derived refresh re-derives the same change set (its
+                # own per-target fences dedup a refresh that DID run)
+                span = t.lineage_span_for(self.source_id, bid)
+                if span is not None and span[0] is not None:
+                    from_versions[name] = span[0]
+            else:
+                any_merged = True
+        refresh_entity_universe(
+            spark, self.universe, self.targets, from_versions,
+            batch_id=bid, group=self.group,
+        )
+        if any_merged:
+            self.epochs_merged += 1
+
+    def run_available_now(self, spark: SparkSession, timeout_sec: int = 600) -> int:
+        """Drain the backlog and stop; returns epochs that merged new
+        raw data."""
+        self.epochs_merged = 0
+        reader = spark.readStream.schema(UNIVERSE_EVENT_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger
+            )
+        query = (
+            reader.parquet(self.events_dir)
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            if query.isActive:  # pragma: no cover - timeout safety
+                query.stop()
+        return self.epochs_merged

@@ -407,3 +407,145 @@ def test_entity_universe_incremental_equals_full(spark, universe_run):
     )
     assert group.current_version() == g3
     _assert_matches_full(spark, universe, targets, group)
+
+
+def test_universe_crash_mid_epoch_replay_converges(spark, tmp_path):
+    """Crash between member merges mid-epoch (some trees committed,
+    others and the group commit never ran): group readers keep the
+    previous consistent vector; replaying the FULL epoch converges —
+    committed trees fence-skip, the rest catch up, ONE group commit
+    lands — and every table equals the full recompute."""
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    seed = {
+        "organisms": SEED_EPOCH_1["organisms"],
+        "donors": SEED_EPOCH_1["donors"][:2],
+        "biosample_types": SEED_EPOCH_1["biosample_types"][:1],
+        "biosamples": SEED_EPOCH_1["biosamples"][:2],
+        "libraries": SEED_EPOCH_1["libraries"][:2],
+        "experiments": SEED_EPOCH_1["experiments"][:1],
+        "replicates": SEED_EPOCH_1["replicates"][:2],
+        "files": SEED_EPOCH_1["files"][:2],
+    }
+    fv = {n: 0 for n in universe}
+    for name, rows in seed.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group)
+    fv = {n: t.current_version() for n, t in universe.items()}
+    g1 = group.current_version()
+    file_before = _rows(group.read("file"))
+
+    # epoch 2 touches a library (biosample move) and a file, then
+    # "crashes" after only the file-family trees committed and BEFORE
+    # the group commit
+    _apply(spark, universe["libraries"], "libraries", [
+        {"@id": "/libraries/LB1/", "biosample": "/biosamples/BS2/",
+         "date_created": "2020-01-08T00:00:00+00:00",
+         "product_id": "LP1-rev"},
+    ], "upsert", 2000)
+    _apply(spark, universe["files"], "files", [
+        {"@id": "/files/F1/", "output_category": "raw data",
+         "dataset": "/experiments/EX1/",
+         "origin_batches": ["/biosamples/BS1/"],
+         "assay_term_name": ["RNA-seq"], "file_format": "fastq",
+         "date_created": "2020-01-17T00:00:00+00:00", "file_size": 111},
+    ], "upsert", 2100)
+    partial = {k: v for k, v in TREE_SPECS.items()
+               if k in ("_run_pairs", "file")}
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=None, specs=partial)
+
+    # group readers: still the old consistent vector
+    assert group.current_version() == g1
+    assert _rows(group.read("file")) == file_before
+
+    # full replay: the file tree fence-skips, everything else catches
+    # up, exactly one group commit lands
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group)
+    assert group.current_version() == g1 + 1
+    inputs = {n: t.read() for n, t in universe.items()}
+    want = transform_all(spark, inputs)
+    for name in OUTPUT_TABLES:
+        assert _rows(group.read(name)) == _rows(want[name]), name
+    # the library move really propagated through the crashed epoch
+    bio = {r.biosample_id: r.library_prep_id
+           for r in group.read("biosample").collect()}
+    assert bio.get("BS2") == ["LB1", "LB2"] or bio.get("BS2") == ["LB2", "LB1"]
+
+
+def test_universe_stream_pipeline_end_to_end(spark, tmp_path):
+    """Streaming universe maintenance: one multiplexed raw-entity
+    changelog drained in micro-batches — each epoch merges the raw
+    tables AND lands one transactional derived refresh; the final
+    derived state equals the full recompute, and a re-drain (and a
+    checkpoint-restart replay) moves nothing."""
+    import json as _json
+
+    from encode_ingest_spark.streaming.pipeline import UniverseStreamPipeline
+
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+
+    def envelope(batch_dict, seq0):
+        rows, i = [], 0
+        for name, rws in batch_dict.items():
+            for r in rws:
+                rows.append((name, "upsert", seq0 + i, _json.dumps(r)))
+                i += 1
+        return spark.createDataFrame(
+            rows, "entity string, op string, event_seq long, payload string"
+        )
+
+    ev_dir = str(tmp_path / "events")
+    # epoch 1: the full seed; epoch 2: a library FK move + a file update
+    envelope(SEED_EPOCH_1, 1000).coalesce(1).write.mode("append").parquet(ev_dir)
+    envelope(EPOCH_2["upsert"], 2000).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    pipe = UniverseStreamPipeline(
+        universe, targets, ev_dir, str(tmp_path / "ckpt"), group=group,
+        max_files_per_trigger=1,
+    )
+    merged = pipe.run_available_now(spark)
+    assert merged >= 2
+    assert group.current_version() >= 2
+
+    inputs = {n: t.read() for n, t in universe.items()}
+    want = transform_all(spark, inputs)
+    for name in ("file", "biosample", "experimentactivity",
+                 "analysisactivity", "alignmentactivity", "donor"):
+        assert _rows(group.read(name)) == _rows(want[name]), name
+    # the epoch-2 moves really flowed through the stream
+    align = {r.alignmentactivity_id
+             for r in group.read("alignmentactivity").collect()}
+    assert "F3_EX2" in align and "F3_EX1" not in align
+
+    # re-drain: nothing new, no group movement
+    gv = group.current_version()
+    assert pipe.run_available_now(spark) == 0
+    assert group.current_version() == gv
+
+    # checkpoint-restart replay: wipe the checkpoint, re-drain — every
+    # epoch fence-skips at every layer, state unchanged
+    import shutil as _shutil
+
+    _shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    pipe2 = UniverseStreamPipeline(
+        universe, targets, ev_dir, str(tmp_path / "ckpt"), group=group,
+        max_files_per_trigger=1,
+    )
+    assert pipe2.run_available_now(spark) == 0
+    assert group.current_version() == gv
+    for name in ("file", "biosample"):
+        assert _rows(group.read(name)) == _rows(want[name]), name
