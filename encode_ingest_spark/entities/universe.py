@@ -345,7 +345,7 @@ def _experiments_all(snaps: dict[str, DataFrame]) -> DataFrame:
 # Per-tree dirty / build / restrict
 # ---------------------------------------------------------------------------
 def _simple_dirty(src: str, id_col: str):
-    def dirty(spark, ch, old, new):
+    def dirty(spark, ch, old, new, ctx=None):
         c = ch.get(src)
         return _minted(_keys(c), id_col) if c is not None else None
 
@@ -356,7 +356,7 @@ def _fk_dim_dirty(src: str, id_col: str, dims: dict[str, str]):
     """Driving-source changes + reverse-FK hops from changed dims:
     ``dims`` maps dim source name → the driving source's FK column."""
 
-    def dirty(spark, ch, old, new):
+    def dirty(spark, ch, old, new, ctx=None):
         frames = []
         c = ch.get(src)
         if c is not None:
@@ -381,7 +381,7 @@ def _driving_restrict(src: str, dims_full: tuple[str, ...] = ()):
 
 
 # -- antibody: targets linkage rides the antibodies.targets array -----------
-def _antibody_dirty(spark, ch, old, new):
+def _antibody_dirty(spark, ch, old, new, ctx=None):
     frames = []
     c = ch.get("antibodies")
     if c is not None:
@@ -402,7 +402,7 @@ def _antibody_dirty(spark, ch, old, new):
 
 
 # -- biosample: types FK + library biosample FK + genetic-mod arrays --------
-def _biosample_dirty(spark, ch, old, new):
+def _biosample_dirty(spark, ch, old, new, ctx=None):
     frames = []
     c = ch.get("biosamples")
     if c is not None:
@@ -447,15 +447,79 @@ def _library_biosample_keys(ch_lib: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _file_biosamples_frame(spark, snaps: dict[str, DataFrame]) -> DataFrame:
+    """The biosample → file INVERTED INDEX: one row per (file, origin
+    biosample), carrying the columns the library-change dirty paths
+    need (category, dataset) so they never re-scan the files table.
+    Maintained incrementally as the hidden ``_file_biosamples`` tree —
+    without it, every changed library costs a full files scan to find
+    the J14-linked files (r4 NOTES weakness #1)."""
+    f = snaps["files"]
+    pairs = (
+        f.select(
+            F.col("@id").alias("file_raw"),
+            F.col("output_category").alias("output_category"),
+            F.col("dataset").alias("dataset"),
+            F.explode_outer("origin_batches").alias("biosample"),
+        )
+        .where(F.col("biosample").isNotNull())
+        .dropDuplicates(["file_raw", "biosample"])
+    )
+    return pairs.select(
+        F.concat(
+            transform_id(F.col("file_raw")), F.lit("@"),
+            transform_id(F.col("biosample")),
+        ).alias("pair_id"),
+        "file_raw", "biosample", "output_category", "dataset",
+    )
+
+
+def _file_biosamples_dirty(spark, ch, old, new, ctx=None):
+    c = ch.get("files")
+    if c is None:
+        return None
+
+    def side(ob_col):
+        return (
+            c.select(
+                F.col("@id").alias("file_raw"),
+                F.explode_outer(ob_col).alias("_b"),
+            )
+            .where(F.col("_b").isNotNull())
+            .select(
+                F.concat(
+                    transform_id(F.col("file_raw")), F.lit("@"),
+                    transform_id(F.col("_b")),
+                ).alias("pair_id"),
+                F.col("file_raw").alias("_raw"),
+            )
+        )
+
+    return side(F.col("origin_batches")).unionByName(
+        side(F.col("_before.origin_batches"))
+    ).distinct()
+
+
 def _files_touching_biosamples(
     old: _SnapshotView, new: _SnapshotView, bios: DataFrame,
-    category: str | None,
+    category: str | None, ctx=None,
 ) -> DataFrame:
-    """File raw ids (both snapshot versions) whose origin_batches hit
-    any of the given biosample ids — explode + broadcast equi-join, NOT
-    an overlap cross-join."""
-    frames = []
+    """File raw ids whose origin_batches hit any of the given biosample
+    ids. Fast path: equi-join against the incrementally-maintained
+    ``_file_biosamples`` inverted index (refreshed earlier this epoch,
+    so it reflects CURRENT file state; files whose own links changed
+    this epoch are dirty via the direct file-change path anyway).
+    Fallback without the index: explode + broadcast equi-join over both
+    snapshot versions of the files table."""
+    idx: LakeTable | None = (ctx or {}).get("file_biosamples")
     bk = F.broadcast(bios.withColumnRenamed("_raw", "_k"))
+    if idx is not None:
+        df = idx.read()
+        hit = df.join(bk, df["biosample"] == F.col("_k"))
+        if category is not None:
+            hit = hit.filter(F.col("output_category") == category)
+        return hit.select(F.col("file_raw").alias("_raw")).distinct()
+    frames = []
     for snaps in (old, new):
         f = snaps["files"]
         if category is not None:
@@ -468,7 +532,7 @@ def _files_touching_biosamples(
     return _union_all(frames)
 
 
-def _file_dirty(spark, ch, old, new):
+def _file_dirty(spark, ch, old, new, ctx=None):
     frames = []
     c = ch.get("files")
     if c is not None:
@@ -477,7 +541,7 @@ def _file_dirty(spark, ch, old, new):
     if lc is not None:
         frames.append(
             _files_touching_biosamples(
-                old, new, _library_biosample_keys(lc), None
+                old, new, _library_biosample_keys(lc), None, ctx
             )
         )
     u = _union_all(frames)
@@ -516,7 +580,7 @@ def _composite_file_ids(ch: DataFrame, category: str, id_col: str,
 
 def _activity_file_dirty(category: str, id_col: str, dataset_optional: bool,
                          with_libraries: bool):
-    def dirty(spark, ch, old, new):
+    def dirty(spark, ch, old, new, ctx=None):
         frames = []
         c = ch.get("files")
         if c is not None:
@@ -527,14 +591,14 @@ def _activity_file_dirty(category: str, id_col: str, dataset_optional: bool,
             lc = ch.get("libraries")
             if lc is not None:
                 raw = _files_touching_biosamples(
-                    old, new, _library_biosample_keys(lc), category
+                    old, new, _library_biosample_keys(lc), category, ctx
                 )
                 if raw is not None:
                     # composite ids of the affected files, from BOTH
                     # snapshot versions (dataset may have changed)
                     sides = []
                     for snaps in (old, new):
-                        f = snaps["files"].filter(
+                        f = snaps.read_pruned("files", "@id", raw).filter(
                             F.col("output_category") == category
                         )
                         fid = transform_id(F.col("@id"))
@@ -542,7 +606,7 @@ def _activity_file_dirty(category: str, id_col: str, dataset_optional: bool,
                         if dataset_optional:
                             ds = F.coalesce(ds, F.lit(""))
                         sides.append(
-                            _semi_raw(f, raw).select(
+                            f.select(
                                 F.concat(fid, F.lit("_"), ds).alias(id_col),
                                 F.col("@id").alias("_raw"),
                             ).where(F.col(id_col).isNotNull())
@@ -555,7 +619,7 @@ def _activity_file_dirty(category: str, id_col: str, dataset_optional: bool,
 
 # -- experiment-keyed trees -------------------------------------------------
 def _experiment_dirty(with_files: bool, id_col: str):
-    def dirty(spark, ch, old, new):
+    def dirty(spark, ch, old, new, ctx=None):
         frames = []
         for src in ("experiments", "fc_experiments"):
             c = ch.get(src)
@@ -606,7 +670,7 @@ def _experiment_restrict(with_files: bool):
 
 
 # -- library-preparation (library-keyed, dirtied via replicates/experiments)
-def _libprep_dirty(spark, ch, old, new):
+def _libprep_dirty(spark, ch, old, new, ctx=None):
     frames = []
     c = ch.get("libraries")
     if c is not None:
@@ -642,7 +706,7 @@ def _libprep_restrict(snaps, dirty, ctx):
 
 
 # -- step / analysis family -------------------------------------------------
-def _dirty_runs(spark, ch, old, new, with_pipelines: bool) -> DataFrame | None:
+def _dirty_runs(spark, ch, old, new, with_pipelines: bool, ctx=None) -> DataFrame | None:
     """Raw step-run ids affected by changes anywhere in the step chain
     (runs, versions, steps, their generated files — and, for the
     analysis tree, pipelines via the steps.pipelines array)."""
@@ -687,7 +751,7 @@ def _dirty_runs(spark, ch, old, new, with_pipelines: bool) -> DataFrame | None:
     return _union_all(frames)
 
 
-def _step_dirty(spark, ch, old, new):
+def _step_dirty(spark, ch, old, new, ctx=None):
     u = _dirty_runs(spark, ch, old, new, with_pipelines=False)
     return None if u is None else _minted(u, "stepactivity_id")
 
@@ -740,7 +804,7 @@ def _run_pairs_frame(spark, snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _run_pairs_dirty(spark, ch, old, new):
+def _run_pairs_dirty(spark, ch, old, new, ctx=None):
     u = _dirty_runs(spark, ch, old, new, with_pipelines=True)
     return (
         None if u is None
@@ -749,7 +813,7 @@ def _run_pairs_dirty(spark, ch, old, new):
     )
 
 
-def _analysis_dirty(spark, ch, old, new):
+def _analysis_dirty(spark, ch, old, new, ctx=None):
     runs = _dirty_runs(spark, ch, old, new, with_pipelines=True)
     if runs is None:
         return None
@@ -903,7 +967,14 @@ _STEP_SOURCES = (
 )
 
 TREE_SPECS: dict[str, TreeSpec] = {
-    # the auxiliary index FIRST: analysis restriction reads it post-refresh
+    # auxiliary indexes FIRST (wave 1): downstream trees' dirty/restrict
+    # read them post-refresh
+    "_file_biosamples": TreeSpec(
+        "_file_biosamples", "pair_id", ("files",),
+        build=lambda spark, s: _file_biosamples_frame(spark, s),
+        dirty=_file_biosamples_dirty,
+        restrict=_file_restrict,
+    ),
     "_run_pairs": TreeSpec(
         "_run_pairs", "run_id", _STEP_SOURCES + ("pipelines",),
         build=lambda spark, s: _run_pairs_frame(spark, s),
@@ -913,7 +984,7 @@ TREE_SPECS: dict[str, TreeSpec] = {
     "dataset": TreeSpec(
         "dataset", "dataset_id", tuple(UNIVERSE_SCHEMAS),
         build=_b_dataset,
-        dirty=lambda spark, ch, old, new: None,  # overridden below
+        dirty=lambda spark, ch, old, new, ctx=None: None,  # see _dirty_for
     ),
     "donor": TreeSpec(
         "donor", "donor_id", ("donors", "organisms"),
@@ -1036,7 +1107,7 @@ def create_entity_targets(
     return out
 
 
-def _dirty_for(spec: TreeSpec, spark, ch, old, new) -> DataFrame | None:
+def _dirty_for(spec: TreeSpec, spark, ch, old, new, ctx=None) -> DataFrame | None:
     if spec.name == "dataset":
         # static singleton: reassert whenever any source changed
         if not ch:
@@ -1044,7 +1115,7 @@ def _dirty_for(spec: TreeSpec, spark, ch, old, new) -> DataFrame | None:
         return dataset_row(spark).select(
             "dataset_id", F.col("dataset_id").alias("_raw")
         )
-    return spec.dirty(spark, ch, old, new)
+    return spec.dirty(spark, ch, old, new, ctx)
 
 
 def refresh_entity_universe(
@@ -1115,7 +1186,7 @@ def _refresh_one_tree(
     wm = target.current_manifest().watermarks.get(REFRESH_SOURCE_ID, {})
     if int(wm.get("batch_id", -1)) >= int(batch_id):
         return None
-    dirty = _dirty_for(spec, spark, ch, old, new)
+    dirty = _dirty_for(spec, spark, ch, old, new, ctx)
     if dirty is None:
         return None
     # the dirty frame is consumed 3x (restrict collect, the upsert
@@ -1154,8 +1225,18 @@ def _refresh_trees(
         old = _SnapshotView(universe, {n: from_versions.get(n, 0)
                                        for n in universe})
         new = _SnapshotView(universe, to_versions)
+        # index tables are only handed to dirty/restrict when THIS run
+        # refreshes them (wave 1) — a specs subset that omits an index
+        # must fall back to the scan paths, or a stale index could feed
+        # an incomplete dirty set into a fencing merge
         ctx = {
-            "run_pairs": targets.get("_run_pairs"),
+            "run_pairs": (
+                targets.get("_run_pairs") if "_run_pairs" in specs else None
+            ),
+            "file_biosamples": (
+                targets.get("_file_biosamples")
+                if "_file_biosamples" in specs else None
+            ),
             "universe": universe,
             "to_versions": to_versions,
         }
