@@ -181,25 +181,12 @@ class _SnapshotView:
     def read_pruned(self, name: str, col: str, keys_df: DataFrame) -> DataFrame:
         """This view's snapshot of ``name`` restricted to rows whose
         ``col`` is in the (small) raw-id set — pushed into the scan
-        like ``_restrict_scan`` (isin + key-column file pruning), at
-        this view's pinned version."""
-        vals = [
-            r[0]
-            for r in keys_df.select("_raw").distinct()
-            .limit(RESTRICT_PUSHDOWN_CAP + 1).collect()
-        ]
-        if len(vals) <= RESTRICT_PUSHDOWN_CAP:
-            t = self._u[name]
-            non_null = [v for v in vals if v is not None]
-            fvr = (
-                {col: non_null}
-                if col in t.current_manifest().key_cols and non_null
-                else None
-            )
-            return t.read(
-                version=self._v.get(name), file_value_ranges=fvr
-            ).filter(F.col(col).isin(non_null))
-        return _semi_raw(self[name], keys_df, col)
+        (isin + key-column file pruning), at this view's pinned
+        version. Shares ``_pruned_read`` with ``_restrict_scan``."""
+        return _pruned_read(
+            self._u[name], self._v.get(name), col, keys_df,
+            lambda: self[name],
+        )
 
 
 @dataclass(frozen=True)
@@ -295,6 +282,32 @@ def _semi_raw(df: DataFrame, dirty: DataFrame, col: str = "@id") -> DataFrame:
 RESTRICT_PUSHDOWN_CAP = 10_000
 
 
+def _pruned_read(table: LakeTable, version, col: str, keys_df: DataFrame,
+                 fallback) -> DataFrame:
+    """THE pushdown implementation both ``_restrict_scan`` and
+    ``_SnapshotView.read_pruned`` share: collect the (micro-batch-
+    sized) raw-id set, push it into the table scan as an ``isin``
+    predicate (parquet row-group/dict pruning) plus manifest-level
+    file pruning when ``col`` is a key column; over-cap sets fall back
+    to a broadcast semi-join against ``fallback()``'s DataFrame."""
+    vals = [
+        r[0]
+        for r in keys_df.select("_raw").distinct()
+        .limit(RESTRICT_PUSHDOWN_CAP + 1).collect()
+    ]
+    if len(vals) <= RESTRICT_PUSHDOWN_CAP:
+        non_null = [v for v in vals if v is not None]
+        fvr = (
+            {col: non_null}
+            if col in table.current_manifest().key_cols and non_null
+            else None
+        )
+        return table.read(version=version, file_value_ranges=fvr).filter(
+            F.col(col).isin(non_null)
+        )
+    return _semi_raw(fallback(), keys_df, col)
+
+
 def _restrict_scan(
     ctx: dict[str, Any] | None,
     snaps: dict[str, DataFrame],
@@ -313,23 +326,10 @@ def _restrict_scan(
     inputs) fall back to the broadcast semi-join."""
     uni = (ctx or {}).get("universe")
     if uni is not None and src in uni:
-        vals = [
-            r[0]
-            for r in dirty.select("_raw").distinct()
-            .limit(RESTRICT_PUSHDOWN_CAP + 1).collect()
-        ]
-        if len(vals) <= RESTRICT_PUSHDOWN_CAP:
-            non_null = [v for v in vals if v is not None]
-            t: LakeTable = uni[src]
-            version = (ctx or {}).get("to_versions", {}).get(src)
-            fvr = (
-                {col: non_null}
-                if col in t.current_manifest().key_cols and non_null
-                else None
-            )
-            return t.read(version=version, file_value_ranges=fvr).filter(
-                F.col(col).isin(non_null)
-            )
+        version = (ctx or {}).get("to_versions", {}).get(src)
+        return _pruned_read(
+            uni[src], version, col, dirty, lambda: snaps[src]
+        )
     return _semi_raw(snaps[src], dirty, col)
 
 
@@ -371,7 +371,7 @@ def _fk_dim_dirty(src: str, id_col: str, dims: dict[str, str]):
     return dirty
 
 
-def _driving_restrict(src: str, dims_full: tuple[str, ...] = ()):
+def _driving_restrict(src: str):
     def restrict(snaps, dirty, ctx):
         out = dict(snaps)
         out[src] = _restrict_scan(ctx, snaps, src, "@id", dirty)
@@ -414,8 +414,10 @@ def _biosample_dirty(spark, ch, old, new, ctx=None):
         )
     lc = ch.get("libraries")
     if lc is not None:
+        # only the SCALAR biosample FK reaches the biosample build
+        # (grouped_libraries groups on it); mixed_biosamples feeds the
+        # FILE tree's library linkage, never a biosample row
         frames.append(_pre_post(lc, "biosample"))
-        frames.append(_pre_post_array(lc, "mixed_biosamples"))
     gc = ch.get("genetic_modifications")
     if gc is not None:
         frames.append(_pre_post_array(gc, "biosamples_modified"))
@@ -817,6 +819,9 @@ def _analysis_dirty(spark, ch, old, new, ctx=None):
     runs = _dirty_runs(spark, ch, old, new, with_pipelines=True)
     if runs is None:
         return None
+    # the runs frame feeds four pruned reads (old/new x files/runs) —
+    # materialize its change-set-sized result once
+    runs = runs.localCheckpoint(eager=True)
     sides = []
     for view in (old, new):
         # restrict to the dirty runs' WHOLE groups before resolving
@@ -1141,6 +1146,13 @@ def refresh_entity_universe(
     import uuid as _uuid
 
     specs = specs or TREE_SPECS
+    # replay fast path: the group commit is the LAST step of an epoch,
+    # so a group fence covering this batch proves every tree already
+    # landed — skip the changelog staging (the dominant epoch cost)
+    # entirely. One JSON read, no Spark job. Without a group, the
+    # per-target fences below still dedup; only the staging is paid.
+    if group is not None and group.last_batch(REFRESH_SOURCE_ID) >= int(batch_id):
+        return {}
     to_versions = {n: t.current_version() for n, t in universe.items()}
     # Every tree re-consumes the changed sources' changelogs (dirty
     # derivation + envelope joins), so stage each ONE as parquet

@@ -1422,11 +1422,19 @@ def ensure_flagship_staged(spark=None) -> str:
         from pyspark.sql import SparkSession
 
         s = spark or SparkSession.getActiveSession()
-        if s is None:
+        created = s is None
+        if created:
             from .session import get_spark
 
             s = get_spark("stage-flagship", cores=2)
-        staged_repo_events(s)
+        try:
+            staged_repo_events(s)
+        finally:
+            if created:
+                # a session WE created must not linger: getOrCreate
+                # would silently pin every later builder in this
+                # process to its 2-core / 2-shuffle-partition config
+                s.stop()
     return _FLAGSHIP_EVENTS
 
 
