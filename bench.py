@@ -584,7 +584,10 @@ def main() -> None:
                     help="endurance soak: MOR stream + derived group + maintain")
     ap.add_argument("--universe", action="store_true",
                     help="entity-universe epoch: incremental vs full recompute")
+    ap.add_argument("--universe-soak", action="store_true",
+                    help="entity-universe endurance: N epochs + maintain")
     ap.add_argument("--universe-exp", type=int, default=2000)
+    ap.add_argument("--universe-epochs", type=int, default=12)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
@@ -593,6 +596,11 @@ def main() -> None:
 
     if args.soak:
         print(json.dumps(run_soak(args.sf_dir, min(args.cores, 16))))
+        return
+    if args.universe_soak:
+        print(json.dumps(run_universe_soak(
+            args.sf_dir, args.cores, n_exp=args.universe_exp,
+            epochs=args.universe_epochs)))
         return
     if args.universe:
         print(json.dumps(run_universe_bench(
@@ -683,8 +691,8 @@ def _synth_universe_batches(spark, n_exp: int, epoch: int,
         out = align_to_schema(df, target)
         return out.withColumn("op", F.lit("upsert")).withColumn(
             "event_seq",
-            (F.lit(epoch) * F.lit(10**9)
-             + F.abs(F.xxhash64("@id")) % F.lit(10**9)).cast("long"),
+            F.lit(int(epoch)).cast("long") * F.lit(10**9).cast("long")
+            + F.abs(F.xxhash64("@id")) % F.lit(10**9).cast("long"),
         )
 
     def sid(prefix, col):
@@ -806,6 +814,100 @@ def _synth_universe_batches(spark, n_exp: int, epoch: int,
         sid("/libraries/LB", i * 2).alias("library"),
     )
     return {"files": fin("files", files2), "replicates": fin("replicates", reps2)}
+
+
+def run_universe_soak(sf_dir: str, cpus: int, n_exp: int = 2000,
+                      epochs: int = 12) -> dict:
+    """Endurance soak for the entity-universe layer: many consecutive
+    change-driven epochs (rotating dirty slices) with periodic
+    maintain() over every raw and derived table. Asserts — and
+    reports — final incremental state == transform_all full recompute,
+    bounded files/bucket across the whole fleet of tables, and flat
+    epoch latency."""
+    import time as _time
+
+    from encode_ingest_spark.entities import transform_all
+    from encode_ingest_spark.entities.universe import (
+        create_entity_targets,
+        create_universe,
+        refresh_entity_universe,
+    )
+    from encode_ingest_spark.lake import TableGroup, merge_into
+    from encode_ingest_spark.session import get_spark
+
+    spark = get_spark("bench-universe-soak", cores=cpus)
+    root = tempfile.mkdtemp(prefix="uni_soak_")
+    try:
+        universe = create_universe(spark, root + "/raw", num_buckets=4)
+        targets = create_entity_targets(spark, root + "/out", num_buckets=4)
+        group = TableGroup.create(
+            spark, root + "/grp",
+            {n: t for n, t in targets.items() if not n.startswith("_")},
+        )
+        seed = _synth_universe_batches(spark, n_exp, epoch=1)
+        for name, df in seed.items():
+            merge_into(universe[name], df, source_id="soak", batch_id=1)
+        fv = {n: 0 for n in universe}
+        refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                                group=group)
+        fv = {n: t.current_version() for n, t in universe.items()}
+
+        epoch_secs = []
+        for e in range(2, epochs + 2):
+            # rotate the dirty slice so every epoch touches a different
+            # 16-experiment window (updates) + a couple of FK moves
+            ep = _synth_universe_batches(
+                spark, n_exp, epoch=e,
+                dirty_exp=16 + (e % 3), moved_reps=2,
+            )
+            for name, df in ep.items():
+                merge_into(universe[name], df, source_id="soak", batch_id=e)
+            t0 = _time.perf_counter()
+            refresh_entity_universe(spark, universe, targets, fv,
+                                    batch_id=e, group=group)
+            epoch_secs.append(round(_time.perf_counter() - t0, 2))
+            fv = {n: t.current_version() for n, t in universe.items()}
+            if e % 4 == 0:
+                for t in list(universe.values()) + list(targets.values()):
+                    t.maintain(keep_snapshots=3)
+                group.expire_snapshots(keep_last=4)
+
+        # invariants
+        out = transform_all(spark, {n: t.read() for n, t in universe.items()})
+        mismatched = []
+        for name, want in out.items():
+            got = group.read(name)
+            cols = sorted(got.columns)
+            a = sorted(tuple(str(v) for v in r)
+                       for r in got.select(*cols).collect())
+            b = sorted(tuple(str(v) for v in r)
+                       for r in want.select(*cols).collect())
+            if a != b:
+                mismatched.append(name)
+        max_fpb = 0
+        for t in list(universe.values()) + list(targets.values()):
+            per = {}
+            for f in t.current_manifest().files:
+                per[f.bucket] = per.get(f.bucket, 0) + 1
+            if per:
+                max_fpb = max(max_fpb, max(per.values()))
+        return {
+            "metric": "entity-universe endurance soak (%d epochs + maintain)"
+                      % epochs,
+            "value": round(sum(epoch_secs) / len(epoch_secs), 2),
+            "unit": "sec/epoch (mean)",
+            "sf": sf_dir,
+            "cpus": cpus,
+            "n_experiments": n_exp,
+            "epochs": epochs,
+            "epoch_secs": epoch_secs,
+            "mismatched_tables": mismatched,
+            "max_files_per_bucket": max_fpb,
+            "group_version": group.current_version(),
+            "group_history_len": len(group.history()),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,

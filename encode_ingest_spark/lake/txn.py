@@ -291,12 +291,19 @@ class TableGroup:
         self._gc_member_pins(tables, keep_from=nv - keep_pinned + 1)
         return nm
 
+    @property
+    def _history_archive_path(self) -> str:
+        return os.path.join(self._meta_dir, "history.archive.jsonl")
+
     def expire_snapshots(self, keep_last: int | None = None) -> int:
         """Delete group manifests older than the last ``keep_last``
         (default: the ``retention.keep_pinned`` window) and GC the
         member pins of the expired group versions. Group time travel to
         expired versions stops working — same contract as the member
-        tables' expire_snapshots."""
+        tables' expire_snapshots — but each expired version's vector +
+        watermarks are folded into an append-only history archive first
+        (fsync-before-delete, deduped by version), so the cross-table
+        commit history outlives retention like member lineage does."""
         if keep_last is None:
             keep_last = self.keep_pinned()
         keep_last = max(1, int(keep_last))
@@ -308,6 +315,33 @@ class TableGroup:
         if len(versions) <= keep_last:
             return 0
         keep = versions[-keep_last:]
+        already: set[int] = set()
+        if os.path.exists(self._history_archive_path):
+            with open(self._history_archive_path) as fh:
+                for line in fh:
+                    try:
+                        already.add(int(json.loads(line)["version"]))
+                    except (ValueError, KeyError):
+                        continue
+        records = []
+        for v in versions:
+            if v in keep or v in already:
+                continue
+            m = self.manifest_at(v)
+            records.append(
+                {
+                    "version": v,
+                    "tables": {n: e["version"] for n, e in m["tables"].items()},
+                    "watermarks": m.get("watermarks", {}),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        if records:
+            with open(self._history_archive_path, "a") as fh:
+                for rec in records:
+                    fh.write(json.dumps(rec) + "\n")
+                fh.flush()
+                os.fsync(fh.fileno())
         self._gc_member_pins(self.current_manifest()["tables"], keep[0])
         removed = 0
         for v in versions:
@@ -315,6 +349,29 @@ class TableGroup:
                 os.remove(self._manifest_path(v))
                 removed += 1
         return removed
+
+    def history(self) -> list[dict[str, Any]]:
+        """The group's full commit history: archived (expired) versions
+        plus the live manifests — (version, member-version vector,
+        watermarks, committed_at), ordered by version."""
+        out: dict[int, dict[str, Any]] = {}
+        if os.path.exists(self._history_archive_path):
+            with open(self._history_archive_path) as fh:
+                for line in fh:
+                    if line.strip():
+                        rec = json.loads(line)
+                        out[int(rec["version"])] = rec
+        for fn in os.listdir(self._meta_dir):
+            if fn.endswith(".manifest.json"):
+                v = int(fn[1:].split(".")[0])
+                m = self.manifest_at(v)
+                out[v] = {
+                    "version": v,
+                    "tables": {n: e["version"] for n, e in m["tables"].items()},
+                    "watermarks": m.get("watermarks", {}),
+                    "committed_at": m.get("committed_at"),
+                }
+        return [out[v] for v in sorted(out)]
 
     @staticmethod
     def version_for_batch(

@@ -367,3 +367,26 @@ def test_group_commit_conflict_heals_winner_pins(spark, tmp_path):
     for n, t in targets.items():
         assert t.pinned_versions() == winner_pins[n], n
     assert stale == targets["file"].current_version()
+
+
+def test_group_history_survives_expiry(spark, tmp_path):
+    """Group commit history (vector + watermarks per version) outlives
+    group snapshot retention via the append-only history archive —
+    double expiry does not duplicate records."""
+    source, targets, group = _setup(spark, tmp_path)
+    for i in range(1, 4):
+        merge_into(
+            source,
+            repo_file_events(spark, n_keys=30, events_per_key=1, seed=80 + i),
+            batch_id=i,
+        )
+        group.commit({"file": targets["file"].current_version()},
+                     source_id="h", batch_id=i)
+    removed = group.expire_snapshots(keep_last=1)
+    assert removed == 3  # g0..g2 expired
+    hist = group.history()
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert hist[2]["watermarks"]["h"]["batch_id"] == 2
+    # idempotent: re-expiry adds nothing
+    group.expire_snapshots(keep_last=1)
+    assert len(group.history()) == 4
