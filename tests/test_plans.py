@@ -136,3 +136,75 @@ def test_dirty_group_isin_filter_is_pushed_to_scan(spark, tmp_path):
                batch_id=1)
     df = t.read().filter(F.col("repo").isin(["org0/repo0", "org1/repo1"]))
     assert_pushed_filters(df, ["repo"])
+
+
+def test_universe_restrict_scan_pushes_ids_and_prunes_files(spark, tmp_path):
+    """The entity-universe restriction path's plan properties: the
+    dirty-id isin predicate reaches the parquet reader (PushedFilters),
+    and the @id key-column file pruning shrinks the scanned file set
+    (universe tables cluster on @id)."""
+    from encode_ingest_spark.entities.universe import (
+        _pruned_read,
+        create_universe,
+    )
+    from encode_ingest_spark.lake import merge_into
+
+    universe = create_universe(spark, str(tmp_path / "u"), num_buckets=2)
+    t = universe["donors"]
+    # two batches with disjoint, sorted id ranges -> per-file tight
+    # @id col_stats (batch 2 appends winner files beside survivors)
+    rows_a = [{"@id": f"/human-donors/A{i:03d}/",
+               "organism": "/organisms/human/"} for i in range(40)]
+    rows_z = [{"@id": f"/human-donors/Z{i:03d}/",
+               "organism": "/organisms/human/"} for i in range(40)]
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.entities.universe import UNIVERSE_SCHEMAS
+
+    sch = T._parse_datatype_string(UNIVERSE_SCHEMAS["donors"])
+
+    def batch(rows, seq0):
+        return (spark.createDataFrame(rows, sch)
+                .withColumn("op", F.lit("insert"))
+                .withColumn("event_seq", F.lit(seq0)))
+
+    merge_into(t, batch(rows_a, 1), batch_id=1)
+    merge_into(t, batch(rows_z, 2), batch_id=2, stage_batch=True,
+               merge_strategy="broadcast")
+
+    dirty = spark.createDataFrame(
+        [("/human-donors/Z001/",), ("/human-donors/Z002/",)],
+        "_raw string",
+    )
+    df = _pruned_read(t, None, "@id", dirty, lambda: t.read())
+    # isin reached the parquet reader
+    assert_pushed_filters(df, ["@id"])
+    # @id file pruning: only the Z-range files are opened
+    assert 0 < len(df.inputFiles()) < len(t.read().inputFiles())
+    assert {r["@id"] for r in df.collect()} == {
+        "/human-donors/Z001/", "/human-donors/Z002/"
+    }
+
+
+def test_universe_build_dims_stay_broadcast(spark):
+    """The universe builds keep tiny ontology dims on the broadcast
+    side (no shuffle for the J1/J5 dim joins) — the plan property the
+    restrict design relies on (restricted driving side streams, dims
+    broadcast in full)."""
+    from pyspark.sql import types as T
+
+    from encode_ingest_spark.entities.universe import (
+        TREE_SPECS,
+        UNIVERSE_SCHEMAS,
+    )
+
+    empty = {
+        name: spark.createDataFrame([], T._parse_datatype_string(ddl))
+        for name, ddl in UNIVERSE_SCHEMAS.items()
+    }
+    from encode_ingest_spark.plans import plan_string
+
+    df = TREE_SPECS["referencefileset"].build(spark, empty)
+    plan = plan_string(df, "formatted")
+    assert "BroadcastExchange" in plan  # the organisms dim
+    assert "CartesianProduct" not in plan
