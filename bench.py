@@ -830,9 +830,10 @@ def run_universe_soak(sf_dir: str, cpus: int, n_exp: int = 2000,
     from encode_ingest_spark.entities.universe import (
         create_entity_targets,
         create_universe,
+        merge_universe_batches,
         refresh_entity_universe,
     )
-    from encode_ingest_spark.lake import TableGroup, merge_into
+    from encode_ingest_spark.lake import TableGroup
     from encode_ingest_spark.session import get_spark
 
     spark = get_spark("bench-universe-soak", cores=cpus)
@@ -845,8 +846,7 @@ def run_universe_soak(sf_dir: str, cpus: int, n_exp: int = 2000,
             {n: t for n, t in targets.items() if not n.startswith("_")},
         )
         seed = _synth_universe_batches(spark, n_exp, epoch=1)
-        for name, df in seed.items():
-            merge_into(universe[name], df, source_id="soak", batch_id=1)
+        merge_universe_batches(universe, seed, source_id="soak", batch_id=1)
         fv = {n: 0 for n in universe}
         refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
                                 group=group)
@@ -860,8 +860,8 @@ def run_universe_soak(sf_dir: str, cpus: int, n_exp: int = 2000,
                 spark, n_exp, epoch=e,
                 dirty_exp=16 + (e % 3), moved_reps=2,
             )
-            for name, df in ep.items():
-                merge_into(universe[name], df, source_id="soak", batch_id=e)
+            merge_universe_batches(universe, ep, source_id="soak",
+                                   batch_id=e)
             t0 = _time.perf_counter()
             refresh_entity_universe(spark, universe, targets, fv,
                                     batch_id=e, group=group)
@@ -920,9 +920,10 @@ def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
     from encode_ingest_spark.entities.universe import (
         create_entity_targets,
         create_universe,
+        merge_universe_batches,
         refresh_entity_universe,
     )
-    from encode_ingest_spark.lake import TableGroup, merge_into
+    from encode_ingest_spark.lake import TableGroup
     from encode_ingest_spark.session import get_spark
 
     spark = get_spark("bench-universe", cores=cpus)
@@ -935,8 +936,7 @@ def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
             {n: t for n, t in targets.items() if not n.startswith("_")},
         )
         seed = _synth_universe_batches(spark, n_exp, epoch=1)
-        for name, df in seed.items():
-            merge_into(universe[name], df, source_id="bench", batch_id=1)
+        merge_universe_batches(universe, seed, source_id="bench", batch_id=1)
         fv = {n: 0 for n in universe}
         t0 = time.perf_counter()
         refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
@@ -946,8 +946,7 @@ def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
 
         ep2 = _synth_universe_batches(spark, n_exp, epoch=2,
                                       dirty_exp=dirty_exp, moved_reps=8)
-        for name, df in ep2.items():
-            merge_into(universe[name], df, source_id="bench", batch_id=2)
+        merge_universe_batches(universe, ep2, source_id="bench", batch_id=2)
         t0 = time.perf_counter()
         refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
                                 group=group)

@@ -1123,6 +1123,37 @@ def _dirty_for(spec: TreeSpec, spark, ch, old, new, ctx=None) -> DataFrame | Non
     return spec.dirty(spark, ch, old, new, ctx)
 
 
+def merge_universe_batches(
+    universe: dict[str, LakeTable],
+    batches: dict[str, DataFrame],
+    source_id: str = "universe",
+    batch_id: int = 1,
+    parallelism: int = 6,
+) -> dict[str, MergeResult]:
+    """Merge per-entity CDC batches into their raw tables CONCURRENTLY —
+    each entity targets its own table (independent commits), so the
+    18-stream fan-in threads instead of serializing 18 merge jobs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item):
+        name, df = item
+        return name, merge_into(
+            universe[name], df, source_id=source_id, batch_id=batch_id
+        )
+
+    items = [(n, df) for n, df in batches.items() if n in universe]
+    out: dict[str, MergeResult] = {}
+    if parallelism > 1 and len(items) > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            for name, r in ex.map(one, items):
+                out[name] = r
+    else:
+        for item in items:
+            name, r = one(item)
+            out[name] = r
+    return out
+
+
 def refresh_entity_universe(
     spark: SparkSession,
     universe: dict[str, LakeTable],

@@ -396,6 +396,8 @@ class UniverseStreamPipeline:
         self.epochs_merged = 0
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..entities.universe import (
             UNIVERSE_SCHEMAS,
             refresh_entity_universe,
@@ -406,40 +408,57 @@ class UniverseStreamPipeline:
         from_versions = {
             n: t.current_version() for n, t in self.universe.items()
         }
-        present = sorted(
-            r[0] for r in batch.select("entity").distinct().collect()
-        )
-        any_merged = False
-        for name in present:
-            t = self.universe.get(name)
-            if t is None:
-                continue
-            schema = T._parse_datatype_string(UNIVERSE_SCHEMAS[name])
-            rows = (
-                batch.filter(F.col("entity") == name)
-                .select(
-                    F.from_json("payload", schema).alias("_p"),
-                    "op",
-                    "event_seq",
+        # the micro-batch is consumed once per present entity — cache it
+        # so the per-entity splits don't re-read the source files
+        batch = batch.persist()
+        try:
+            present = sorted(
+                r[0] for r in batch.select("entity").distinct().collect()
+            )
+
+            def merge_one(name):
+                t = self.universe.get(name)
+                if t is None:
+                    return name, None
+                schema = T._parse_datatype_string(UNIVERSE_SCHEMAS[name])
+                rows = (
+                    batch.filter(F.col("entity") == name)
+                    .select(
+                        F.from_json("payload", schema).alias("_p"),
+                        "op",
+                        "event_seq",
+                    )
+                    .select("_p.*", "op", "event_seq")
                 )
-                .select("_p.*", "op", "event_seq")
+                return name, merge_into(
+                    t, rows, source_id=self.source_id, batch_id=bid
+                )
+
+            # each entity merges into ITS OWN table — independent
+            # commits, so they thread (the 18-stream fan-in would
+            # otherwise serialize 18 small merge jobs per micro-batch)
+            any_merged = False
+            with ThreadPoolExecutor(max_workers=6) as ex:
+                for name, res in ex.map(merge_one, present):
+                    if res is None:
+                        continue
+                    if res.skipped:
+                        # replayed epoch: recover the PRE-batch snapshot
+                        # so the derived refresh re-derives the same
+                        # change set (its own per-target fences dedup a
+                        # refresh that DID run)
+                        t = self.universe[name]
+                        span = t.lineage_span_for(self.source_id, bid)
+                        if span is not None and span[0] is not None:
+                            from_versions[name] = span[0]
+                    else:
+                        any_merged = True
+            refresh_entity_universe(
+                spark, self.universe, self.targets, from_versions,
+                batch_id=bid, group=self.group,
             )
-            res = merge_into(
-                t, rows, source_id=self.source_id, batch_id=bid
-            )
-            if res.skipped:
-                # replayed epoch: recover the PRE-batch snapshot so the
-                # derived refresh re-derives the same change set (its
-                # own per-target fences dedup a refresh that DID run)
-                span = t.lineage_span_for(self.source_id, bid)
-                if span is not None and span[0] is not None:
-                    from_versions[name] = span[0]
-            else:
-                any_merged = True
-        refresh_entity_universe(
-            spark, self.universe, self.targets, from_versions,
-            batch_id=bid, group=self.group,
-        )
+        finally:
+            batch.unpersist()
         if any_merged:
             self.epochs_merged += 1
 
