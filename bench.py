@@ -427,6 +427,21 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     chlog = bench_changelog_pruning(spark, sf_dir)
     stream = bench_streaming_e2e(spark, sf_dir)
 
+    # entity-universe maintenance probe (the round-4 layer): one
+    # change-driven epoch vs the reference-shaped full recompute over
+    # the 13-mapper DAG, at a corpus size past the fixed-cost crossover
+    # (BASELINE.md round-4 table has the 1k/8k/24k curve). Opt out with
+    # SPARK_GRAFT_SKIP_UNIVERSE=1 if the harness needs the short bench.
+    uni: dict = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_UNIVERSE"):
+        u = run_universe_bench(sf_dir, cpus, n_exp=8000, spark=spark)
+        uni = {
+            "universe_n_experiments": u["n_experiments"],
+            "universe_epoch_sec": u["incremental_epoch_sec"],
+            "universe_full_recompute_sec": u["full_recompute_sec"],
+            "universe_speedup_vs_full": u["speedup_vs_full"],
+        }
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline query wall time (sum) at sf on local[%d]" % cpus,
@@ -441,6 +456,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         **narrow,
         **chlog,
         **stream,
+        **uni,
     }
 
 
@@ -911,7 +927,7 @@ def run_universe_soak(sf_dir: str, cpus: int, n_exp: int = 2000,
 
 
 def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
-                       dirty_exp: int = 32) -> dict:
+                       dirty_exp: int = 32, spark=None) -> dict:
     """One change-driven epoch over the full 13-mapper entity DAG vs the
     reference's full-recompute shape (transform_all over the current
     snapshots, COMPUTE ONLY — the incremental side additionally pays all
@@ -926,7 +942,8 @@ def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
     from encode_ingest_spark.lake import TableGroup
     from encode_ingest_spark.session import get_spark
 
-    spark = get_spark("bench-universe", cores=cpus)
+    if spark is None:
+        spark = get_spark("bench-universe", cores=cpus)
     root = tempfile.mkdtemp(prefix="uni_bench_")
     try:
         universe = create_universe(spark, root + "/raw", num_buckets=4)
