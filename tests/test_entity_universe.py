@@ -549,3 +549,50 @@ def test_universe_stream_pipeline_end_to_end(spark, tmp_path):
     assert group.current_version() == gv
     for name in ("file", "biosample"):
         assert _rows(group.read(name)) == _rows(want[name]), name
+
+
+def test_universe_refresh_survives_schema_evolution(spark, tmp_path):
+    """A raw source gaining a column mid-stream (merge-time
+    auto-evolution) must flow through the changelog and the tree
+    refresh untouched: the epoch commits, derived state still equals
+    the full recompute, and the new column is readable."""
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    seed = {
+        "organisms": SEED_EPOCH_1["organisms"][:1],
+        "donors": SEED_EPOCH_1["donors"][:2],
+    }
+    fv = {n: 0 for n in universe}
+    for name, rows in seed.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group)
+    fv = {n: t.current_version() for n, t in universe.items()}
+
+    # epoch 2: donor rows arrive WITH A NEW COLUMN (internal_tags) —
+    # merge-time schema evolution on the raw table
+    evolved = spark.createDataFrame(
+        [{"@id": "/human-donors/D1/", "organism": "/organisms/human/",
+          "date_created": "2020-01-01T00:00:00+00:00", "age": "33",
+          "age_units": "year", "internal_tags": ["revised"]}],
+        T._parse_datatype_string(
+            UNIVERSE_SCHEMAS["donors"] + ", internal_tags array<string>"
+        ),
+    ).withColumn("op", F.lit("upsert")).withColumn("event_seq", F.lit(2001))
+    merge_into(universe["donors"], evolved, source_id="raw_cdc", batch_id=2001)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group)
+
+    inputs = {n: t.read() for n, t in universe.items()}
+    want = transform_all(spark, inputs)
+    assert _rows(group.read("donor")) == _rows(want["donor"])
+    got = {r.donor_id: r.age_lower_bound
+           for r in group.read("donor").collect()}
+    assert got["D1"] == 33.0  # the evolved-epoch update landed
+    # the raw table really evolved and stays readable
+    assert "internal_tags" in universe["donors"].read().columns
