@@ -161,19 +161,25 @@ class _SnapshotView:
     """Lazy, memoized per-version snapshot reader over the universe."""
 
     def __init__(self, universe: dict[str, LakeTable], versions: dict[str, int]):
+        import threading
+
         self._u = universe
         self._v = versions
         self._memo: dict[str, DataFrame] = {}
+        # one view is shared by every wave-2 refresh thread — guard the
+        # memo (building a read() plan is cheap, so the lock is fine)
+        self._lock = threading.Lock()
 
     def __contains__(self, name: str) -> bool:
         return name in self._u
 
     def __getitem__(self, name: str) -> DataFrame:
-        if name not in self._memo:
-            self._memo[name] = self._u[name].read(
-                version=self._v.get(name, self._u[name].current_version())
-            )
-        return self._memo[name]
+        with self._lock:
+            if name not in self._memo:
+                self._memo[name] = self._u[name].read(
+                    version=self._v.get(name, self._u[name].current_version())
+                )
+            return self._memo[name]
 
     def get(self, name: str, default=None):
         return self[name] if name in self._u else default
@@ -642,7 +648,23 @@ def _experiment_dirty(with_files: bool, id_col: str):
         if with_files:
             fc = ch.get("files")
             if fc is not None:
-                frames.append(_pre_post(fc, "dataset"))
+                # only datasets that ARE experiments (at either snapshot)
+                # mint ids here: a changed file pointing at a
+                # non-experiment dataset would otherwise emit a delete op
+                # for a key that never existed, accumulating junk
+                # tombstone rows in the experiment-keyed targets over a
+                # long stream. Change-set-sized → checkpoint once, then
+                # membership-check via the pruned-scan pushdown.
+                ds = _pre_post(fc, "dataset").localCheckpoint(eager=True)
+                sides = []
+                for view in (old, new):
+                    for src in ("experiments", "fc_experiments"):
+                        if src in view:
+                            sides.append(
+                                view.read_pruned(src, "@id", ds)
+                                .select(F.col("@id").alias("_raw"))
+                            )
+                frames.append(_union_all(sides))
         u = _union_all(frames)
         return None if u is None else _minted(u, id_col)
 

@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -319,6 +320,12 @@ class LakeTable:
         #: resolution depth stays ≤ MANIFEST_CHECKPOINT_EVERY from disk
         #: regardless of what is cached.
         self._manifest_cache: dict[int, Manifest] = {}
+        #: guards _manifest_cache lookup + delta-resolve + LRU insert:
+        #: the threaded refresh pools (universe wave-2, the streaming
+        #: fan-in, merge_universe_batches) read the SAME table objects
+        #: from 6 threads, and an unguarded eviction race can drop a
+        #: parent mid delta-resolution (RLock: manifest_at recurses)
+        self._cache_lock = threading.RLock()
 
     _MANIFEST_CACHE_MAX = 128
 
@@ -327,11 +334,12 @@ class LakeTable:
         version order — must decide eviction, because the ascending
         maintenance walks (expire, orphan scan) depend on each step's
         PARENT being the most recently touched entry."""
-        cache = self._manifest_cache
-        cache.pop(m.version, None)
-        cache[m.version] = m
-        while len(cache) > self._MANIFEST_CACHE_MAX:
-            del cache[next(iter(cache))]
+        with self._cache_lock:
+            cache = self._manifest_cache
+            cache.pop(m.version, None)
+            cache[m.version] = m
+            while len(cache) > self._MANIFEST_CACHE_MAX:
+                del cache[next(iter(cache))]
 
     # ---------- paths ----------
     @property
@@ -416,7 +424,15 @@ class LakeTable:
         """Load (and materialize) a manifest. Delta-form manifests store
         only the file-list CHANGE vs their parent — resolution walks the
         parent chain (bounded by MANIFEST_CHECKPOINT_EVERY) and is
-        memoized; everything downstream always sees a full Manifest."""
+        memoized; everything downstream always sees a full Manifest.
+
+        Takes the cache lock around lookup + resolve + insert so a
+        concurrent evictor cannot drop a parent mid-resolution (the
+        resolve recursion re-enters through the RLock)."""
+        with self._cache_lock:
+            return self._manifest_at_locked(version)
+
+    def _manifest_at_locked(self, version: int) -> Manifest:
         cached = self._manifest_cache.get(version)
         if cached is not None:
             self._cache_manifest(cached)  # refresh LRU recency
@@ -1351,7 +1367,8 @@ class LakeTable:
                         os.remove(p)
                         removed += 1
             os.remove(self._manifest_path(v))
-            self._manifest_cache.pop(v, None)
+            with self._cache_lock:
+                self._manifest_cache.pop(v, None)
         return removed
 
     def maintain(

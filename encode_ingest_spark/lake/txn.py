@@ -285,6 +285,16 @@ class TableGroup:
             except (OSError, ValueError, KeyError):  # pragma: no cover
                 pass
             raise
+        # winner self-healing: a LOSING concurrent committer's pin write
+        # can land between our pin and our manifest swap (and the loser
+        # may crash before its own conflict-healing re-pin above), which
+        # would leave this committed vector's pins pointing at the
+        # loser's uncommitted versions — aggressive member
+        # expire_snapshots in that window could drop the committed
+        # vector's files. Re-asserting the pins AFTER the swap closes
+        # the window from the winner's side (pin writes are atomic
+        # os.replace, so this is idempotent when nothing raced).
+        self._pin_members(tables, nv)
         keep_pinned = max(
             1, int(nm["properties"].get("retention.keep_pinned", 3))
         )

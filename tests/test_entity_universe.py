@@ -551,6 +551,64 @@ def test_universe_stream_pipeline_end_to_end(spark, tmp_path):
         assert _rows(group.read(name)) == _rows(want[name]), name
 
 
+def test_non_experiment_dataset_mints_no_junk_tombstones(spark, tmp_path):
+    """ADVICE r4: a changed file whose ``dataset`` is NOT an experiment
+    must not dirty the experiment-keyed trees — the old behavior minted
+    an id for the non-experiment dataset, found no rebuilt row, and
+    emitted a delete op for a key that never existed, accumulating junk
+    tombstone rows in experiment-keyed targets over a long stream."""
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    seed = {
+        "experiments": SEED_EPOCH_1["experiments"][:1],
+        "replicates": SEED_EPOCH_1["replicates"][:2],
+        "libraries": SEED_EPOCH_1["libraries"][:2],
+        "biosamples": SEED_EPOCH_1["biosamples"][:2],
+        "biosample_types": SEED_EPOCH_1["biosample_types"],
+        "organisms": SEED_EPOCH_1["organisms"],
+        # F1 belongs to EX1; FX points at an ANNOTATION dataset that is
+        # not (and never becomes) an experiment row
+        "files": SEED_EPOCH_1["files"][:1] + [
+            {"@id": "/files/FX/", "output_category": "raw data",
+             "dataset": "/annotations/ANN1/",
+             "origin_batches": ["/biosamples/BS1/"],
+             "assay_term_name": ["RNA-seq"], "file_format": "fastq",
+             "date_created": "2020-01-17T00:00:00+00:00", "file_size": 10},
+        ],
+    }
+    fv = {n: 0 for n in universe}
+    for name, rows in seed.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group)
+    fv = {n: t.current_version() for n, t in universe.items()}
+
+    # epoch 2: only the annotation-dataset file changes
+    _apply(spark, universe["files"], "files", [
+        {"@id": "/files/FX/", "output_category": "raw data",
+         "dataset": "/annotations/ANN1/",
+         "origin_batches": ["/biosamples/BS1/"],
+         "assay_term_name": ["RNA-seq"], "file_format": "fastq",
+         "date_created": "2020-01-17T00:00:00+00:00", "file_size": 20},
+    ], "upsert", 2000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group)
+
+    for name in ("assayactivity", "experimentactivity"):
+        with_tombs = targets[name].read(include_tombstones=True)
+        junk = with_tombs.filter(
+            F.col(f"{name}_id").contains("ANN1")
+        ).count()
+        assert junk == 0, f"{name}: junk tombstone rows for non-experiment"
+    # the real experiment state is intact
+    _assert_matches_full(spark, universe, targets, group)
+
+
 def test_universe_refresh_survives_schema_evolution(spark, tmp_path):
     """A raw source gaining a column mid-stream (merge-time
     auto-evolution) must flow through the changelog and the tree

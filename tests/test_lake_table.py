@@ -593,3 +593,43 @@ def test_timestamp_cluster_column_stats_stay_json_safe(spark, tmp_path):
     # and the manifest round-trips
     fresh = LakeTable.load(spark, t.root)
     assert fresh.read().count() == 10
+
+
+def test_manifest_cache_concurrent_readers(spark, tmp_path, monkeypatch):
+    """ADVICE r4: the threaded refresh pools read the SAME LakeTable
+    objects from several threads; once the version chain exceeds the
+    cache bound, concurrent eviction used to race (`del` of an already-
+    evicted key → KeyError, or a parent dropped mid delta-resolution).
+    Hammer manifest_at from 8 threads over a tiny cache."""
+    import random
+    import threading
+
+    t = _mk(spark, tmp_path)
+    for i in range(6):
+        t.overwrite(
+            spark.createDataFrame(
+                [("o/r", f"p{j}", "c" * 40, "go", f"v{i}") for j in range(4)],
+                SCHEMA,
+            )
+        )
+    monkeypatch.setattr(LakeTable, "_MANIFEST_CACHE_MAX", 2)
+    t._manifest_cache.clear()
+    versions = list(range(t.current_version() + 1))
+    errors = []
+
+    def worker(seed):
+        rnd = random.Random(seed)
+        try:
+            for _ in range(300):
+                v = rnd.choice(versions)
+                m = t.manifest_at(v)
+                assert m.version == v
+        except Exception as e:  # pragma: no cover - the regression signal
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
