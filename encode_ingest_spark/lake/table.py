@@ -734,6 +734,29 @@ class LakeTable:
         m_to = self.manifest_at(
             to_version if to_version is not None else self.current_version()
         )
+        if not self.manifest_at(from_version).files:
+            # EMPTY-BASE fast path (bootstrap / first consumption):
+            # every live row is an insert, so the full-outer diff join
+            # degenerates to a plain snapshot scan — at bootstrap scale
+            # that join (and any staged copy of its output) is the
+            # dominant wasted work
+            keys = m_to.key_cols
+            data_cols = [
+                f.name for f in m_to.schema.fields
+                if f.name not in (SEQ_COL, DELETED_COL)
+            ]
+            payload_cols = [F.col(c) for c in data_cols if c not in keys]
+            new = self.read(version=m_to.version, include_internal=True)
+            sel = [
+                *keys, F.lit("insert").alias("_change_type"),
+                *payload_cols, F.col(SEQ_COL),
+            ]
+            if include_before:
+                before_t = new.select(
+                    F.struct(*payload_cols, F.col(SEQ_COL)).alias("_b")
+                ).schema[0].dataType
+                sel.append(F.lit(None).cast(before_t).alias("_before"))
+            return new.select(*sel)
         buckets = self.changed_buckets(from_version, m_to.version) if prune else None
         # the older snapshot reads with ITS schema; align it to the newer
         # one (null-fill added columns, widen casts) so the struct diff is

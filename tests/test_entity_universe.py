@@ -551,6 +551,66 @@ def test_universe_stream_pipeline_end_to_end(spark, tmp_path):
         assert _rows(group.read(name)) == _rows(want[name]), name
 
 
+def test_shared_dirty_frames_compute_once_per_epoch(spark, tmp_path, monkeypatch):
+    """VERDICT r5 directive 3: trees sharing a driving source must not
+    recompute overlapping dirty frames — the per-epoch frame cache makes
+    the experiment/assay core, the library→biosample key set (file +
+    sequencing trees), and the with-pipelines dirty-runs frame
+    (_run_pairs + analysis) each compute exactly once, and the epoch
+    still equals the full recompute."""
+    import encode_ingest_spark.entities.universe as uni
+
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    fv = {n: 0 for n in universe}
+    for name, rows in SEED_EPOCH_1.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group)
+    fv = {n: t.current_version() for n, t in universe.items()}
+
+    calls = {"dirty_runs": [], "exp_core": 0, "lib_keys": 0}
+    orig_runs = uni._dirty_runs_impl
+    orig_core = uni._experiment_core_dirty
+    orig_keys = uni._library_biosample_keys
+
+    def runs_counted(spark_, ch, old, new, with_pipelines):
+        calls["dirty_runs"].append(with_pipelines)
+        return orig_runs(spark_, ch, old, new, with_pipelines)
+
+    def core_counted(ch, old, new):
+        calls["exp_core"] += 1
+        return orig_core(ch, old, new)
+
+    def keys_counted(lc):
+        calls["lib_keys"] += 1
+        return orig_keys(lc)
+
+    monkeypatch.setattr(uni, "_dirty_runs_impl", runs_counted)
+    monkeypatch.setattr(uni, "_experiment_core_dirty", core_counted)
+    monkeypatch.setattr(uni, "_library_biosample_keys", keys_counted)
+
+    # epoch 2 touches files + libraries + replicates — every shared
+    # frame has at least two consuming trees this epoch
+    for name in ("files", "libraries", "replicates"):
+        _apply(spark, universe[name], name, EPOCH_2["upsert"].get(
+            name, SEED_EPOCH_1[name][:1]), "upsert", 2000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group)
+
+    # with_pipelines=True consumed by _run_pairs AND analysis → once;
+    # with_pipelines=False by the step tree → once
+    assert sorted(calls["dirty_runs"]) == [False, True], calls["dirty_runs"]
+    assert calls["exp_core"] == 1  # experimentactivity + assayactivity
+    assert calls["lib_keys"] == 1  # file + sequencing trees
+    _assert_matches_full(spark, universe, targets, group)
+
+
 def test_non_experiment_dataset_mints_no_junk_tombstones(spark, tmp_path):
     """ADVICE r4: a changed file whose ``dataset`` is NOT an experiment
     must not dirty the experiment-keyed trees — the old behavior minted
