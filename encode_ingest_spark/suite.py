@@ -798,25 +798,6 @@ def o_topk_per_group(spark, sf_dir):
 
 
 @q(
-    "u1_union_by_name",
-    """
-    SELECT src, count(*) AS n FROM (
-      SELECT 'open' AS src FROM orders WHERE o_orderstatus = 'O'
-      UNION ALL
-      SELECT 'done' AS src FROM orders WHERE o_orderstatus = 'F')
-    GROUP BY src
-    """,
-)
-def u1_union_by_name(spark, sf_dir):
-    from .operators import union_by_name
-
-    o = _t(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.lit("open").alias("src"))
-    b = o.filter(F.col("o_orderstatus") == "F").select(F.lit("done").alias("src"))
-    return union_by_name([a, b]).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-
-
-@q(
     "u3_array_ops",
     """
     SELECT o_orderkey,
@@ -830,9 +811,22 @@ def u1_union_by_name(spark, sf_dir):
     """,
 )
 def u3_array_ops(spark, sf_dir):
-    """U3/U4/U5 — array intersect / except / distinct-concat."""
+    """U3/U4/U5 — array intersect / except / distinct-concat — with the
+    U1/U2 union-by-name leg folded in (its former standalone slot
+    rotated to the entity-universe donor row): the aggregate input
+    arrives as a BY-NAME union of two column-order-permuted halves, so
+    positional union would misalign and fail the oracle hash."""
+    from .operators import union_by_name
+
     li = _t(spark, sf_dir, "lineitem")
-    base = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey", "l_returnflag"
+    )
+    half_b = li.filter(F.col("l_orderkey") % 2 != 0).select(
+        "l_returnflag", "l_orderkey"
+    )
+    src = union_by_name([half_a, half_b])
+    base = src.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.sort_array(F.array_distinct(F.collect_list("l_returnflag"))).alias("flags")
     )
     return base.select(
@@ -1409,16 +1403,23 @@ def _stage_root() -> str:
 
 _STAGE_DIR = _stage_root()
 _FLAGSHIP_EVENTS = os.path.join(_STAGE_DIR, "repo_events_k2000_e3_s42_v1")
+_DONOR_RAW = os.path.join(_STAGE_DIR, "raw_donors_n400_v1")
+_ORGANISMS_RAW = os.path.join(_STAGE_DIR, "raw_organisms_v1")
 
 
 def ensure_flagship_staged(spark=None) -> str:
-    """Make sure the flagship's shared parquet exists, WITHOUT requiring
-    the Spark query to have run first (ADVICE r3: the DuckDB oracle must
+    """Make sure every oracle-shared parquet exists (the flagship CDC
+    events AND the donor-universe raw extracts), WITHOUT requiring the
+    Spark queries to have run first (ADVICE r3: the DuckDB oracle must
     be runnable standalone). Borrows the active SparkSession when one
-    exists; otherwise creates the process's local session (left running —
-    any later getOrCreate in this process reuses it). Returns the staged
-    directory path the oracle SQL reads."""
-    if not os.path.exists(os.path.join(_FLAGSHIP_EVENTS, "_SUCCESS")):
+    exists; otherwise creates a short-lived local session and stops it
+    (a lingering getOrCreate would pin every later builder in this
+    process to its 2-core config). Returns the flagship directory."""
+    missing = [
+        d for d in (_FLAGSHIP_EVENTS, _DONOR_RAW, _ORGANISMS_RAW)
+        if not os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if missing:
         from pyspark.sql import SparkSession
 
         s = spark or SparkSession.getActiveSession()
@@ -1429,11 +1430,9 @@ def ensure_flagship_staged(spark=None) -> str:
             s = get_spark("stage-flagship", cores=2)
         try:
             staged_repo_events(s)
+            staged_donor_inputs(s)
         finally:
             if created:
-                # a session WE created must not linger: getOrCreate
-                # would silently pin every later builder in this
-                # process to its 2-core / 2-shuffle-partition config
                 s.stop()
     return _FLAGSHIP_EVENTS
 
@@ -1489,6 +1488,184 @@ def cdc_repo_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_files"),
         F.sum(F.length("content")).alias("total_bytes"),
         F.max("event_seq").alias("max_seq"),
+    )
+
+
+# ===========================================================================
+# Entity-universe gate row (VERDICT r5 directive 2): the donor mapper —
+# the reference's DonorTransformations.scala:13-54 (ID minting, encode-
+# URL xrefs, age bounds, twin/sibling set-union, organism broadcast
+# lookup) — over a STAGED deterministic raw-donor extract, with a DuckDB
+# SQL twin over the same parquet. This is the hard-gate correctness row
+# for the incremental entity-universe layer's hardest-to-SQL mapper
+# family (the property suite in tests/test_entity_universe.py covers the
+# full 16-table DAG).
+# ===========================================================================
+
+_N_DONORS = 400
+
+
+def _raw_donor_frame(spark) -> DataFrame:
+    """Deterministic raw donors, pure column expressions (no driver
+    rows): every branch of the mapper is exercised — '90 or above' /
+    range / plain / null ages, twin∩siblings overlap (set-union dedup),
+    null and empty dbxrefs, and an organism FK that misses the dim
+    (falls back to the raw string)."""
+    n = _N_DONORS
+    i = F.col("id")
+
+    def did(expr):
+        return F.format_string("/human-donors/ENCDO%04d/", expr.cast("int"))
+
+    return spark.range(n).select(
+        did(i).alias("@id"),
+        F.format_string("ENCDO%04d", i.cast("int")).alias("accession"),
+        F.when(i % 3 == 0, F.array(F.format_string("GEO:SAMN%05d", i.cast("int"))))
+        .when(i % 3 == 1, F.array().cast("array<string>"))
+        .alias("dbxrefs"),
+        F.lit("2020-01-01T00:00:00+00:00").alias("date_created"),
+        F.when(i % 7 == 6, F.lit("/organisms/unknown/"))
+        .when(i % 4 == 3, F.lit("/organisms/mouse/"))
+        .otherwise(F.lit("/organisms/human/"))
+        .alias("organism"),
+        F.format_string("/awards/U41HG%03d/", (i % 5).cast("int")).alias("award"),
+        F.format_string("/labs/lab-%d/", (i % 3).cast("int")).alias("lab"),
+        F.when(i % 2 == 0, F.array(did((i + 7) % n), did((i + 13) % n)))
+        .alias("parents"),
+        F.when(i % 6 == 0, F.array(did((i + 1) % n), did((i + 2) % n)))
+        .when(i % 6 == 3, F.array(did((i + 2) % n)))
+        .alias("siblings"),
+        F.when(i % 6 == 0, did((i + 1) % n)).alias("twin"),
+        F.format_string("/users/u%02d/", (i % 11).cast("int"))
+        .alias("submitted_by"),
+        F.when(i % 5 == 0, F.lit("90 or above"))
+        .when(i % 5 == 1,
+              F.format_string("%d-%d", (i % 40).cast("int"),
+                              (i % 40 + 5).cast("int")))
+        .when(i % 5 == 2, F.lit(None).cast("string"))
+        .otherwise((i % 89).cast("string"))
+        .alias("age"),
+        F.lit("year").alias("age_units"),
+        F.when(i % 3 == 0, F.lit("adult"))
+        .when(i % 3 == 1, F.lit("child"))
+        .otherwise(F.lit("embryonic"))
+        .alias("life_stage"),
+        F.when(i % 2 == 0, F.lit("female")).otherwise(F.lit("male"))
+        .alias("sex"),
+        F.when(i % 4 == 0, F.array(F.lit("Asian"), F.lit("White")))
+        .when(i % 4 == 1, F.array(F.lit("Black")))
+        .alias("ethnicity"),
+    )
+
+
+def _stage_parquet(spark, df: DataFrame, path: str) -> None:
+    """Atomic tmp-dir + rename staging (first rename wins; losers
+    discard) — the shared-parquet convention both engines read."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    import shutil
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def staged_donor_inputs(spark) -> tuple[DataFrame, DataFrame]:
+    """Stage (once) and read back the raw-donor extract + the organisms
+    dim the donor tree broadcasts."""
+    _stage_parquet(spark, _raw_donor_frame(spark), _DONOR_RAW)
+    _stage_parquet(
+        spark,
+        spark.createDataFrame(
+            [("/organisms/human/", "Homo sapiens"),
+             ("/organisms/mouse/", "Mus musculus")],
+            "`@id` string, scientific_name string",
+        ),
+        _ORGANISMS_RAW,
+    )
+    return (
+        spark.read.parquet(_DONOR_RAW),
+        spark.read.parquet(_ORGANISMS_RAW),
+    )
+
+
+_MINT = (
+    "CASE WHEN regexp_extract({c}, '^/[^/]+/([^/]+)/$', 1) <> '' "
+    "THEN regexp_extract({c}, '^/[^/]+/([^/]+)/$', 1) ELSE {c} END"
+)
+
+
+@q(
+    "e6_donor_universe",
+    f"""
+    WITH raw AS (SELECT * FROM read_parquet('{_DONOR_RAW}/*.parquet')),
+    orgs AS (SELECT * FROM read_parquet('{_ORGANISMS_RAW}/*.parquet')),
+    m AS (SELECT *, {_MINT.format(c='"@id"')} AS donor_id FROM raw)
+    SELECT donor_id, donor_id AS label,
+      array_to_string(
+        ['https://www.encodeproject.org' || m."@id"] || coalesce(dbxrefs, []),
+        '|') AS xref,
+      round(CASE WHEN age IS NULL THEN NULL
+                 WHEN age = '90 or above' THEN 90.0
+                 WHEN contains(age, '-')
+                   THEN CAST(string_split(age, '-')[1] AS DOUBLE)
+                 ELSE CAST(age AS DOUBLE) END, 4) AS age_lower_bound,
+      round(CASE WHEN age IS NULL OR age = '90 or above' THEN NULL
+                 WHEN contains(age, '-')
+                   THEN CAST(string_split(age, '-')[2] AS DOUBLE)
+                 ELSE CAST(age AS DOUBLE) END, 4) AS age_upper_bound,
+      age_units AS age_age_unit,
+      life_stage AS age_life_stage,
+      coalesce(array_to_string(list_sort(ethnicity), '|'), '') AS ethnicity,
+      sex AS phenotypic_sex,
+      coalesce(o.scientific_name, m.organism) AS organism_type,
+      'ENCODE' AS part_of_dataset_id,
+      'https://www.encodeproject.org' || award AS award,
+      'https://www.encodeproject.org' || lab AS lab,
+      'https://www.encodeproject.org' || submitted_by AS submitted_by,
+      coalesce(array_to_string(list_sort(list_distinct(
+        (CASE WHEN twin IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE [{_MINT.format(c='twin')}] END)
+        || list_transform(coalesce(siblings, CAST([] AS VARCHAR[])),
+                          s -> {_MINT.format(c='s')}))), '|'), '')
+        AS sibling_ids,
+      coalesce(array_to_string(list_sort(
+        list_transform(coalesce(parents, CAST([] AS VARCHAR[])),
+                       p_ -> {_MINT.format(c='p_')})), '|'), '')
+        AS parent_ids
+    FROM m LEFT JOIN orgs o ON m.organism = o."@id"
+    """,
+)
+def e6_donor_universe(spark, sf_dir):
+    """The entity-universe donor mapper (DonorTransformations.scala:
+    13-54) run EXACTLY as the incremental universe runs it
+    (entities/documents.transform_donor: F1 ID minting, F3 URL prefix,
+    F4 age bounds, twin/sibling set-union, J6 broadcast organism
+    lookup), outputs canonicalized for the cross-engine hash."""
+    from .entities.documents import transform_donor
+
+    raw, orgs = staged_donor_inputs(spark)
+    d = transform_donor(raw, orgs)
+    return d.select(
+        "donor_id",
+        "label",
+        F.concat_ws("|", "xref").alias("xref"),
+        F.round("age_lower_bound", 4).alias("age_lower_bound"),
+        F.round("age_upper_bound", 4).alias("age_upper_bound"),
+        "age_age_unit",
+        "age_life_stage",
+        F.concat_ws("|", F.sort_array("reported_ethnicity")).alias("ethnicity"),
+        "phenotypic_sex",
+        "organism_type",
+        "part_of_dataset_id",
+        "award",
+        "lab",
+        "submitted_by",
+        F.concat_ws("|", F.sort_array("sibling_donor_id")).alias("sibling_ids"),
+        F.concat_ws("|", F.sort_array("parent_donor_id")).alias("parent_ids"),
     )
 
 
@@ -2030,7 +2207,7 @@ _GATE_ORDER = [
     "j8_dedup_join", "j14_overlap_join", "j15_anti_join_orphans",
     "j10_multi_join_chain",
     "a_rollup_family", "a4_audit_summarize", "o_topk_per_group",
-    "u1_union_by_name", "u3_array_ops",
+    "e6_donor_universe", "u3_array_ops",
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
     "q6_forecast_revenue", "w1_windowed_agg",
     "t1_token_stats", "t2_lang_id", "t3_quality_score",
