@@ -1489,6 +1489,11 @@ def _refresh_trees(
             else:
                 v = group.version_for_batch(t, REFRESH_SOURCE_ID, batch_id)
                 versions[name] = v if v is not None else t.current_version()
-        group.commit(versions, source_id=REFRESH_SOURCE_ID,
-                     batch_id=batch_id)
+        group.commit(
+            versions, source_id=REFRESH_SOURCE_ID, batch_id=batch_id,
+            # the refreshed raw-source vector rides in the watermark so
+            # a restarted coordinator (per-entity streaming) resumes its
+            # next diff span from EXACTLY the last-refreshed snapshots
+            watermark_extra={"source_versions": dict(to_versions)},
+        )
     return results

@@ -227,16 +227,29 @@ class TableGroup:
         return -1 if wm is None else int(wm.get("batch_id", -1))
 
     # ---------- commit ----------
+    def watermark(self, source_id: str) -> dict[str, Any]:
+        """The full watermark payload for a source (batch_id plus any
+        extras a committer recorded, e.g. the refreshed raw-source
+        version vector a streaming coordinator resumes from)."""
+        return dict(
+            self.current_manifest().get("watermarks", {}).get(source_id, {})
+        )
+
     def commit(
         self,
         versions: dict[str, int],
         source_id: str = "default",
         batch_id: int | None = None,
+        watermark_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Atomically move the group to a new version vector (partial
         vectors allowed: unnamed members keep their pin). Fences on
         (source_id, batch_id) like a table merge; a replayed commit is a
-        no-op returning the already-committed manifest."""
+        no-op returning the already-committed manifest.
+        ``watermark_extra`` rides in the source's watermark entry —
+        the per-entity streaming coordinator stores the refreshed raw
+        version vector there so a restart resumes from the exact
+        last-refreshed snapshot of every source."""
         m = self.current_manifest()
         if batch_id is not None:
             wm = m.get("watermarks", {}).get(source_id)
@@ -255,7 +268,9 @@ class TableGroup:
             tables[name]["version"] = int(v)
         watermarks = dict(m.get("watermarks", {}))
         if batch_id is not None:
-            watermarks[source_id] = {"batch_id": int(batch_id)}
+            watermarks[source_id] = {
+                "batch_id": int(batch_id), **(watermark_extra or {})
+            }
         nv = m["version"] + 1
         nm = {
             "version": nv,
