@@ -647,6 +647,9 @@ def main() -> None:
                     help="entity-universe epoch: incremental vs full recompute")
     ap.add_argument("--universe-soak", action="store_true",
                     help="entity-universe endurance: N epochs + maintain")
+    ap.add_argument("--universe-flood", action="store_true",
+                    help="hot-group skew probe: one experiment owns 50%% "
+                         "of an epoch's changed files vs even spread")
     ap.add_argument("--universe-exp", type=int, default=2000)
     ap.add_argument("--universe-epochs", type=int, default=12)
     ap.add_argument("--scaling", action="store_true")
@@ -657,6 +660,10 @@ def main() -> None:
 
     if args.soak:
         print(json.dumps(run_soak(args.sf_dir, min(args.cores, 16))))
+        return
+    if args.universe_flood:
+        print(json.dumps(run_universe_flood(
+            args.sf_dir, args.cores, n_exp=args.universe_exp)))
         return
     if args.universe_soak:
         print(json.dumps(run_universe_soak(
@@ -731,12 +738,16 @@ def main() -> None:
 # full recompute vs one change-driven epoch over the same 13-mapper DAG.
 # ---------------------------------------------------------------------------
 def _synth_universe_batches(spark, n_exp: int, epoch: int,
-                            dirty_exp: int = 0, moved_reps: int = 0):
+                            dirty_exp: int = 0, moved_reps: int = 0,
+                            flood: bool = False):
     """Deterministic raw-entity CDC batches, pure column exprs (no
     driver rows): epoch 1 = the full seed; epoch 2 = updates to the
     files of ``dirty_exp`` experiments plus ``moved_reps`` replicate
-    FK moves. event_seq = epoch*1e9 + xxhash(@id)%1e9 — deterministic
-    and strictly increasing per key across epochs."""
+    FK moves. ``flood=True`` re-points HALF the changed files' datasets
+    at experiment EX0 — the one-experiment-owns-50%-of-files hot-group
+    shape for the tree-refresh skew probe. event_seq = epoch*1e9 +
+    xxhash(@id)%1e9 — deterministic and strictly increasing per key
+    across epochs."""
     from encode_ingest_spark.entities.universe import UNIVERSE_SCHEMAS
     from encode_ingest_spark.lake.evolution import align_to_schema
     from pyspark.sql import functions as F
@@ -853,11 +864,14 @@ def _synth_universe_batches(spark, n_exp: int, epoch: int,
 
     # epoch 2: files of the first `dirty_exp` experiments change size;
     # `moved_reps` replicates hop to the next experiment (FK move)
+    ds2 = sid("/experiments/EX", i % E)
+    if flood:
+        ds2 = F.when(i % 2 == 0, sid("/experiments/EX", F.lit(0))).otherwise(ds2)
     files2 = spark.range(4 * E).filter((i % E) < dirty_exp).select(
         sid("/files/F", i).alias("@id"),
         F.when(i % 4 < 2, "raw data").otherwise("alignment")
         .alias("output_category"),
-        sid("/experiments/EX", i % E).alias("dataset"),
+        ds2.alias("dataset"),
         F.when(i % 4 < 2, F.array(sid("/biosamples/BS", i % E)))
         .alias("origin_batches"),
         F.when(i % 4 >= 2, F.array(sid("/files/F", i - 2)))
@@ -972,6 +986,77 @@ def run_universe_soak(sf_dir: str, cpus: int, n_exp: int = 2000,
             "max_files_per_bucket": max_fpb,
             "group_version": group.current_version(),
             "group_history_len": len(group.history()),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_universe_flood(sf_dir: str, cpus: int, n_exp: int = 2000,
+                       dirty_exp: int = 64) -> dict:
+    """Tree-refresh skew probe (VERDICT r5 directive 7): one experiment
+    owning 50% of an epoch's changed files vs the same-sized evenly-
+    spread epoch. The merge layer's hot-KEY flood number exists
+    (--flood-pct: composite-key hashing absorbs it); this measures the
+    hot-GROUP shape the tree layer adds — group-closure restricts pull
+    the flooded experiment's whole file set into one aggregate group.
+    min-of-2 epochs per shape, interleaved (even, flood, even, flood)
+    so a co-tenant spike cannot charge one shape only."""
+    from encode_ingest_spark.entities.universe import (
+        create_entity_targets,
+        create_universe,
+        merge_universe_batches,
+        refresh_entity_universe,
+    )
+    from encode_ingest_spark.lake import TableGroup
+    from encode_ingest_spark.session import get_spark
+
+    spark = get_spark("bench-universe-flood", cores=cpus)
+    load_start = _loadavg()
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="uni_flood_", dir=shm)
+    try:
+        universe = create_universe(spark, root + "/raw", num_buckets=4)
+        targets = create_entity_targets(spark, root + "/out", num_buckets=4)
+        group = TableGroup.create(
+            spark, root + "/grp",
+            {n: t for n, t in targets.items() if not n.startswith("_")},
+        )
+        seed = _synth_universe_batches(spark, n_exp, epoch=1)
+        merge_universe_batches(universe, seed, source_id="flood", batch_id=1)
+        fv = {n: 0 for n in universe}
+        refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                                group=group)
+        fv = {n: t.current_version() for n, t in universe.items()}
+
+        secs = {"even": [], "flood": []}
+        for e, shape in ((2, "even"), (3, "flood"), (4, "even"),
+                         (5, "flood")):
+            ep = _synth_universe_batches(
+                spark, n_exp, epoch=e, dirty_exp=dirty_exp,
+                flood=(shape == "flood"),
+            )
+            merge_universe_batches(universe, ep, source_id="flood",
+                                   batch_id=e)
+            t0 = time.perf_counter()
+            refresh_entity_universe(spark, universe, targets, fv,
+                                    batch_id=e, group=group)
+            secs[shape].append(round(time.perf_counter() - t0, 3))
+            fv = {n: t.current_version() for n, t in universe.items()}
+        even, flood = min(secs["even"]), min(secs["flood"])
+        return {
+            "metric": "entity-universe hot-group flood: one experiment owns "
+                      "50% of the epoch's changed files",
+            "value": round(flood / even, 3),
+            "unit": "epoch-time ratio (flood / even)",
+            "sf": sf_dir,
+            "cpus": cpus,
+            "loadavg_start": load_start,
+            "loadavg_end": _loadavg(),
+            "n_experiments": n_exp,
+            "dirty_experiments": dirty_exp,
+            "epoch_even_sec": even,
+            "epoch_flood_sec": flood,
+            "epoch_secs": secs,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
