@@ -49,6 +49,7 @@ set plus the metadata dims — never a full pass over the file payloads.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -292,6 +293,42 @@ RESTRICT_PUSHDOWN_CAP = 10_000
 #: above it, the driver-side round-trip costs more than the
 #: localCheckpoint job it replaces
 _DIRTY_REPLANT_CAP = 1_024
+
+#: batch-plan construction threads per wave. Construction is driver-side
+#: Python/py4j — a wide pool just thrashes the GIL (measured ~10x phase
+#: inflation at 12 threads) — but a FEW threads let one tree's restrict-
+#: time collect job (GIL released in the py4j wait) overlap another
+#: tree's plan construction.
+_CTOR_THREADS = 3
+
+
+@contextlib.contextmanager
+def _epoch_conf(spark: SparkSession, shuffle_partitions: int | None):
+    """Run the epoch body under a change-set-sized static shuffle width
+    with AQE off, restoring the session conf afterwards. ``None`` is a
+    no-op (bootstrap / caller opt-out keeps the corpus-scale conf)."""
+    if shuffle_partitions is None:
+        yield
+        return
+    wanted = {
+        "spark.sql.shuffle.partitions": str(int(shuffle_partitions)),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in wanted.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _collect_pushdown_vals(keys_df: DataFrame) -> list:
@@ -1228,6 +1265,10 @@ def create_entity_targets(
         out[name] = LakeTable.create(
             spark, f"{root}/{name}", schema, [spec.id_col],
             num_buckets=num_buckets,
+            # refresh epochs MOR-append their change sets (see
+            # _refresh_one_tree) — bound the per-bucket delta chain so
+            # steady-state read cost stays O(base + threshold deltas)
+            properties={"mor.compact.threshold": "4"},
         )
     return out
 
@@ -1291,6 +1332,7 @@ def refresh_entity_universe(
     batch_id: int,
     group=None,
     specs: dict[str, TreeSpec] | None = None,
+    epoch_shuffle_partitions: int | None = 8,
 ) -> dict[str, MergeResult]:
     """One maintenance epoch over the whole entity universe.
 
@@ -1300,10 +1342,23 @@ def refresh_entity_universe(
     tables' ``event_seq`` and the exactly-once fence, so a replayed
     epoch fence-skips per target and reconverges. When ``group`` is a
     :class:`~..lake.txn.TableGroup` over ``targets``, the epoch ends
-    with ONE atomic group commit (all-or-nothing visibility)."""
+    with ONE atomic group commit (all-or-nothing visibility).
+
+    ``epoch_shuffle_partitions``: steady-state epochs process CHANGE-
+    SET-sized frames, so their shuffles run under a static small width
+    with AQE off for the epoch's duration (restored after) — AQE's
+    per-stage materialization turns every tiny shuffle into its own
+    job+driver round-trip, which IS the epoch's fixed cost at micro-
+    batch scale (measured: ~161 jobs/epoch, CPU mostly idle). Size it
+    to the expected change set, not the corpus — the same knob Delta/
+    Iceberg streaming writers expose for exactly this reason. ``None``
+    leaves the session conf alone. The BOOTSTRAP epoch (all
+    from_versions == 0) is corpus-sized and always keeps the session
+    conf (AQE on)."""
     import os
     import shutil
     import uuid as _uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     specs = specs or TREE_SPECS
     # replay fast path: the group commit is the LAST step of an epoch,
@@ -1321,18 +1376,33 @@ def refresh_entity_universe(
     # rationale as refresh_derived: a parquet stage beats recomputing
     # the snapshot-diff join per consumer, and beats localCheckpoint
     # ~2x on wide payloads).
+    bootstrap = all(from_versions.get(n, 0) == 0 for n in universe)
+    # consumer fan-out per source (how many refreshed trees read its
+    # changelog): the parquet stage only pays for itself when the diff
+    # join would otherwise recompute per consumer — a single-consumer
+    # source hands its lazy changelog straight to the tree (the dirty
+    # replant then materializes it exactly once anyway)
+    fanout = {
+        n: sum(1 for s in specs.values() if n in s.sources)
+        for n in universe
+    }
     ch: dict[str, DataFrame] = {}
     scratches: list[tuple[str, str]] = []
+    to_stage: list[tuple[str, LakeTable, DataFrame, str]] = []
     for n, t in universe.items():
         if from_versions.get(n, 0) != to_versions[n]:
             raw = t.read_changes(
                 from_versions.get(n, 0), to_versions[n], include_before=True
             )
-            if not t.manifest_at(from_versions.get(n, 0)).files:
+            if (
+                fanout.get(n, 0) <= 1
+                or not t.manifest_at(from_versions.get(n, 0)).files
+            ):
                 # empty base (bootstrap): the changelog IS a plain scan
                 # of the table's own parquet (read_changes fast path) —
                 # staging would write a byte-for-byte copy of the whole
-                # raw table just to read it back
+                # raw table just to read it back. Single-consumer
+                # sources likewise skip the stage (see fanout above).
                 ch[n] = raw
                 continue
             stage = os.path.join(
@@ -1341,14 +1411,32 @@ def refresh_entity_universe(
             os.makedirs(stage, exist_ok=True)
             marker = t._stage_marker(stage)
             scratches.append((stage, marker))
-            raw.write.mode("overwrite").parquet(stage)
-            ch[n] = spark.read.schema(raw.schema).parquet(stage)
+            to_stage.append((n, t, raw, stage))
     results: dict[str, MergeResult] = {}
     try:
-        return _refresh_trees(
-            spark, universe, targets, specs, ch, from_versions, to_versions,
-            batch_id, group, results,
-        )
+        with _epoch_conf(
+            spark, None if bootstrap else epoch_shuffle_partitions
+        ):
+            # the per-source stages are independent write jobs —
+            # thread them (Spark schedules concurrent jobs fine); the
+            # serial loop was a measured epoch fixed cost
+            def stage_one(item):
+                n, t, raw, stage = item
+                raw.write.mode("overwrite").parquet(stage)
+                return n, spark.read.schema(raw.schema).parquet(stage)
+
+            if len(to_stage) > 1:
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    for n, df in ex.map(stage_one, to_stage):
+                        ch[n] = df
+            else:
+                for item in to_stage:
+                    n, df = stage_one(item)
+                    ch[n] = df
+            return _refresh_trees(
+                spark, universe, targets, specs, ch, from_versions,
+                to_versions, batch_id, group, results,
+            )
     finally:
         for stage, marker in scratches:
             shutil.rmtree(stage, ignore_errors=True)
@@ -1358,26 +1446,34 @@ def refresh_entity_universe(
                 pass
 
 
-def _refresh_one_tree(
-    spark, spec, target, ch, old, new, ctx, universe, batch_id,
-) -> MergeResult | None:
+def _plan_dirty(spark, spec, target, ch, old, new, ctx, batch_id):
+    """Refresh phase 1 (driver-side, lazy): the replay fence check and
+    the tree's dirty-frame PLAN. No Spark job."""
     # replay fast path: manifest-only fence check
     wm = target.current_manifest().watermarks.get(REFRESH_SOURCE_ID, {})
     if int(wm.get("batch_id", -1)) >= int(batch_id):
         return None
-    dirty = _dirty_for(spec, spark, ch, old, new, ctx, target=target)
-    if dirty is None:
-        return None
-    # the dirty frame is consumed 3x (restrict collect, the upsert
-    # semi-join, the delete anti-join) — materialize its change-set-
-    # sized result ONCE. Micro-batch-sized sets come back to the driver
-    # (one capped collect, replacing the localCheckpoint job) and are
-    # re-planted as a LOCAL relation: downstream consumption then costs
-    # zero extra jobs, the broadcast semi-joins fold a literal relation,
-    # and the restrict pushdown list is pre-seeded without its own
-    # collect. Over-cap sets keep the checkpoint path.
-    head = dirty.limit(_DIRTY_REPLANT_CAP + 1).collect()
+    return _dirty_for(spec, spark, ch, old, new, ctx, target=target)
+
+
+def _build_tree_batch(spark, spec, dirty, head, new, ctx, universe, batch_id):
+    """Refresh phase 3 (driver-side, lazy): re-plant the collected dirty
+    set and construct the tree's CDC batch plan. Returns ``None`` when
+    the change set is empty — the merge would write nothing, so the
+    tree is skipped outright (the per-target fence stays put, exactly
+    like the no-changed-source path).
+
+    The dirty frame is consumed 3x (restrict collect, the upsert
+    semi-join, the delete anti-join) — materialize its change-set-
+    sized result ONCE. Micro-batch-sized sets come back to the driver
+    (one capped collect, replacing the localCheckpoint job) and are
+    re-planted as a LOCAL relation: downstream consumption then costs
+    zero extra jobs, the broadcast semi-joins fold a literal relation,
+    and the restrict pushdown list is pre-seeded without its own
+    collect. Over-cap sets keep the checkpoint path."""
     if len(head) <= _DIRTY_REPLANT_CAP:
+        if not head:
+            return None
         schema = dirty.schema
         dirty = spark.createDataFrame(head, schema)
         dirty._pushdown_vals = list(
@@ -1397,7 +1493,7 @@ def _refresh_one_tree(
     gone = dirty.select(spec.id_col).distinct().join(
         rolled, spec.id_col, "left_anti"
     )
-    batch = (
+    return (
         rolled.withColumn("op", F.lit("upsert"))
         .unionByName(
             gone.withColumn("op", F.lit("delete")),
@@ -1405,9 +1501,55 @@ def _refresh_one_tree(
         )
         .withColumn("event_seq", F.lit(int(batch_id)).cast("long"))
     )
+
+
+def _merge_tree_batch(spec, target, batch, batch_id) -> MergeResult:
+    """Refresh phase 4 (one Spark action): land the tree's batch.
+
+    The batch is one-row-per-key BY CONSTRUCTION (upserts: per-id
+    semi-join of a one-row-per-entity build; deletes: the disjoint
+    anti-join), so merge_into can skip the in-batch winners shuffle.
+    Steady-state epochs MOR-append: the write is ONE shuffle-free job
+    proportional to the change set — no target read, no bucket
+    rewrite (compaction folds deltas per bucket on the table's
+    "mor.compact.threshold", amortizing the corpus-sized rewrite over
+    many epochs — the LSM trade). The bootstrap epoch (empty target)
+    COW-writes instead: same one job, but the corpus lands as BASE
+    files so first-read and compaction never pay for it again.
+    Auxiliary index trees ("_"-prefixed) stay COW always — their
+    snapshots are re-read by every later epoch's restricts, and a
+    plain scan there beats a per-key MOR resolve each epoch."""
+    empty_target = not any(f.rows for f in target.current_manifest().files)
+    if empty_target:
+        return merge_into(
+            target, batch, source_id=REFRESH_SOURCE_ID, batch_id=batch_id,
+            stage_batch=False, batch_unique=True,
+        )
+    if spec.name.startswith("_"):
+        return merge_into(
+            target, batch, source_id=REFRESH_SOURCE_ID, batch_id=batch_id,
+            batch_unique=True,
+        )
     return merge_into(
-        target, batch, source_id=REFRESH_SOURCE_ID, batch_id=batch_id
+        target, batch, source_id=REFRESH_SOURCE_ID, batch_id=batch_id,
+        mode="mor", batch_unique=True,
     )
+
+
+def _refresh_one_tree(
+    spark, spec, target, ch, old, new, ctx, universe, batch_id,
+) -> MergeResult | None:
+    """Single-tree refresh, all four phases inline (the serial path)."""
+    dirty = _plan_dirty(spark, spec, target, ch, old, new, ctx, batch_id)
+    if dirty is None:
+        return None
+    head = dirty.limit(_DIRTY_REPLANT_CAP + 1).collect()
+    batch = _build_tree_batch(
+        spark, spec, dirty, head, new, ctx, universe, batch_id
+    )
+    if batch is None:
+        return None
+    return _merge_tree_batch(spec, target, batch, batch_id)
 
 
 def _refresh_trees(
@@ -1455,26 +1597,60 @@ def _refresh_trees(
         wave1 = [(n, s) for n, s in pending if n.startswith("_")]
         wave2 = [(n, s) for n, s in pending if not n.startswith("_")]
 
-        def run(item):
-            name, spec = item
-            return name, _refresh_one_tree(
-                spark, spec, targets[name], ch, old, new, ctx, universe,
-                batch_id,
-            )
-
         def run_wave(wave):
-            # the auxiliary index trees (wave 1) are mutually
-            # independent, like the output trees: thread both waves
-            if parallelism > 1 and len(wave) > 1:
-                with ThreadPoolExecutor(max_workers=parallelism) as ex:
-                    for name, r in ex.map(run, wave):
-                        if r is not None:
-                            results[name] = r
-            else:
-                for item in wave:
-                    name, r = run(item)
+            # PIPELINED wave execution. Plan construction is pure
+            # driver-side Python/py4j — running it on N threads just
+            # thrashes the GIL (measured: construction phases inflate
+            # ~10x under a 12-thread pool while the epoch barely
+            # shortens). So construction stays on THIS thread, serial,
+            # and only the two Spark actions go to the pool, where
+            # their JVM waits genuinely overlap: every tree's dirty
+            # collect is in flight before the first batch plan is
+            # built, and every merge is in flight before the wave
+            # joins. Within a wave the merges are independent (each
+            # targets its own table).
+            if parallelism <= 1 or len(wave) <= 1:
+                for name, spec in wave:
+                    r = _refresh_one_tree(
+                        spark, spec, targets[name], ch, old, new, ctx,
+                        universe, batch_id,
+                    )
                     if r is not None:
                         results[name] = r
+                return
+            with ThreadPoolExecutor(max_workers=parallelism) as pool, \
+                    ThreadPoolExecutor(max_workers=_CTOR_THREADS) as ctor:
+                staged = []
+                for name, spec in wave:
+                    dirty = _plan_dirty(
+                        spark, spec, targets[name], ch, old, new, ctx,
+                        batch_id,
+                    )
+                    if dirty is None:
+                        continue
+                    head_fut = pool.submit(
+                        lambda d=dirty: d.limit(_DIRTY_REPLANT_CAP + 1)
+                        .collect()
+                    )
+                    staged.append((name, spec, dirty, head_fut))
+
+                def construct(item):
+                    name, spec, dirty, head_fut = item
+                    return name, spec, _build_tree_batch(
+                        spark, spec, dirty, head_fut.result(), new, ctx,
+                        universe, batch_id,
+                    )
+
+                merges = []
+                for name, spec, batch in ctor.map(construct, staged):
+                    if batch is None:
+                        continue
+                    merges.append((name, pool.submit(
+                        _merge_tree_batch, spec, targets[name], batch,
+                        batch_id,
+                    )))
+                for name, fut in merges:
+                    results[name] = fut.result()
 
         run_wave(wave1)
         run_wave(wave2)

@@ -55,7 +55,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from .evolution import align_to_schema
 from .table import BUCKET_COL, DELETED_COL, SEQ_COL, LakeTable, Manifest, bucket_expr
 
 OP_COL = "op"
@@ -110,6 +109,7 @@ def merge_into(
     mor_compact_threshold: int | None = None,
     stage_batch: bool | None = None,
     merge_strategy: str | None = None,
+    batch_unique: bool = False,
 ) -> MergeResult:
     """Apply one CDC batch to the table. See module docstring.
 
@@ -132,6 +132,16 @@ def merge_into(
     batch when the live table exceeds "merge.stage.threshold_rows"
     (default 5M) or when ``prune_buckets`` asks for the probe; ``False``
     forces the direct one-job full rewrite; ``True`` forces staging.
+    ``batch_unique``: the CALLER asserts the batch holds at most one row
+    per key, so the in-batch winners aggregate (one full-batch shuffle)
+    is skipped. Derived-table refresh epochs qualify by construction
+    (upserts are a per-id semi-join of a one-row-per-entity build;
+    deletes are the disjoint anti-join) — with ``mode="mor"`` the whole
+    merge is then ONE shuffle-free append of the change set, which is
+    what keeps epoch write cost proportional to the change set rather
+    than the corpus. A violated assertion degrades, not corrupts: equal
+    event_seq duplicates resolve to an arbitrary-but-atomic whole-row
+    winner at read time, exactly like a replay tie.
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
@@ -151,23 +161,36 @@ def merge_into(
     keys = m.key_cols
     data_cols = [f.name for f in schema.fields if f.name not in (SEQ_COL, DELETED_COL)]
 
-    # ---- normalize batch to table shape (payload nulled on deletes) ----
-    is_delete = F.col(OP_COL) == F.lit("delete")
-    payload = batch.select(
-        *[
-            (
-                F.when(is_delete & F.lit(c not in keys), F.lit(None))
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in batch.columns
-                else F.lit(None).alias(c)
-            )
-            for c in data_cols
-        ],
-        F.col(EVENT_SEQ_COL).cast("long").alias(SEQ_COL),
-        is_delete.alias(DELETED_COL),
-    )
-    payload = align_to_schema(payload, schema)
+    # ---- normalize batch to table shape (payload nulled on deletes),
+    # fused with the align-to-schema projection as ONE selectExpr: a
+    # per-column Column build here costs ~6 py4j round-trips × width ×
+    # every merge — on a 15-tree refresh epoch that driver-side cost IS
+    # the epoch floor (measured; the expressions are identical either
+    # way and stay inside whole-stage codegen) ----
+    have = {f.name: f.dataType for f in batch.schema.fields}
+    exprs = []
+    for f in schema.fields:
+        if f.name == SEQ_COL:
+            exprs.append(f"CAST(`{EVENT_SEQ_COL}` AS BIGINT) AS `{SEQ_COL}`")
+            continue
+        if f.name == DELETED_COL:
+            exprs.append(f"(`{OP_COL}` = 'delete') AS `{DELETED_COL}`")
+            continue
+        src = have.get(f.name)
+        ddl = f.dataType.simpleString()
+        if src is None:
+            exprs.append(f"CAST(NULL AS {ddl}) AS `{f.name}`")
+        elif f.name in keys:
+            if src.simpleString() == ddl:
+                exprs.append(f"`{f.name}`")
+            else:
+                exprs.append(f"CAST(`{f.name}` AS {ddl}) AS `{f.name}`")
+        else:
+            e = f"IF(`{OP_COL}` = 'delete', NULL, `{f.name}`)"
+            if src.simpleString() != ddl:
+                e = f"CAST({e} AS {ddl})"
+            exprs.append(f"{e} AS `{f.name}`")
+    payload = batch.selectExpr(*exprs)
 
     # ---- 1. in-batch dedup → WINNERS. One whole-row max_by per key
     # (atomic: an event_seq tie can never blend column values from two
@@ -175,12 +198,17 @@ def merge_into(
     # atomic winner is deterministic state), bucket id attached. ----
     non_key = [c for c in payload.columns if c not in keys]
     seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
-    winners = (
-        payload.groupBy(*keys)
-        .agg(F.max_by(F.struct(*non_key), seq_order).alias("_w"))
-        .select(*keys, "_w.*")
-        .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
-    )
+    if batch_unique:
+        # caller-asserted one-row-per-key batch: the winners ARE the
+        # payload — no shuffle
+        winners = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+    else:
+        winners = (
+            payload.groupBy(*keys)
+            .agg(F.max_by(F.struct(*non_key), seq_order).alias("_w"))
+            .select(*keys, "_w.*")
+            .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+        )
 
     if mode == "mor":
         # append winners as delta files — no target read, no rewrite
@@ -254,7 +282,7 @@ def merge_into(
         src = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
         return _merge_cow_write(
             table, m, src, touched, [], [f for f in m.files], data_cols, keys,
-            batch_id, source_id, offset_range, src_deduped=False,
+            batch_id, source_id, offset_range, src_deduped=batch_unique,
         )
 
     import os
