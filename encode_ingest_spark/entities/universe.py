@@ -59,7 +59,14 @@ from pyspark.sql import types as T
 
 from ..functions.scalars import transform_id
 from ..lake import LakeTable, merge_into
-from ..lake.merge import MergeResult
+from ..lake.merge import (
+    EVENT_SEQ_COL,
+    OP_COL,
+    MergeResult,
+    merge_local_delta,
+    normalize_batch,
+)
+from ..lake.table import BUCKET_COL, bucket_expr
 from .activities import (
     pipeline_run_id,
     transform_alignment_activity,
@@ -1266,9 +1273,17 @@ def create_entity_targets(
             spark, f"{root}/{name}", schema, [spec.id_col],
             num_buckets=num_buckets,
             # refresh epochs MOR-append their change sets (see
-            # _refresh_one_tree) — bound the per-bucket delta chain so
-            # steady-state read cost stays O(base + threshold deltas)
-            properties={"mor.compact.threshold": "4"},
+            # _land_tree_batch) — bound the per-bucket delta chain so
+            # steady-state read cost stays O(base + threshold deltas).
+            # max_buckets caps buckets folded per commit: all 15 trees
+            # append on the SAME epoch cadence, so without it every
+            # bucket of every tree crosses the threshold in one epoch —
+            # a synchronized full-fleet rewrite storm inside a single
+            # epoch's latency budget
+            properties={
+                "mor.compact.threshold": "4",
+                "mor.compact.max_buckets": "2",
+            },
         )
     return out
 
@@ -1471,7 +1486,8 @@ def _build_tree_batch(spark, spec, dirty, head, new, ctx, universe, batch_id):
     zero extra jobs, the broadcast semi-joins fold a literal relation,
     and the restrict pushdown list is pre-seeded without its own
     collect. Over-cap sets keep the checkpoint path."""
-    if len(head) <= _DIRTY_REPLANT_CAP:
+    local_ok = len(head) <= _DIRTY_REPLANT_CAP
+    if local_ok:
         if not head:
             return None
         schema = dirty.schema
@@ -1493,7 +1509,7 @@ def _build_tree_batch(spark, spec, dirty, head, new, ctx, universe, batch_id):
     gone = dirty.select(spec.id_col).distinct().join(
         rolled, spec.id_col, "left_anti"
     )
-    return (
+    batch = (
         rolled.withColumn("op", F.lit("upsert"))
         .unionByName(
             gone.withColumn("op", F.lit("delete")),
@@ -1501,6 +1517,13 @@ def _build_tree_batch(spark, spec, dirty, head, new, ctx, universe, batch_id):
         )
         .withColumn("event_seq", F.lit(int(batch_id)).cast("long"))
     )
+    # a replanted (≤cap) dirty set PROVES the batch is micro-batch-sized
+    # (upserts are a per-id semi-join of the dirty ids, deletes the
+    # disjoint anti-join — each ≤ the dirty id count), which is what
+    # licenses the driver-local commit without a CollectLimit (whose
+    # incremental partial runs cost 2-4 extra jobs per tree)
+    batch._local_ok = local_ok
+    return batch
 
 
 def _merge_tree_batch(spec, target, batch, batch_id) -> MergeResult:
@@ -1536,6 +1559,72 @@ def _merge_tree_batch(spec, target, batch, batch_id) -> MergeResult:
     )
 
 
+#: row cap for the driver-local epoch commit (merge_local_delta): a
+#: steady-state tree change set at this size collects in one job and
+#: lands as pyarrow-written delta files with ZERO further Spark work —
+#: the per-tree merge job (plan execution + bucket shuffle + write
+#: tasks + Observation) was the epoch's dominant fixed cost (measured
+#: ~1.2–2 s/tree serial at n=1k for ≤128-row change sets). Over-cap
+#: change sets keep the distributed merge — cluster work where cluster
+#: work is warranted.
+_LOCAL_COMMIT_CAP = 4096
+
+
+def _local_schema_ok(batch: DataFrame, m) -> bool:
+    """True when the batch cannot evolve the target schema (no new
+    columns, no retyped columns) — the precondition for the driver-
+    local commit path, which aligns to the CURRENT schema and never
+    alters it (evolution is merge_into's job)."""
+    table_types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+    for f in batch.schema.fields:
+        if f.name in (OP_COL, EVENT_SEQ_COL):
+            continue
+        if f.name not in table_types:
+            return False
+        if table_types[f.name] != f.dataType.simpleString():
+            return False
+    return True
+
+
+def _land_tree_batch(spark, spec, target, batch, batch_id) -> MergeResult:
+    """Refresh phase 4: land the tree's batch — the driver-local MOR
+    fast path when the change set is micro-batch-sized, else the
+    distributed merge (:func:`_merge_tree_batch`).
+
+    The local path executes the batch plan ONCE as a collect (the same
+    single action the merge job would run) and commits the rows with
+    :func:`~..lake.merge.merge_local_delta` — no write job, no bucket
+    shuffle. Bucket ids come from the table's own ``bucket_expr``
+    computed IN the plan, so the driver never re-implements the hash.
+    Ineligible shapes fall through to the distributed path: bootstrap
+    (corpus-sized, lands as COW base files), auxiliary index trees
+    (kept MOR-free so every later epoch's restricts stay plain scans),
+    and batches whose schema would evolve the target (merge_into owns
+    evolution)."""
+    m = target.current_manifest()
+    empty_target = not any(f.rows for f in m.files)
+    if (
+        empty_target
+        or spec.name.startswith("_")
+        or not getattr(batch, "_local_ok", False)
+        or not _local_schema_ok(batch, m)
+    ):
+        return _merge_tree_batch(spec, target, batch, batch_id)
+    prepared = normalize_batch(batch, m.schema, m.key_cols).withColumn(
+        BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets)
+    )
+    # no CollectLimit: _local_ok bounds the row count (≤ 2× the dirty
+    # replant cap), and a plain collect is ONE job — CollectLimit's
+    # partial-run scale-up was measured at 2-4 extra jobs per tree
+    head = prepared.collect()
+    return merge_local_delta(
+        target,
+        [r.asDict(recursive=True) for r in head],
+        source_id=REFRESH_SOURCE_ID,
+        batch_id=batch_id,
+    )
+
+
 def _refresh_one_tree(
     spark, spec, target, ch, old, new, ctx, universe, batch_id,
 ) -> MergeResult | None:
@@ -1549,7 +1638,7 @@ def _refresh_one_tree(
     )
     if batch is None:
         return None
-    return _merge_tree_batch(spec, target, batch, batch_id)
+    return _land_tree_batch(spark, spec, target, batch, batch_id)
 
 
 def _refresh_trees(
@@ -1597,18 +1686,30 @@ def _refresh_trees(
         wave1 = [(n, s) for n, s in pending if n.startswith("_")]
         wave2 = [(n, s) for n, s in pending if not n.startswith("_")]
 
-        def run_wave(wave):
-            # PIPELINED wave execution. Plan construction is pure
-            # driver-side Python/py4j — running it on N threads just
-            # thrashes the GIL (measured: construction phases inflate
-            # ~10x under a 12-thread pool while the epoch barely
-            # shortens). So construction stays on THIS thread, serial,
-            # and only the two Spark actions go to the pool, where
-            # their JVM waits genuinely overlap: every tree's dirty
-            # collect is in flight before the first batch plan is
-            # built, and every merge is in flight before the wave
-            # joins. Within a wave the merges are independent (each
-            # targets its own table).
+        def run_wave(wave, fuse=False):
+            # Wave execution, two strategies:
+            #
+            # * PIPELINED (fuse=False, the aux-index wave): plan
+            #   construction is pure driver-side Python/py4j — running
+            #   it on N threads just thrashes the GIL (measured:
+            #   construction phases inflate ~10x under a 12-thread
+            #   pool) — so construction stays on THIS thread, serial,
+            #   and only the Spark actions go to the pool, where their
+            #   JVM waits genuinely overlap.
+            # * FUSED (fuse=True, the output-tree wave): at micro-batch
+            #   scale the epoch floor is per-ACTION fixed cost (job
+            #   submit + stage scheduling + py4j), ~15 trees × 2
+            #   actions each. The fused path runs the whole wave in TWO
+            #   Spark actions: one union-collect of every tree's
+            #   (capped) dirty head, one union-collect of every
+            #   local-eligible tree's normalized batch (columns
+            #   prefixed per tree so same-named/different-typed columns
+            #   never collide), then commits each tree's change set
+            #   driver-side via merge_local_delta — zero further Spark
+            #   work. Ineligible trees (over-cap change set, bootstrap,
+            #   schema evolution, non-standard dirty shape) run the
+            #   distributed merge on the pool, OVERLAPPING the fused
+            #   collect.
             if parallelism <= 1 or len(wave) <= 1:
                 for name, spec in wave:
                     r = _refresh_one_tree(
@@ -1618,42 +1719,150 @@ def _refresh_trees(
                     if r is not None:
                         results[name] = r
                 return
-            with ThreadPoolExecutor(max_workers=parallelism) as pool, \
-                    ThreadPoolExecutor(max_workers=_CTOR_THREADS) as ctor:
-                staged = []
-                for name, spec in wave:
-                    dirty = _plan_dirty(
-                        spark, spec, targets[name], ch, old, new, ctx,
+            if not fuse:
+                with ThreadPoolExecutor(max_workers=parallelism) as pool, \
+                        ThreadPoolExecutor(max_workers=_CTOR_THREADS) as ctor:
+                    staged = []
+                    for name, spec in wave:
+                        dirty = _plan_dirty(
+                            spark, spec, targets[name], ch, old, new, ctx,
+                            batch_id,
+                        )
+                        if dirty is None:
+                            continue
+                        head_fut = pool.submit(
+                            lambda d=dirty: d.limit(_DIRTY_REPLANT_CAP + 1)
+                            .collect()
+                        )
+                        staged.append((name, spec, dirty, head_fut))
+
+                    def construct(item):
+                        name, spec, dirty, head_fut = item
+                        return name, spec, _build_tree_batch(
+                            spark, spec, dirty, head_fut.result(), new, ctx,
+                            universe, batch_id,
+                        )
+
+                    merges = []
+                    for name, spec, batch in ctor.map(construct, staged):
+                        if batch is None:
+                            continue
+                        merges.append((name, pool.submit(
+                            _land_tree_batch, spark, spec, targets[name],
+                            batch, batch_id,
+                        )))
+                    for name, fut in merges:
+                        results[name] = fut.result()
+                return
+
+            planned = []
+            for name, spec in wave:
+                dirty = _plan_dirty(
+                    spark, spec, targets[name], ch, old, new, ctx, batch_id
+                )
+                if dirty is not None:
+                    planned.append((name, spec, dirty))
+            if not planned:
+                return
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                fused_items, solo = [], []
+                for name, spec, dirty in planned:
+                    if set(dirty.columns) == {spec.id_col, "_raw"}:
+                        fused_items.append((name, spec, dirty))
+                    else:
+                        # non-standard dirty shape: its own capped
+                        # collect, overlapping the fused one
+                        solo.append((name, spec, dirty, pool.submit(
+                            lambda d=dirty: d.limit(_DIRTY_REPLANT_CAP + 1)
+                            .collect()
+                        )))
+                heads: dict[str, list] = {}
+                if fused_items:
+                    branches = [
+                        dirty.limit(_DIRTY_REPLANT_CAP + 1).select(
+                            F.lit(name).alias("_tree"),
+                            F.col(spec.id_col).alias("_id"),
+                            "_raw",
+                        )
+                        for name, spec, dirty in fused_items
+                    ]
+                    fused = branches[0]
+                    for b in branches[1:]:
+                        fused = fused.unionByName(b)
+                    for r in fused.collect():
+                        heads.setdefault(r["_tree"], []).append(r)
+
+                dist_futs: list = []
+                local_prepped: list = []
+
+                def build_one(name, spec, dirty, head):
+                    batch = _build_tree_batch(
+                        spark, spec, dirty, head, new, ctx, universe,
                         batch_id,
                     )
-                    if dirty is None:
-                        continue
-                    head_fut = pool.submit(
-                        lambda d=dirty: d.limit(_DIRTY_REPLANT_CAP + 1)
-                        .collect()
-                    )
-                    staged.append((name, spec, dirty, head_fut))
-
-                def construct(item):
-                    name, spec, dirty, head_fut = item
-                    return name, spec, _build_tree_batch(
-                        spark, spec, dirty, head_fut.result(), new, ctx,
-                        universe, batch_id,
-                    )
-
-                merges = []
-                for name, spec, batch in ctor.map(construct, staged):
                     if batch is None:
-                        continue
-                    merges.append((name, pool.submit(
-                        _merge_tree_batch, spec, targets[name], batch,
-                        batch_id,
-                    )))
-                for name, fut in merges:
+                        return
+                    target = targets[name]
+                    m = target.current_manifest()
+                    if (
+                        not getattr(batch, "_local_ok", False)
+                        or not any(f.rows for f in m.files)
+                        or not _local_schema_ok(batch, m)
+                    ):
+                        dist_futs.append((name, pool.submit(
+                            _merge_tree_batch, spec, target, batch,
+                            batch_id,
+                        )))
+                        return
+                    p = normalize_batch(batch, m.schema, m.key_cols)
+                    p = p.withColumn(
+                        BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets)
+                    )
+                    local_prepped.append((name, p.columns, p))
+
+                for name, spec, dirty in fused_items:
+                    head = [
+                        {spec.id_col: h["_id"], "_raw": h["_raw"]}
+                        for h in heads.get(name, [])
+                    ]
+                    build_one(name, spec, dirty, head)
+                for name, spec, dirty, fut in solo:
+                    build_one(name, spec, dirty, fut.result())
+
+                if local_prepped:
+                    tagged = [
+                        p.select(
+                            F.lit(name).alias("_tree"),
+                            *[
+                                F.col(c).alias(f"{name}::{c}")
+                                for c in cols
+                            ],
+                        )
+                        for name, cols, p in local_prepped
+                    ]
+                    fb = tagged[0]
+                    for t_ in tagged[1:]:
+                        fb = fb.unionByName(t_, allowMissingColumns=True)
+                    by_tree: dict[str, list] = {}
+                    for r in fb.collect():
+                        by_tree.setdefault(r["_tree"], []).append(r)
+                    for name, cols, _p in local_prepped:
+                        dicts = []
+                        for r in by_tree.get(name, []):
+                            d = r.asDict(recursive=True)
+                            dicts.append(
+                                {c: d[f"{name}::{c}"] for c in cols}
+                            )
+                        results[name] = merge_local_delta(
+                            targets[name], dicts,
+                            source_id=REFRESH_SOURCE_ID,
+                            batch_id=batch_id,
+                        )
+                for name, fut in dist_futs:
                     results[name] = fut.result()
 
         run_wave(wave1)
-        run_wave(wave2)
+        run_wave(wave2, fuse=True)
     if group is not None and ch:
         versions: dict[str, int] = {}
         member_names = set(group.current_manifest()["tables"])

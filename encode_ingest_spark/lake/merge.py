@@ -52,10 +52,21 @@ Shared mechanics:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .table import BUCKET_COL, DELETED_COL, SEQ_COL, LakeTable, Manifest, bucket_expr
+from .table import (
+    BUCKET_COL,
+    DELETED_COL,
+    SEQ_COL,
+    DataFile,
+    LakeTable,
+    Manifest,
+    bucket_expr,
+)
 
 OP_COL = "op"
 EVENT_SEQ_COL = "event_seq"
@@ -82,6 +93,40 @@ _BROADCAST_THRESHOLD_ROWS = 2_000_000
 #: commit. Override per table via property "compact.max_files_per_bucket"
 #: (0 = never auto-fold).
 _MAX_FILES_PER_BUCKET = 8
+
+
+def normalize_batch(batch: DataFrame, schema, keys) -> DataFrame:
+    """Normalize a CDC batch to table shape: payload nulled on deletes,
+    ``event_seq`` → ``_seq``, ``op`` → ``_deleted``, missing columns
+    null-filled and types aligned to ``schema`` — fused as ONE
+    selectExpr. A per-column Column build here costs ~6 py4j round-trips
+    × width × every merge — on a 15-tree refresh epoch that driver-side
+    cost IS the epoch floor (measured; the expressions are identical
+    either way and stay inside whole-stage codegen)."""
+    have = {f.name: f.dataType for f in batch.schema.fields}
+    exprs = []
+    for f in schema.fields:
+        if f.name == SEQ_COL:
+            exprs.append(f"CAST(`{EVENT_SEQ_COL}` AS BIGINT) AS `{SEQ_COL}`")
+            continue
+        if f.name == DELETED_COL:
+            exprs.append(f"(`{OP_COL}` = 'delete') AS `{DELETED_COL}`")
+            continue
+        src = have.get(f.name)
+        ddl = f.dataType.simpleString()
+        if src is None:
+            exprs.append(f"CAST(NULL AS {ddl}) AS `{f.name}`")
+        elif f.name in keys:
+            if src.simpleString() == ddl:
+                exprs.append(f"`{f.name}`")
+            else:
+                exprs.append(f"CAST(`{f.name}` AS {ddl}) AS `{f.name}`")
+        else:
+            e = f"IF(`{OP_COL}` = 'delete', NULL, `{f.name}`)"
+            if src.simpleString() != ddl:
+                e = f"CAST({e} AS {ddl})"
+            exprs.append(f"{e} AS `{f.name}`")
+    return batch.selectExpr(*exprs)
 
 
 class MergeResult:
@@ -161,36 +206,7 @@ def merge_into(
     keys = m.key_cols
     data_cols = [f.name for f in schema.fields if f.name not in (SEQ_COL, DELETED_COL)]
 
-    # ---- normalize batch to table shape (payload nulled on deletes),
-    # fused with the align-to-schema projection as ONE selectExpr: a
-    # per-column Column build here costs ~6 py4j round-trips × width ×
-    # every merge — on a 15-tree refresh epoch that driver-side cost IS
-    # the epoch floor (measured; the expressions are identical either
-    # way and stay inside whole-stage codegen) ----
-    have = {f.name: f.dataType for f in batch.schema.fields}
-    exprs = []
-    for f in schema.fields:
-        if f.name == SEQ_COL:
-            exprs.append(f"CAST(`{EVENT_SEQ_COL}` AS BIGINT) AS `{SEQ_COL}`")
-            continue
-        if f.name == DELETED_COL:
-            exprs.append(f"(`{OP_COL}` = 'delete') AS `{DELETED_COL}`")
-            continue
-        src = have.get(f.name)
-        ddl = f.dataType.simpleString()
-        if src is None:
-            exprs.append(f"CAST(NULL AS {ddl}) AS `{f.name}`")
-        elif f.name in keys:
-            if src.simpleString() == ddl:
-                exprs.append(f"`{f.name}`")
-            else:
-                exprs.append(f"CAST(`{f.name}` AS {ddl}) AS `{f.name}`")
-        else:
-            e = f"IF(`{OP_COL}` = 'delete', NULL, `{f.name}`)"
-            if src.simpleString() != ddl:
-                e = f"CAST({e} AS {ddl})"
-            exprs.append(f"{e} AS `{f.name}`")
-    payload = batch.selectExpr(*exprs)
+    payload = normalize_batch(batch, schema, keys)
 
     # ---- 1. in-batch dedup → WINNERS. One whole-row max_by per key
     # (atomic: an event_seq tie can never blend column values from two
@@ -219,28 +235,7 @@ def merge_into(
         res = _commit(
             table, m, m.files, new_files, batch_id, source_id, offset_range, counts
         )
-        # auto-compaction policy: once any single bucket accumulates more
-        # than `threshold` delta files, fold THAT bucket's deltas into its
-        # base file (manifest-pruned rewrite) so steady-state MOR scan
-        # cost stays bounded per bucket. Per-bucket, not global: one hot
-        # bucket can't force a whole-table compaction, and can't starve
-        # while a global count stays low. Threshold comes from the call or
-        # the table property "mor.compact.threshold"; 0/absent =
-        # manual-only.
-        threshold = mor_compact_threshold
-        if threshold is None:
-            threshold = int(res.manifest.properties.get("mor.compact.threshold", 0) or 0)
-        if threshold:
-            per_bucket: dict[int, int] = {}
-            for f in res.manifest.files:
-                if f.is_delta:
-                    per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-            dirty = sorted(b for b, c in per_bucket.items() if c > threshold)
-            if dirty:
-                res.manifest = table.compact_deltas(buckets=dirty)
-                res.counts["compacted_delta_files"] = sum(per_bucket[b] for b in dirty)
-                res.counts["compacted_buckets"] = len(dirty)
-        return res
+        return _maybe_compact(table, res, mor_compact_threshold)
 
     # ---- 2. choose the COW strategy by target size (driver-side, from
     # manifest row counts — no Spark job):
@@ -358,6 +353,177 @@ def merge_into(
             os.remove(marker)
         except OSError:
             pass
+
+
+def _maybe_compact(
+    table: LakeTable, res: MergeResult, mor_compact_threshold: int | None
+) -> MergeResult:
+    """Auto-compaction policy shared by every MOR append path: once any
+    single bucket accumulates more than ``threshold`` delta files, fold
+    THAT bucket's deltas into its base file (manifest-pruned rewrite) so
+    steady-state MOR scan cost stays bounded per bucket. Per-bucket, not
+    global: one hot bucket can't force a whole-table compaction, and
+    can't starve while a global count stays low. Threshold comes from
+    the call or the table property "mor.compact.threshold"; 0/absent =
+    manual-only.
+
+    The table property "mor.compact.max_buckets" additionally CAPS how
+    many buckets one commit may fold (worst-first; the rest wait for
+    later commits). Tables that append on a shared cadence — the
+    15-tree refresh epoch — otherwise cross the threshold in the SAME
+    epoch on EVERY bucket, turning one epoch into a synchronized
+    full-fleet rewrite storm; the cap amortizes that rewrite over
+    epochs while read cost stays bounded at threshold + a few deltas."""
+    threshold = mor_compact_threshold
+    if threshold is None:
+        threshold = int(res.manifest.properties.get("mor.compact.threshold", 0) or 0)
+    if threshold:
+        per_bucket: dict[int, int] = {}
+        for f in res.manifest.files:
+            if f.is_delta:
+                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        dirty = sorted(b for b, c in per_bucket.items() if c > threshold)
+        cap = int(res.manifest.properties.get("mor.compact.max_buckets", 0) or 0)
+        if cap and len(dirty) > cap:
+            dirty = sorted(
+                sorted(dirty, key=lambda b: -per_bucket[b])[:cap]
+            )
+        if dirty:
+            res.manifest = table.compact_deltas(buckets=dirty)
+            res.counts["compacted_delta_files"] = sum(per_bucket[b] for b in dirty)
+            res.counts["compacted_buckets"] = len(dirty)
+    return res
+
+
+def merge_local_delta(
+    table: LakeTable,
+    rows: list,
+    source_id: str = "default",
+    batch_id: int | None = None,
+    offset_range: tuple[int, int] | None = None,
+    mor_compact_threshold: int | None = None,
+) -> MergeResult:
+    """Land a DRIVER-LOCAL, table-shaped change set as MOR delta files —
+    ZERO Spark jobs. The small-commit fast path of the incremental
+    refresh epoch: a steady-state epoch's per-tree change set is micro-
+    batch-sized (already on the driver from the batch plan's collect),
+    and pushing ~1k rows back through a Spark write job pays a full
+    job+shuffle+task round of fixed cost per tree per epoch. Here the
+    rows are written straight to per-bucket parquet files with pyarrow
+    (same staging-dir + liveness-marker + rename protocol as
+    ``LakeTable._stage_write``, same footer-derived manifest stats) and
+    committed with the SAME exactly-once fence, lineage, and
+    auto-compaction as ``merge_into(mode="mor")`` — an Iceberg-style
+    metadata commit for change sets below the cluster-work threshold.
+    Large batches must keep the distributed path; callers bound ``rows``
+    (see entities/universe.py's local-commit cap).
+
+    ``rows``: list of dicts, one per key (caller asserts uniqueness,
+    same contract as ``merge_into(batch_unique=True)``), each holding
+    every current-schema column (``_seq``/``_deleted`` included) plus
+    ``_bucket`` (computed IN the batch plan with the table's own
+    ``bucket_expr`` — the driver never re-implements the hash)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    m = table.current_manifest()
+    if batch_id is not None:
+        wm = m.watermarks.get(source_id)
+        if wm is not None and wm.get("batch_id", -1) >= batch_id:
+            return MergeResult(
+                m, {"inserted": 0, "updated": 0, "deleted": 0}, skipped=True
+            )
+    schema = m.schema
+    file_fields = [f for f in schema.fields]  # data cols + _seq + _deleted
+    arrow_schema = to_arrow_schema(T.StructType(file_fields))
+    cluster = m.properties.get("write.sort_within_buckets", "")
+    stat_cols = [c for c in cluster.split(",") if c]
+
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(int(r[BUCKET_COL]), []).append(r)
+
+    stage = os.path.join(table.root, "_staging", f"local_{_uuid.uuid4().hex}")
+    os.makedirs(stage, exist_ok=True)
+    marker = table._stage_marker(stage)
+    new_files: list[DataFile] = []
+    try:
+        for bucket, brows in sorted(by_bucket.items()):
+            if stat_cols:
+                # keep the table's clustering contract: tight col_stats
+                # need the same within-file ordering the Spark path has
+                brows = sorted(
+                    brows,
+                    key=lambda r: tuple(
+                        (r.get(c) is None, r.get(c)) for c in stat_cols
+                    ),
+                )
+            cols = []
+            for f, af in zip(file_fields, arrow_schema):
+                vals = [r.get(f.name) for r in brows]
+                if isinstance(f.dataType, T.MapType):
+                    vals = [
+                        list(v.items()) if isinstance(v, dict) else v
+                        for v in vals
+                    ]
+                cols.append(pa.array(vals, type=af.type))
+            at = pa.Table.from_arrays(cols, schema=arrow_schema)
+            fname = f"{_uuid.uuid4().hex}.parquet"
+            fpath = os.path.join(stage, fname)
+            pq.write_table(at, fpath)
+            dest_dir = os.path.join(
+                table._data_dir, f"{BUCKET_COL}={bucket}"
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, fname)
+            os.replace(fpath, dest)
+            seqs = [r.get(SEQ_COL) for r in brows]
+            non_null = [s for s in seqs if s is not None]
+            stats = {
+                "has_tombstones": any(r.get(DELETED_COL) for r in brows),
+                "min_seq": -1 if len(non_null) < len(seqs) else (
+                    int(min(non_null)) if non_null else None
+                ),
+                "max_seq": int(max(non_null)) if non_null else None,
+            }
+            col_stats = {}
+            for c in stat_cols:
+                vs = [
+                    r.get(c) for r in brows
+                    if isinstance(r.get(c), (int, float, str, bool))
+                ]
+                if vs and len(vs) == len(brows):
+                    col_stats[c] = [min(vs), max(vs)]
+            if col_stats:
+                stats["col_stats"] = col_stats
+            new_files.append(
+                DataFile(
+                    path=os.path.relpath(dest, table.root),
+                    bucket=bucket,
+                    rows=len(brows),
+                    bytes=os.path.getsize(dest),
+                    schema_version=m.current_schema_version,
+                    is_delta=True,
+                    stats=stats,
+                )
+            )
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+    counts = {"appended": len(rows)}
+    res = _commit(
+        table, m, m.files, new_files, batch_id, source_id, offset_range,
+        counts,
+    )
+    return _maybe_compact(table, res, mor_compact_threshold)
 
 
 def _staged_row_count(stage_dir: str) -> int:

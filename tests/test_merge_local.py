@@ -1,0 +1,172 @@
+"""Driver-local MOR delta commits (merge_local_delta): equivalence with
+the distributed merge, fence semantics, and the per-commit compaction
+bucket cap.
+
+merge_local_delta is the small-commit fast path of the incremental
+entity-universe refresh (entities/universe.py): a change-set-sized batch
+is collected once and lands as pyarrow-written delta files with zero
+further Spark work, under the SAME exactly-once fence, lineage, stats,
+and auto-compaction contracts as merge_into(mode="mor").
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.lake import LakeTable, merge_into
+from encode_ingest_spark.lake.merge import (
+    merge_local_delta,
+    normalize_batch,
+)
+from encode_ingest_spark.lake.table import BUCKET_COL, bucket_expr
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("xs", T.ArrayType(T.StringType()), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _mk_table(spark, tmp_path, name):
+    return LakeTable.create(
+        spark, str(tmp_path / name), SCHEMA, ["id"], num_buckets=4
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, label string, xs array<string>, n long, "
+        "op string, event_seq long"
+    )
+
+
+def _local_rows(table, batch):
+    """Collect a batch the way entities/universe.py's fused wave does:
+    normalized to table shape with the table's own bucket_expr."""
+    m = table.current_manifest()
+    prepared = normalize_batch(batch, m.schema, m.key_cols).withColumn(
+        BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets)
+    )
+    return [r.asDict(recursive=True) for r in prepared.collect()]
+
+
+B1 = [
+    ("a", "one", ["x", "y"], 1, "upsert", 10),
+    ("b", "two", None, 2, "upsert", 10),
+    ("c", "three", ["z"], 3, "upsert", 10),
+    ("d", "four", [], 4, "upsert", 10),
+]
+B2 = [
+    ("a", "one-v2", ["x"], 11, "upsert", 20),
+    ("b", None, None, None, "delete", 20),
+    ("e", "five", ["w"], 5, "upsert", 20),
+]
+
+
+def test_local_delta_matches_distributed_merge(spark, tmp_path):
+    t_dist = _mk_table(spark, tmp_path, "dist")
+    t_loc = _mk_table(spark, tmp_path, "loc")
+    for t in (t_dist, t_loc):
+        merge_into(t, _batch(spark, B1), batch_id=1)
+
+    b2 = _batch(spark, B2)
+    merge_into(t_dist, b2, batch_id=2, mode="mor", batch_unique=True)
+    res = merge_local_delta(t_loc, _local_rows(t_loc, b2), batch_id=2)
+    assert not res.skipped
+    assert res.counts["appended"] == 3
+    assert any(f.is_delta for f in t_loc.current_manifest().files)
+
+    cols = ["id", "label", "xs", "n"]
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in t_loc.read().select(*cols).collect()
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in t_dist.read().select(*cols).collect()
+    )
+    assert got == want
+    # tombstone applied: b gone, a superseded, e inserted
+    ids = {r.id for r in t_loc.read().select("id").collect()}
+    assert ids == {"a", "c", "d", "e"}
+
+
+def test_local_delta_exactly_once_fence(spark, tmp_path):
+    t = _mk_table(spark, tmp_path, "fence")
+    merge_into(t, _batch(spark, B1), batch_id=1)
+    rows = _local_rows(t, _batch(spark, B2))
+    r1 = merge_local_delta(t, rows, batch_id=2)
+    assert not r1.skipped
+    v = t.current_version()
+    r2 = merge_local_delta(t, rows, batch_id=2)
+    assert r2.skipped
+    assert t.current_version() == v
+
+
+def test_local_delta_manifest_stats_prune(spark, tmp_path):
+    """Local delta files carry the same footer-derived manifest stats as
+    Spark-written ones: seq bounds + tombstone flag."""
+    t = _mk_table(spark, tmp_path, "stats")
+    merge_into(t, _batch(spark, B1), batch_id=1)
+    merge_local_delta(t, _local_rows(t, _batch(spark, B2)), batch_id=2)
+    deltas = [f for f in t.current_manifest().files if f.is_delta]
+    assert deltas
+    for f in deltas:
+        assert f.stats is not None
+        assert f.stats["min_seq"] == 20
+        assert f.stats["max_seq"] == 20
+    assert any(f.stats["has_tombstones"] for f in deltas)
+
+
+def test_mor_compact_max_buckets_caps_per_commit(spark, tmp_path):
+    """The per-commit compaction cap folds only the worst buckets;
+    remaining over-threshold buckets compact on later commits — the
+    anti-storm amortization for fleets appending on one cadence."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "cap"), SCHEMA, ["id"], num_buckets=4,
+        properties={
+            "mor.compact.threshold": "2",
+            "mor.compact.max_buckets": "1",
+        },
+    )
+    ids = [f"k{i}" for i in range(16)]  # spread across all 4 buckets
+    merge_into(
+        t,
+        _batch(spark, [(i, "v0", None, 0, "upsert", 1) for i in ids]),
+        batch_id=1,
+    )
+
+    def deltas_per_bucket():
+        per = {}
+        for f in t.current_manifest().files:
+            if f.is_delta:
+                per[f.bucket] = per.get(f.bucket, 0) + 1
+        return per
+
+    compacted = []
+    for e in range(2, 7):
+        res = merge_into(
+            t,
+            _batch(
+                spark,
+                [(i, f"v{e}", None, e, "upsert", e * 10) for i in ids],
+            ),
+            batch_id=e,
+            mode="mor",
+            batch_unique=True,
+        )
+        if "compacted_buckets" in res.counts:
+            # the cap holds per commit
+            assert res.counts["compacted_buckets"] <= 1
+            compacted.append(res.counts["compacted_buckets"])
+        # and read cost stays bounded: a deferred bucket grows one
+        # delta per commit while waiting, so the worst chain is
+        # threshold + num_buckets/cap appends
+        assert max(deltas_per_bucket().values(), default=0) <= 6
+    assert compacted, "compaction never triggered"
+    # correctness is never traded: final state is the last upsert set
+    rows = {r.id: r.label for r in t.read().collect()}
+    assert rows == {i: "v6" for i in ids}
