@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.memo import session_memo
 from ..functions import (
     audit_labels,
     audit_level_color,
@@ -47,6 +48,27 @@ def _mint_all(col: Column) -> Column:
     return F.transform(F.coalesce(col, _empty()), lambda x: transform_id(x))
 
 
+def _antibody_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
+    aid = transform_id(F.col("@id"))
+    return [
+        aid.alias("antibody_id"),
+        aid.alias("label"),
+        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
+        F.to_timestamp("date_created").alias("date_created"),
+        to_encode_url(F.col("source")).alias("source"),
+        F.col("clonality").alias("clonality"),
+        to_encode_url(F.col("host_organism")).alias("host_organism"),
+        to_encode_url(F.col("award")).alias("award"),
+        F.col("isotype").alias("isotype"),
+        to_encode_url(F.col("lab")).alias("lab"),
+        F.col("lot_id").alias("lot"),
+        F.col("product_id").alias("part_number"),
+        F.coalesce(F.col("purifications"), _empty()).alias("purification_methods"),
+        F.col("@id").alias("_aid"),
+        ]
+
+
 def _modality_from_term(term: Column) -> Column:
     """getDataModalityFromTerm: Option[term] → 0/1-element modality list
     (AssayActivityTransformations.scala:42-44)."""
@@ -66,28 +88,33 @@ RAW_ANTIBODY_SCHEMA = (
 RAW_TARGET_SCHEMA = "antibody string, organism string, label string"
 
 
+def _treatment_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
+    tid = transform_id(F.col("@id"))
+    return [
+        tid.alias("sampletreatmentactivity_id"),
+        tid.alias("label"),
+        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
+        F.to_timestamp("date_created").alias("date_created"),
+        F.lit("SampleTreatment").alias("activity_type"),
+        _empty().alias("data_modality"),
+        F.col("treatment_type").alias("sample_treatment_method"),
+        F.col("treatment_term_id").alias("treatment_term_id"),
+        F.col("treatment_term_name").alias("treatment_term_name"),
+        F.col("amount").alias("amount"),
+        F.col("amount_units").alias("amount_units"),
+        F.col("duration").alias("duration"),
+        F.col("duration_units").alias("duration_units"),
+        F.col("purpose").alias("sample_treatment_type"),
+        ]
+
+
 def transform_antibody(raw: DataFrame, targets: DataFrame | None = None) -> DataFrame:
     """AntibodyTransformations.scala:11-41. ``target`` = the label of a
     HUMAN-organism joined target (reference: .filter(organism ==
     '/organisms/human/').headOption — headOption over an unordered
     iterable; canonicalized to min(label))."""
-    aid = transform_id(F.col("@id"))
-    out = raw.select(
-        aid.alias("antibody_id"),
-        aid.alias("label"),
-        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
-        F.to_timestamp("date_created").alias("date_created"),
-        to_encode_url(F.col("source")).alias("source"),
-        F.col("clonality").alias("clonality"),
-        to_encode_url(F.col("host_organism")).alias("host_organism"),
-        to_encode_url(F.col("award")).alias("award"),
-        F.col("isotype").alias("isotype"),
-        to_encode_url(F.col("lab")).alias("lab"),
-        F.col("lot_id").alias("lot"),
-        F.col("product_id").alias("part_number"),
-        F.coalesce(F.col("purifications"), _empty()).alias("purification_methods"),
-        F.col("@id").alias("_aid"),
-    )
+    out = raw.select(*session_memo("antibody_cols", _antibody_cols))
     if targets is not None:
         human = (
             targets.filter(F.col("organism") == "/organisms/human/")
@@ -111,38 +138,10 @@ RAW_TREATMENT_SCHEMA = (
 )
 
 
-def transform_sample_treatment(raw: DataFrame) -> DataFrame:
-    """SampleTreatmentActivityTransformations.scala:13-37."""
-    tid = transform_id(F.col("@id"))
-    return raw.select(
-        tid.alias("sampletreatmentactivity_id"),
-        tid.alias("label"),
-        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
-        F.to_timestamp("date_created").alias("date_created"),
-        F.lit("SampleTreatment").alias("activity_type"),
-        _empty().alias("data_modality"),
-        F.col("treatment_type").alias("sample_treatment_method"),
-        F.col("treatment_term_id").alias("treatment_term_id"),
-        F.col("treatment_term_name").alias("treatment_term_name"),
-        F.col("amount").alias("amount"),
-        F.col("amount_units").alias("amount_units"),
-        F.col("duration").alias("duration"),
-        F.col("duration_units").alias("duration_units"),
-        F.col("purpose").alias("sample_treatment_type"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# LibraryPreparationActivity (⟕ experiment for modality)
-# ---------------------------------------------------------------------------
-def transform_library_preparation(
-    libraries: DataFrame, experiments_by_library: DataFrame | None = None
-) -> DataFrame:
-    """LibraryPreparationActivityTransformations.scala:14-33.
-    ``experiments_by_library``: (library @id, assay_term_name) — the J9
-    library⟕experiment linkage, pre-resolved."""
+def _libprep_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
     lid = transform_id(F.col("@id"))
-    out = libraries.select(
+    return [
         F.col("@id").alias("_lid_raw"),
         lid.alias("librarypreparationactivity_id"),
         lid.alias("label"),
@@ -151,7 +150,47 @@ def transform_library_preparation(
         F.array(lid).alias("generated_library_id"),
         F.array(transform_id(F.col("biosample"))).alias("uses_sample_biosample_id"),
         F.lit("LibraryPreparation").alias("activity_type"),
-    )
+        ]
+
+
+def transform_sample_treatment(raw: DataFrame) -> DataFrame:
+    """SampleTreatmentActivityTransformations.scala:13-37."""
+    return raw.select(*session_memo("treatment_cols", _treatment_cols))
+
+
+# ---------------------------------------------------------------------------
+# LibraryPreparationActivity (⟕ experiment for modality)
+# ---------------------------------------------------------------------------
+def _alignment_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
+    fid = transform_id(F.col("@id"))
+    dataset = transform_id(F.col("dataset"))
+    aid = F.concat(fid, F.lit("_"), dataset)
+    return [
+        aid.alias("alignmentactivity_id"),
+        aid.alias("label"),
+        F.array(to_encode_url(F.col("@id"))).alias("xref"),
+        F.to_timestamp("date_created").alias("date_created"),
+        F.lit("Alignment").alias("activity_type"),
+        modality_expr_array(F.coalesce(F.col("assay_term_name"), _empty())).alias(
+            "data_modality"
+        ),
+        F.array(fid).alias("generated_file_id"),
+        F.when(F.col("assembly").isNotNull(), F.array(F.col("assembly")))
+        .otherwise(_empty())
+        .alias("reference_assembly"),
+        _mint_all(F.col("derived_from")).alias("used_file_id"),
+        to_encode_url(F.col("lab")).alias("lab"),
+        ]
+
+
+def transform_library_preparation(
+    libraries: DataFrame, experiments_by_library: DataFrame | None = None
+) -> DataFrame:
+    """LibraryPreparationActivityTransformations.scala:14-33.
+    ``experiments_by_library``: (library @id, assay_term_name) — the J9
+    library⟕experiment linkage, pre-resolved."""
+    out = libraries.select(*session_memo("libprep_cols", _libprep_cols))
     if experiments_by_library is not None:
         exp = experiments_by_library.select(
             F.col("library").alias("_e_lib"),
@@ -170,41 +209,12 @@ def transform_library_preparation(
 # ---------------------------------------------------------------------------
 # Alignment / Sequencing activities (row-wise over alignment/raw files)
 # ---------------------------------------------------------------------------
-def transform_alignment_activity(raw_files: DataFrame) -> DataFrame:
-    """AlignmentActivityTransformations.scala:16-40 — id is the F2
-    composite ``{fileId}_{dataset}`` (dataset REQUIRED here, unlike
-    sequencing's empty-string fallback)."""
-    fid = transform_id(F.col("@id"))
-    dataset = transform_id(F.col("dataset"))
-    aid = F.concat(fid, F.lit("_"), dataset)
-    return raw_files.select(
-        aid.alias("alignmentactivity_id"),
-        aid.alias("label"),
-        F.array(to_encode_url(F.col("@id"))).alias("xref"),
-        F.to_timestamp("date_created").alias("date_created"),
-        F.lit("Alignment").alias("activity_type"),
-        modality_expr_array(F.coalesce(F.col("assay_term_name"), _empty())).alias(
-            "data_modality"
-        ),
-        F.array(fid).alias("generated_file_id"),
-        F.when(F.col("assembly").isNotNull(), F.array(F.col("assembly")))
-        .otherwise(_empty())
-        .alias("reference_assembly"),
-        _mint_all(F.col("derived_from")).alias("used_file_id"),
-        to_encode_url(F.col("lab")).alias("lab"),
-    )
-
-
-def transform_sequencing_activity(
-    raw_files: DataFrame, libraries: DataFrame | None = None
-) -> DataFrame:
-    """SequencingActivityTransformations.scala:17-48 — F2 composite id
-    with empty-string dataset fallback; library linkage shares the J14
-    overlap join with the File mapper."""
+def _sequencing_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
     fid = transform_id(F.col("@id"))
     dataset = F.coalesce(transform_id(F.col("dataset")), F.lit(""))
     sid = F.concat(fid, F.lit("_"), dataset)
-    out = raw_files.select(
+    return [
         "@id",
         sid.alias("sequencingactivity_id"),
         sid.alias("label"),
@@ -220,7 +230,53 @@ def transform_sequencing_activity(
         to_encode_url(F.col("lab")).alias("lab"),
         to_encode_url(F.col("platform")).alias("platform"),
         _empty().alias("assay_type"),
-    )
+        ]
+
+
+def transform_alignment_activity(raw_files: DataFrame) -> DataFrame:
+    """AlignmentActivityTransformations.scala:16-40 — id is the F2
+    composite ``{fileId}_{dataset}`` (dataset REQUIRED here, unlike
+    sequencing's empty-string fallback)."""
+    return raw_files.select(*session_memo("alignment_cols", _alignment_cols))
+
+
+def _refset_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
+    rid = transform_id(F.col("@id"))
+    return [
+        rid.alias("referencefileset_id"),
+        rid.alias("label"),
+        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
+        F.coalesce(F.col("assembly"), _empty()).alias("reference_assembly"),
+        F.col("description").alias("description"),
+        F.coalesce(F.col("document"), _empty()).alias("document"),
+        F.col("doi").alias("doid"),
+        F.coalesce(F.col("elements_selection_method"), _empty()).alias(
+            "elements_selection_method"
+        ),
+        F.coalesce(F.col("examined_loci"), _empty()).alias("examined_loci"),
+        _empty().alias("examined_region"),
+        to_encode_url(F.col("lab")).alias("lab"),
+        F.col("reference_type").alias("reference_type"),
+        F.coalesce(F.col("references"), _empty()).alias("references"),
+        F.coalesce(F.col("software_used"), _empty()).alias("software_used"),
+        _mint_all(F.col("donor")).alias("donor_id"),
+        _mint_all(F.col("files")).alias("generated_file_id"),
+        _mint_all(F.col("derived_from_")).alias("derived_from_file_id"),
+        _mint_all(F.col("original_files")).alias("original_file_id"),
+        _mint_all(F.col("related_files")).alias("related_file_id"),
+        _mint_all(F.col("related_pipelines")).alias("related_pipeline_id"),
+        F.col("organism").alias("_org_fk"),
+        ]
+
+
+def transform_sequencing_activity(
+    raw_files: DataFrame, libraries: DataFrame | None = None
+) -> DataFrame:
+    """SequencingActivityTransformations.scala:17-48 — F2 composite id
+    with empty-string dataset fallback; library linkage shares the J14
+    overlap join with the File mapper."""
+    out = raw_files.select(*session_memo("sequencing_cols", _sequencing_cols))
     if libraries is not None:
         links = file_library_links(raw_files, libraries)
         out = (
@@ -252,32 +308,7 @@ def transform_reference_file_set(
 ) -> DataFrame:
     """ReferenceFileSetTransformations.scala:11-63 (examined_region is a
     hard-coded empty list in the reference, line 32)."""
-    rid = transform_id(F.col("@id"))
-    out = raw.select(
-        rid.alias("referencefileset_id"),
-        rid.alias("label"),
-        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
-        F.coalesce(F.col("assembly"), _empty()).alias("reference_assembly"),
-        F.col("description").alias("description"),
-        F.coalesce(F.col("document"), _empty()).alias("document"),
-        F.col("doi").alias("doid"),
-        F.coalesce(F.col("elements_selection_method"), _empty()).alias(
-            "elements_selection_method"
-        ),
-        F.coalesce(F.col("examined_loci"), _empty()).alias("examined_loci"),
-        _empty().alias("examined_region"),
-        to_encode_url(F.col("lab")).alias("lab"),
-        F.col("reference_type").alias("reference_type"),
-        F.coalesce(F.col("references"), _empty()).alias("references"),
-        F.coalesce(F.col("software_used"), _empty()).alias("software_used"),
-        _mint_all(F.col("donor")).alias("donor_id"),
-        _mint_all(F.col("files")).alias("generated_file_id"),
-        _mint_all(F.col("derived_from_")).alias("derived_from_file_id"),
-        _mint_all(F.col("original_files")).alias("original_file_id"),
-        _mint_all(F.col("related_files")).alias("related_file_id"),
-        _mint_all(F.col("related_pipelines")).alias("related_pipeline_id"),
-        F.col("organism").alias("_org_fk"),
-    )
+    out = raw.select(*session_memo("refset_cols", _refset_cols))
     if organisms is not None:
         org = F.broadcast(
             organisms.select(
@@ -318,27 +349,10 @@ def _grouped_replicates(replicates: DataFrame) -> DataFrame:
     )
 
 
-def _grouped_exp_libraries(libraries_by_experiment: DataFrame) -> DataFrame:
-    """Per experiment: minted library ids (sorted) and minted biosample
-    FKs. Input: (experiment, `@id`, biosample) rows — the J8/J9-resolved
-    library-per-experiment linkage."""
-    return libraries_by_experiment.groupBy(F.col("experiment").alias("_exp")).agg(
-        F.sort_array(F.collect_list(transform_id(F.col("@id")))).alias("_library_ids"),
-        F.sort_array(
-            F.array_distinct(F.collect_list(transform_id(F.col("biosample"))))
-        ).alias("_biosample_ids"),
-    )
-
-
-def transform_experiment_activity(
-    raw: DataFrame,
-    replicates: DataFrame | None = None,
-    libraries_by_experiment: DataFrame | None = None,
-) -> DataFrame:
-    """ExperimentActivityTransformations.scala:12-60 (usesSample ids are
-    .sorted.distinct and library ids .sorted in the reference itself)."""
+def _experiment_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
     eid = transform_id(F.col("@id"))
-    out = raw.select(
+    return [
         "@id",
         eid.alias("experimentactivity_id"),
         eid.alias("label"),
@@ -356,7 +370,45 @@ def transform_experiment_activity(
         F.col("status").alias("status"),
         _mint_all(F.col("contributing_files")).alias("used_file_id"),
         _mint_all(F.col("files")).alias("generated_file_id"),
+        ]
+
+
+def _grouped_exp_libraries(libraries_by_experiment: DataFrame) -> DataFrame:
+    """Per experiment: minted library ids (sorted) and minted biosample
+    FKs. Input: (experiment, `@id`, biosample) rows — the J8/J9-resolved
+    library-per-experiment linkage."""
+    return libraries_by_experiment.groupBy(F.col("experiment").alias("_exp")).agg(
+        F.sort_array(F.collect_list(transform_id(F.col("@id")))).alias("_library_ids"),
+        F.sort_array(
+            F.array_distinct(F.collect_list(transform_id(F.col("biosample"))))
+        ).alias("_biosample_ids"),
     )
+
+
+def _assay_cols() -> list:
+    """Static projection, built once per session (functions.memo)."""
+    eid = transform_id(F.col("@id"))
+    return [
+        "@id",
+        eid.alias("assayactivity_id"),
+        eid.alias("label"),
+        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
+        F.to_timestamp("date_created").alias("date_created"),
+        F.get(F.col("assay_slims"), 0).alias("assay_category"),
+        F.col("assay_term_id").alias("assay_type"),
+        _modality_from_term(F.col("assay_term_name")).alias("data_modality"),
+        F.lit("Assay").alias("activity_type"),
+        ]
+
+
+def transform_experiment_activity(
+    raw: DataFrame,
+    replicates: DataFrame | None = None,
+    libraries_by_experiment: DataFrame | None = None,
+) -> DataFrame:
+    """ExperimentActivityTransformations.scala:12-60 (usesSample ids are
+    .sorted.distinct and library ids .sorted in the reference itself)."""
+    out = raw.select(*session_memo("experiment_cols", _experiment_cols))
     return _attach_groups(out, replicates, libraries_by_experiment, assay=False)
 
 
@@ -368,18 +420,7 @@ def transform_assay_activity(
 ) -> DataFrame:
     """AssayActivityTransformations.scala:12-40. ``files_by_experiment``:
     (experiment, `@id`) rows of the files linked per experiment (J12)."""
-    eid = transform_id(F.col("@id"))
-    out = raw.select(
-        "@id",
-        eid.alias("assayactivity_id"),
-        eid.alias("label"),
-        cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
-        F.to_timestamp("date_created").alias("date_created"),
-        F.get(F.col("assay_slims"), 0).alias("assay_category"),
-        F.col("assay_term_id").alias("assay_type"),
-        _modality_from_term(F.col("assay_term_name")).alias("data_modality"),
-        F.lit("Assay").alias("activity_type"),
-    )
+    out = raw.select(*session_memo("assay_cols", _assay_cols))
     if files_by_experiment is not None:
         gf = files_by_experiment.groupBy(F.col("experiment").alias("_fexp")).agg(
             F.sort_array(

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.memo import session_memo
 from ..functions import (
     age_lower_bound,
     age_upper_bound,
@@ -223,8 +224,22 @@ def transform_biosample(
             grouped_genetic_mods(genetic_mods), bio["@id"] == F.col("_bio_id"), "left"
         ).drop("_bio_id")
 
+    key = ("biosample_cols", libraries is not None,
+           genetic_mods is not None, organisms)
+    return bio.select(*session_memo(
+        key,
+        lambda: _biosample_cols(
+            libraries is not None, genetic_mods is not None, organisms
+        ),
+    ))
+
+
+def _biosample_cols(has_libraries: bool, has_gm: bool,
+                    organisms: tuple[str, ...]) -> list:
+    """The biosample projection for a given input-presence shape,
+    built once per session per shape (see functions.memo)."""
     def gm(name: str, typ: str = "array<string>") -> Column:
-        if genetic_mods is None:
+        if not has_gm:
             return F.array().cast(typ)
         return F.coalesce(F.col(name), F.array().cast(typ))
 
@@ -262,11 +277,11 @@ def transform_biosample(
         classification, [(("cell line",), F.col("_term_id"))]
     )
 
-    parts = F.coalesce(F.col("_part_numbers"), _empty()) if libraries is not None else _empty()
-    lots = F.coalesce(F.col("_lot_ids"), _empty()) if libraries is not None else _empty()
-    lib_ids = F.coalesce(F.col("_library_prep_ids"), _empty()) if libraries is not None else _empty()
+    parts = F.coalesce(F.col("_part_numbers"), _empty()) if has_libraries else _empty()
+    lots = F.coalesce(F.col("_lot_ids"), _empty()) if has_libraries else _empty()
+    lib_ids = F.coalesce(F.col("_library_prep_ids"), _empty()) if has_libraries else _empty()
 
-    return bio.select(
+    return [
         bid.alias("biosample_id"),
         bid.alias("label"),
         cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
@@ -348,4 +363,4 @@ def transform_biosample(
         gm("_gm_crispr").alias("crispr_system"),
         gm("_gm_cas_species").alias("cas_species"),
         gm("_gm_description").alias("description"),
-    )
+    ]

@@ -24,6 +24,7 @@ from ..functions import (
     to_encode_url,
     transform_id,
 )
+from ..functions.memo import session_memo
 
 # Raw donor schema, mirroring the unit-fixture shape the reference tests
 # with (DonorTransformationsSpec.scala:10-23; FIXTURES.md §4).
@@ -36,30 +37,10 @@ RAW_DONOR_SCHEMA = (
 )
 
 
-def transform_donor(
-    raw: DataFrame,
-    organisms: DataFrame | None = None,
-    extra: dict[str, F.Column] | None = None,
-) -> DataFrame:
-    """Donor mapper — field-for-field parity with
-    DonorTransformations.scala:13-54:
-
-    * donor_id/label minted from @id (transformId)
-    * xref = encode-url(@id) :: dbxrefs
-    * age bounds per CommonTransformations.computeAgeLowerAndUpperbounds
-    * sibling_donor_id = distinct(twin :: siblings), minted
-    * organism_type = organism.scientific_name via left join (J6 —
-      organisms are tiny → broadcast), falling back to the raw FK string
-    * part_of_dataset_id = 'ENCODE' constant
-
-    ``extra`` appends caller columns computed over the RAW rows (e.g.
-    the CDC envelope when the mapper runs as an incremental-refresh
-    ProjectionSpec over a raw-donor changelog).
-    """
+def _donor_cols() -> list:
+    """The donor projection, built once per session (see functions.memo)."""
     donor_id = transform_id(F.col("@id"))
-    extras = [c.alias(n) for n, c in (extra or {}).items()]
-    out = raw.select(
-        *extras,
+    return [
         donor_id.alias("donor_id"),
         donor_id.alias("label"),
         cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
@@ -91,7 +72,31 @@ def transform_donor(
             lambda p: transform_id(p),
         ).alias("parent_donor_id"),
         to_encode_url(F.col("submitted_by")).alias("submitted_by"),
-    )
+    ]
+
+
+def transform_donor(
+    raw: DataFrame,
+    organisms: DataFrame | None = None,
+    extra: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Donor mapper — field-for-field parity with
+    DonorTransformations.scala:13-54:
+
+    * donor_id/label minted from @id (transformId)
+    * xref = encode-url(@id) :: dbxrefs
+    * age bounds per CommonTransformations.computeAgeLowerAndUpperbounds
+    * sibling_donor_id = distinct(twin :: siblings), minted
+    * organism_type = organism.scientific_name via left join (J6 —
+      organisms are tiny → broadcast), falling back to the raw FK string
+    * part_of_dataset_id = 'ENCODE' constant
+
+    ``extra`` appends caller columns computed over the RAW rows (e.g.
+    the CDC envelope when the mapper runs as an incremental-refresh
+    ProjectionSpec over a raw-donor changelog).
+    """
+    extras = [c.alias(n) for n, c in (extra or {}).items()]
+    out = raw.select(*extras, *session_memo("donor_cols", _donor_cols))
     if organisms is not None:
         org = F.broadcast(
             organisms.select(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.memo import session_memo
 from ..functions import (
     audit_labels,
     audit_level_color,
@@ -75,10 +76,10 @@ def library_biosamples(libraries: DataFrame) -> Column:
     ).otherwise(F.coalesce(libraries["mixed_biosamples"], _empty()))
 
 
-def transform_library(raw: DataFrame) -> DataFrame:
-    """Library mapper — LibraryTransformations.scala:19-52."""
+def _library_cols() -> list:
+    """The library projection, built once per session (functions.memo)."""
     lid = transform_id(F.col("@id"))
-    return raw.select(
+    return [
         lid.alias("library_id"),
         lid.alias("label"),
         cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
@@ -100,7 +101,12 @@ def transform_library(raw: DataFrame) -> DataFrame:
         transform_id(F.col("biosample")).alias("uses_sample_biosample_id"),
         F.col("nucleic_acid_term_id").alias("prep_material"),
         F.col("nucleic_acid_term_name").alias("prep_material_name"),
-    )
+    ]
+
+
+def transform_library(raw: DataFrame) -> DataFrame:
+    """Library mapper — LibraryTransformations.scala:19-52."""
+    return raw.select(*session_memo("library_cols", _library_cols))
 
 
 def file_library_links(files: DataFrame, libraries: DataFrame) -> DataFrame:
@@ -128,13 +134,11 @@ def file_library_links(files: DataFrame, libraries: DataFrame) -> DataFrame:
     )
 
 
-def transform_file(raw: DataFrame, libraries: DataFrame | None = None) -> DataFrame:
-    """File mapper — FileTransformations.scala:91-152. ``libraries`` is
-    the raw library table (small; broadcast for the J14 linkage);
-    omitted → empty library ids (the reference's empty side input)."""
+def _file_cols() -> list:
+    """The file projection, built once per session (functions.memo)."""
     fid = transform_id(F.col("@id"))
-    out = raw.select(
-        "@id",
+    return [
+        F.col("@id"),
         fid.alias("file_id"),
         fid.alias("label"),
         cons_array(to_encode_url(F.col("@id")), F.col("dbxrefs")).alias("xref"),
@@ -167,7 +171,14 @@ def transform_file(raw: DataFrame, libraries: DataFrame | None = None) -> DataFr
         transform_id(F.col("paired_with")).alias("paired_with_file_id"),
         F.col("file_size").alias("file_size"),
         F.col("md5checksum").alias("file_md5sum"),
-    )
+    ]
+
+
+def transform_file(raw: DataFrame, libraries: DataFrame | None = None) -> DataFrame:
+    """File mapper — FileTransformations.scala:91-152. ``libraries`` is
+    the raw library table (small; broadcast for the J14 linkage);
+    omitted → empty library ids (the reference's empty side input)."""
+    out = raw.select(*session_memo("file_cols", _file_cols))
     if libraries is not None:
         links = file_library_links(raw, libraries)
         out = (

@@ -308,7 +308,9 @@ def refresh_derived(
                     # a user group_id may map null pushdown values into
                     # a real group (e.g. coalesce(lang, 'unknown'))
                     non_null = [v for v in vals if v is not None]
-                    pred = F.col(spec.pushdown_col).isin(non_null)
+                    from .universe import _isin_literal
+
+                    pred = _isin_literal(spec.pushdown_col, non_null)
                     # value-range FILE pruning only when no null is
                     # sought: col_stats ranges say nothing about a
                     # file's null rows, so pruning could drop them

@@ -26,6 +26,7 @@ dictionary is mapped over its assay_term_name array.
 
 from __future__ import annotations
 
+import weakref
 from itertools import chain
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -132,10 +133,28 @@ ASSAY_TERM_TO_MODALITY: dict[str, str] = {
 }
 
 
+_MAP_LITERAL_CACHE: "weakref.WeakKeyDictionary[SparkSession, Column]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _map_literal() -> Column:
-    return F.create_map(
+    # ~97 entries × 2 F.lit py4j round trips is ~0.1 s of pure driver
+    # time PER CALL (profiled: 0.7 s/epoch across 7 mapper calls).
+    # Columns bind by name, not DataFrame, so one built literal serves
+    # every plan in a session; the WeakKeyDictionary drops it with the
+    # session (bench ladders start several sessions per process).
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        col = _MAP_LITERAL_CACHE.get(spark)
+        if col is not None:
+            return col
+    col = F.create_map(
         *[F.lit(x) for x in chain.from_iterable(ASSAY_TERM_TO_MODALITY.items())]
     )
+    if spark is not None:
+        _MAP_LITERAL_CACHE[spark] = col
+    return col
 
 
 def modality_expr(term: Column | str) -> Column:

@@ -1,7 +1,14 @@
 """Snapshot-versioned parquet lake-table format with CDC MERGE."""
 
 from .evolution import SchemaEvolutionError, align_to_schema, merge_schemas
-from .merge import EVENT_SEQ_COL, OP_COL, MergeResult, merge_into
+from .merge import (
+    EVENT_SEQ_COL,
+    OP_COL,
+    MergeResult,
+    merge_into,
+    merge_local_delta,
+    merge_small_batch,
+)
 from .table import (
     BUCKET_COL,
     DELETED_COL,
@@ -23,6 +30,8 @@ __all__ = [
     "SchemaEvolutionError",
     "MergeResult",
     "merge_into",
+    "merge_local_delta",
+    "merge_small_batch",
     "merge_schemas",
     "align_to_schema",
     "bucket_expr",

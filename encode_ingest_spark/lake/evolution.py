@@ -114,7 +114,17 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     whose type differs only in (nested) nullability are passed through
     untouched — same layout, and Spark rejects such casts. Pure column
     expressions — stays inside whole-stage codegen."""
-    have = {f.name: f.dataType for f in df.schema.fields}
+    fields = df.schema.fields
+    if len(fields) == len(target.fields) and all(
+        a.name == b.name
+        and a.dataType.simpleString() == b.dataType.simpleString()
+        for a, b in zip(fields, target.fields)
+    ):
+        # already aligned (the steady-state no-evolution case): skip the
+        # per-column re-projection — it is N py4j calls + a select per
+        # scan group, pure driver fixed cost at micro-batch scale
+        return df
+    have = {f.name: f.dataType for f in fields}
     cols = []
     for f in target.fields:
         src = have.get(f.name)

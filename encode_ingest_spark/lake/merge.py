@@ -526,6 +526,67 @@ def merge_local_delta(
     return _maybe_compact(table, res, mor_compact_threshold)
 
 
+def merge_small_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    source_id: str = "default",
+    batch_id: int | None = None,
+    offset_range: tuple[int, int] | None = None,
+    evolve: bool = True,
+    local_cap: int = 2000,
+    mor_compact_threshold: int | None = None,
+) -> MergeResult:
+    """MERGE with the driver-local small-commit fast path: plan the
+    batch winners exactly like ``merge_into`` (normalize → per-key
+    ``max_by`` → bucket id, all Spark-side so bucket hashing and tie
+    resolution can never diverge from the distributed path), run ONE
+    capped collect, and when the change set is ≤ ``local_cap`` rows
+    land it via :func:`merge_local_delta` — zero further Spark work,
+    same fence/lineage/stats/compaction. Over-cap batches fall back to
+    ``merge_into(mode="mor")``, re-planning from the original batch
+    (one wasted capped collect — the caller opts in because its batches
+    are micro-sized by construction, e.g. a trickle CDC stream's
+    steady-state micro-batches).
+
+    Rationale: a micro-batch merge pays a full job + shuffle + write
+    task round of fixed cost to move ~1k rows; at trickle cadence that
+    fixed cost IS the pipeline's latency floor (the same measured trade
+    as the entity-universe refresh's fused local commits)."""
+    m = table.current_manifest()
+    if batch_id is not None:
+        wm = m.watermarks.get(source_id)
+        if wm is not None and wm.get("batch_id", -1) >= batch_id:
+            return MergeResult(
+                m, {"inserted": 0, "updated": 0, "deleted": 0}, skipped=True
+            )
+    batch = batch.drop(EVENT_TS_COL)
+    if evolve:
+        m = table.evolve_schema(batch.drop(OP_COL, EVENT_SEQ_COL).schema)
+    keys = m.key_cols
+    payload = normalize_batch(batch, m.schema, keys)
+    non_key = [c for c in payload.columns if c not in keys]
+    seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
+    winners = (
+        payload.groupBy(*keys)
+        .agg(F.max_by(F.struct(*non_key), seq_order).alias("_w"))
+        .select(*keys, "_w.*")
+        .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+    )
+    head = winners.limit(local_cap + 1).collect()
+    if len(head) > local_cap:
+        return merge_into(
+            table, batch, source_id=source_id, batch_id=batch_id,
+            offset_range=offset_range, evolve=False, mode="mor",
+            mor_compact_threshold=mor_compact_threshold,
+        )
+    rows = [r.asDict(recursive=True) for r in head]
+    return merge_local_delta(
+        table, rows, source_id=source_id, batch_id=batch_id,
+        offset_range=offset_range,
+        mor_compact_threshold=mor_compact_threshold,
+    )
+
+
 def _staged_row_count(stage_dir: str) -> int:
     """Total rows of a staged batch from parquet footers (driver-side
     metadata, no Spark job)."""

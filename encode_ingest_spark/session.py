@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4 wraps EVERY DataFrame/Column API call with a
+        # call-site capture for error context: a conf.get py4j round
+        # trip + a JVM PySparkCurrentOrigin.set + Python frame
+        # inspection PER CALL. At micro-batch scale that is pure driver
+        # fixed cost (profiled: ~1,900 wrapped calls and ~4 s of an
+        # entity-universe epoch). Trade the prettier error call sites
+        # for Spark-3-style errors; plan construction drops to one
+        # py4j round trip per expression.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # local mode = one JVM; this is the only memory knob that matters.

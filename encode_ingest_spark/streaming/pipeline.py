@@ -93,6 +93,7 @@ class CdcStreamPipeline:
         mor_compact_threshold: int | None = None,
         derived_targets: dict[str, LakeTable] | None = None,
         derived_group=None,
+        local_commit_cap: int | None = None,
     ):
         if source not in ("files", "rate"):
             raise ValueError(f"unknown source {source!r} (expected 'files' or 'rate')")
@@ -109,6 +110,15 @@ class CdcStreamPipeline:
         self.rate_opts = rate_opts or {}
         self.merge_mode = merge_mode
         self.mor_compact_threshold = mor_compact_threshold
+        #: opt-in trickle-stream fast path: micro-batches whose winner
+        #: set is ≤ this many rows commit driver-locally as MOR deltas
+        #: (lake.merge.merge_small_batch) — one capped collect instead
+        #: of a job+shuffle+write round per micro-batch. Same fence,
+        #: lineage, and compaction; over-cap batches fall back to the
+        #: distributed MOR merge. Only meaningful when batches are
+        #: micro-sized by construction (e.g. maxFilesPerTrigger=1 over
+        #: small event files, or a low rate rows_per_batch).
+        self.local_commit_cap = local_commit_cap
         #: optional downstream maintenance: after each committed merge,
         #: the source changelog (parent snapshot → new snapshot) refreshes
         #: these derived entity tables incrementally (entities/
@@ -164,15 +174,28 @@ class CdcStreamPipeline:
         before_v = (
             self.table.current_version() if self.derived_targets is not None else None
         )
-        res = merge_into(
-            self.table,
-            batch,
-            source_id=self.source_id,
-            batch_id=int(epoch_id) + 1,  # fence ids are 1-based, epoch is 0-based
-            offset_range=(int(epoch_id), int(epoch_id)),
-            mode=self.merge_mode,
-            mor_compact_threshold=self.mor_compact_threshold,
-        )
+        if self.local_commit_cap:
+            from ..lake.merge import merge_small_batch
+
+            res = merge_small_batch(
+                self.table,
+                batch,
+                source_id=self.source_id,
+                batch_id=int(epoch_id) + 1,
+                offset_range=(int(epoch_id), int(epoch_id)),
+                local_cap=self.local_commit_cap,
+                mor_compact_threshold=self.mor_compact_threshold,
+            )
+        else:
+            res = merge_into(
+                self.table,
+                batch,
+                source_id=self.source_id,
+                batch_id=int(epoch_id) + 1,  # fence ids are 1-based, epoch is 0-based
+                offset_range=(int(epoch_id), int(epoch_id)),
+                mode=self.merge_mode,
+                mor_compact_threshold=self.mor_compact_threshold,
+            )
         if res.skipped and self.compact:
             # a fence-skipped merge launches NO job; with a stateful
             # operator upstream the micro-batch plan must still be

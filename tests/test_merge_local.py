@@ -170,3 +170,67 @@ def test_mor_compact_max_buckets_caps_per_commit(spark, tmp_path):
     # correctness is never traded: final state is the last upsert set
     rows = {r.id: r.label for r in t.read().collect()}
     assert rows == {i: "v6" for i in ids}
+
+
+# ---------------------------------------------------------------------------
+# merge_small_batch: the plan-side small-commit wrapper (trickle streams)
+# ---------------------------------------------------------------------------
+def _read_sorted(t):
+    return [
+        tuple(r)
+        for r in t.read().orderBy("id").select("id", "label", "xs", "n").collect()
+    ]
+
+
+def test_small_batch_matches_distributed_merge(spark, tmp_path):
+    """In-batch duplicate keys, deletes, and upserts land identically to
+    merge_into — the winners plan is shared, only the commit differs."""
+    from encode_ingest_spark.lake.merge import merge_small_batch
+
+    t_dist = _mk_table(spark, tmp_path, "sb_dist")
+    t_loc = _mk_table(spark, tmp_path, "sb_loc")
+    for t in (t_dist, t_loc):
+        merge_into(t, _batch(spark, B1), batch_id=1)
+    dup = B2 + [
+        ("a", "one-stale", ["stale"], 99, "upsert", 15),  # loses to seq 20
+        ("f", "six", None, 6, "upsert", 21),
+    ]
+    merge_into(t_dist, _batch(spark, dup), batch_id=2, mode="mor")
+    res = merge_small_batch(t_loc, _batch(spark, dup), batch_id=2)
+    assert not res.skipped
+    assert any(f.is_delta for f in t_loc.current_manifest().files)
+    assert _read_sorted(t_loc) == _read_sorted(t_dist)
+    # fence: a replay is a manifest-only no-op
+    res2 = merge_small_batch(t_loc, _batch(spark, dup), batch_id=2)
+    assert res2.skipped
+
+
+def test_small_batch_over_cap_falls_back_to_distributed(spark, tmp_path):
+    from encode_ingest_spark.lake.merge import merge_small_batch
+
+    t = _mk_table(spark, tmp_path, "sb_cap")
+    merge_into(t, _batch(spark, B1), batch_id=1)
+    res = merge_small_batch(t, _batch(spark, B2), batch_id=2, local_cap=2)
+    assert not res.skipped
+    t_ref = _mk_table(spark, tmp_path, "sb_cap_ref")
+    merge_into(t_ref, _batch(spark, B1), batch_id=1)
+    merge_into(t_ref, _batch(spark, B2), batch_id=2, mode="mor")
+    assert _read_sorted(t) == _read_sorted(t_ref)
+
+
+def test_small_batch_evolves_schema(spark, tmp_path):
+    """A batch carrying a new column triggers the same ALTER-then-MERGE
+    evolution as merge_into before the local commit."""
+    from encode_ingest_spark.lake.merge import merge_small_batch
+
+    t = _mk_table(spark, tmp_path, "sb_evo")
+    merge_into(t, _batch(spark, B1), batch_id=1)
+    wide = spark.createDataFrame(
+        [("a", "one-v2", None, 11, "fresh", "upsert", 20)],
+        "id string, label string, xs array<string>, n long, extra string, "
+        "op string, event_seq long",
+    )
+    res = merge_small_batch(t, wide, batch_id=2)
+    assert not res.skipped
+    got = t.read().filter(F.col("id") == "a").select("extra").collect()
+    assert got[0][0] == "fresh"

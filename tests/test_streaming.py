@@ -277,3 +277,45 @@ def test_streaming_progress_listener_metrics(spark, tmp_path):
     assert rows_seen == 200  # every event observed by the engine
     assert all("triggerExecution" in p["duration_ms"] for p in pipe.progress
                if p["num_input_rows"] > 0)
+
+
+def test_stream_local_commit_trickle_matches_oracle(spark, env):
+    """local_commit_cap: micro-batches land as driver-local MOR deltas
+    (merge_small_batch) — same final state, exactly-once across a
+    checkpoint-preserving restart, lineage intact."""
+    table, events_dir, ckpt, ev = env
+    write_event_files(ev, events_dir, n_files=5)
+    pipe = CdcStreamPipeline(
+        table, events_dir, ckpt, max_files_per_trigger=1,
+        local_commit_cap=2000,
+    )
+    n = pipe.run_available_now(spark)
+    assert n >= 2
+    # the trickle batches (300 keys / 5 files) are under the cap: every
+    # committed batch must be a LOCAL delta commit, not a COW rewrite
+    assert any(f.is_delta for f in table.current_manifest().files)
+    assert_state_matches(table, ev.toPandas())
+    lin = table.lineage_df().toPandas()
+    assert lin.batch_id.is_unique
+    # restart on the same checkpoint: nothing new → no movement
+    v = table.current_version()
+    pipe2 = CdcStreamPipeline(
+        table, events_dir, ckpt, max_files_per_trigger=1,
+        local_commit_cap=2000,
+    )
+    pipe2.run_available_now(spark)
+    assert table.current_version() == v
+    assert_state_matches(table, ev.toPandas())
+
+
+def test_stream_local_commit_over_cap_falls_back(spark, env):
+    """Batches above the cap take the distributed MOR merge; state is
+    identical either way."""
+    table, events_dir, ckpt, ev = env
+    write_event_files(ev, events_dir, n_files=2)
+    pipe = CdcStreamPipeline(
+        table, events_dir, ckpt, max_files_per_trigger=1,
+        local_commit_cap=10,
+    )
+    pipe.run_available_now(spark)
+    assert_state_matches(table, ev.toPandas())
