@@ -65,6 +65,68 @@ def _loadavg() -> list[float]:
     return [round(x, 2) for x in os.getloadavg()]
 
 
+def _cpu_ticks() -> list[int]:
+    """Aggregate /proc/stat cpu counters (user..guest_nice)."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except OSError:  # non-Linux fallback: steal evidence unavailable
+        return []
+
+
+def _steal_pct(start: list[int], end: list[int]) -> float | None:
+    """Hypervisor CPU-steal %% between two _cpu_ticks snapshots.
+
+    Loadavg misses the sandbox's real noise source: this VM loses CPU
+    to the host in waves (measured: identical merge benches 4s vs 52s
+    while in-VM loadavg started <0.5 both times). /proc/stat's steal
+    field counts exactly those involuntary-wait ticks, so the recorded
+    artifact carries the evidence that adjudicates fast-vs-slow
+    captures — steal_pct ~0 means the number is the machine's, high
+    steal means the window was robbed."""
+    if not start or not end or len(start) != len(end):
+        return None
+    d = [b - a for a, b in zip(start, end)]
+    total = sum(d)
+    if total <= 0 or len(d) < 8:
+        return None
+    return round(100.0 * d[7] / total, 2)
+
+
+def _host_speed_probe() -> dict:
+    """Fixed-work calibration probe recorded into every bench artifact.
+
+    Measured this round: identical code in two zero-steal, zero-loadavg
+    windows ran 48.5k vs ~149.7k ev/s — a ~3x swing that neither loadavg
+    nor /proc/stat steal captures (the co-tenant pressure is on memory
+    bandwidth / effective clock, not scheduled-out ticks). A constant
+    single-thread CPU loop plus a numpy memory-stream pass give the
+    artifact an absolute same-window yardstick: compare `cpu_probe_sec`
+    / `membw_gbps` across artifacts to normalize throughput numbers
+    before calling anything a regression."""
+    import numpy as _np
+
+    cpu_sec = float("inf")
+    for _ in range(3):  # best-of-3: the probe reports capability, not luck
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        cpu_sec = min(cpu_sec, time.perf_counter() - t0)
+
+    a = _np.ones(64 * 1024 * 1024 // 8, dtype=_np.float64)  # 64 MiB
+    b = _np.empty_like(a)
+    _np.multiply(a, 1.0000001, out=b)  # warmup: fault in both buffers
+    bw = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            _np.multiply(a, 1.0000001, out=b)
+            a, b = b, a
+        bw = max(bw, (4 * 2 * a.nbytes / (time.perf_counter() - t0)) / 1e9)
+    return {"cpu_probe_sec": round(cpu_sec, 3), "membw_gbps": round(bw, 2)}
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -409,6 +471,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # sample the window BEFORE our own Spark work inflates loadavg —
     # this is the co-tenant noise indicator the artifact records
     load_start = _loadavg()
+    ticks_start = _cpu_ticks()
+    host_probe = _host_speed_probe()
     spark = get_spark("bench", cores=cpus)
 
     # Warm-up: run every headline query once at the smallest scale so the
@@ -482,6 +546,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "steal_pct": _steal_pct(ticks_start, _cpu_ticks()),
+            **host_probe,
+        **host_probe,
         "headline_trials": len(trial_sums),
         "headline_trial_sums": trial_sums,
         "window_contended": load_start[0] > LOAD_THRESHOLD,
@@ -1012,6 +1079,8 @@ def run_universe_flood(sf_dir: str, cpus: int, n_exp: int = 2000,
 
     spark = get_spark("bench-universe-flood", cores=cpus)
     load_start = _loadavg()
+    ticks_start = _cpu_ticks()
+    host_probe = _host_speed_probe()
     shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     root = tempfile.mkdtemp(prefix="uni_flood_", dir=shm)
     try:
@@ -1052,6 +1121,8 @@ def run_universe_flood(sf_dir: str, cpus: int, n_exp: int = 2000,
             "cpus": cpus,
             "loadavg_start": load_start,
             "loadavg_end": _loadavg(),
+            "steal_pct": _steal_pct(ticks_start, _cpu_ticks()),
+            **host_probe,
             "n_experiments": n_exp,
             "dirty_experiments": dirty_exp,
             "epoch_even_sec": even,
@@ -1081,6 +1152,8 @@ def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
     if spark is None:
         spark = get_spark("bench-universe", cores=cpus)
     load_start = _loadavg()
+    ticks_start = _cpu_ticks()
+    host_probe = _host_speed_probe()
     shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     root = tempfile.mkdtemp(prefix="uni_bench_", dir=shm)
     try:
@@ -1143,6 +1216,8 @@ def run_universe_bench(sf_dir: str, cpus: int, n_exp: int = 2000,
             "cpus": cpus,
             "loadavg_start": load_start,
             "loadavg_end": _loadavg(),
+            "steal_pct": _steal_pct(ticks_start, _cpu_ticks()),
+            **host_probe,
             "n_experiments": n_exp,
             "dirty_experiments": dirty_exp,
             "bootstrap_sec": round(boot_sec, 3),
