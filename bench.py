@@ -60,6 +60,14 @@ def _cdc_keys_for(sf_dir: str) -> int:
 #: headline trials when the window is dirty.
 LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
 
+#: cpu_probe_sec above which the capture window counts as contended
+#: (quiet windows on this host measure ~0.23-0.31 s; co-tenant waves
+#: push it past 0.4). Complements LOAD_THRESHOLD because this box's
+#: loadavg can read 10+ while genuinely idle (kernel accounting bug).
+_CPU_PROBE_THRESHOLD = float(
+    os.environ.get("SPARK_GRAFT_CPU_PROBE_THRESHOLD", "0.38")
+)
+
 
 def _loadavg() -> list[float]:
     return [round(x, 2) for x in os.getloadavg()]
@@ -501,9 +509,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # self-defending capture (VERDICT r4: a contended window once
     # recorded as a phantom 14% regression): min-of-2 headline passes
     # always, a third when the window started dirty; the emitted JSON
-    # carries the loadavg evidence + per-trial sums so a noisy capture
-    # is diagnosable from the artifact alone.
-    n_passes = 3 if load_start[0] > LOAD_THRESHOLD else 2
+    # carries the loadavg/steal/host-probe evidence + per-trial sums so
+    # a noisy capture is diagnosable from the artifact alone.
+    # Contention gate: the host-speed probe, NOT loadavg — this box's
+    # loadavg is unreliable (observed 10.4 while vmstat read 100% idle
+    # and no R/D tasks existed), while the probe directly measures what
+    # co-tenancy takes away (quiet windows: cpu_probe_sec ~0.23-0.31).
+    contended = (
+        host_probe["cpu_probe_sec"] > _CPU_PROBE_THRESHOLD
+        or load_start[0] > LOAD_THRESHOLD
+    )
+    n_passes = 3 if contended else 2
     trial_sums: list[float] = []
     timings: dict[str, float] = {}
     for _ in range(n_passes):
@@ -547,11 +563,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "steal_pct": _steal_pct(ticks_start, _cpu_ticks()),
-            **host_probe,
         **host_probe,
         "headline_trials": len(trial_sums),
         "headline_trial_sums": trial_sums,
-        "window_contended": load_start[0] > LOAD_THRESHOLD,
+        "window_contended": contended,
         "sf": sf_dir,
         "cpus": cpus,
         "cdc_events": n_events,

@@ -50,6 +50,7 @@ set plus the metadata dims — never a full pass over the file payloads.
 from __future__ import annotations
 
 import contextlib
+import os
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -1368,7 +1369,8 @@ def refresh_entity_universe(
     batch_id: int,
     group=None,
     specs: dict[str, TreeSpec] | None = None,
-    epoch_shuffle_partitions: int | None = 8,
+    epoch_shuffle_partitions: int | None = None,
+    fuse_wave: bool | None = None,
 ) -> dict[str, MergeResult]:
     """One maintenance epoch over the whole entity universe.
 
@@ -1380,17 +1382,29 @@ def refresh_entity_universe(
     :class:`~..lake.txn.TableGroup` over ``targets``, the epoch ends
     with ONE atomic group commit (all-or-nothing visibility).
 
-    ``epoch_shuffle_partitions``: steady-state epochs process CHANGE-
-    SET-sized frames, so their shuffles run under a static small width
-    with AQE off for the epoch's duration (restored after) — AQE's
-    per-stage materialization turns every tiny shuffle into its own
-    job+driver round-trip, which IS the epoch's fixed cost at micro-
-    batch scale (measured: ~161 jobs/epoch, CPU mostly idle). Size it
-    to the expected change set, not the corpus — the same knob Delta/
-    Iceberg streaming writers expose for exactly this reason. ``None``
-    leaves the session conf alone. The BOOTSTRAP epoch (all
+    ``epoch_shuffle_partitions``: optionally pin a static small
+    shuffle width with AQE off for the epoch's duration (restored
+    after) — the knob Delta/Iceberg streaming writers expose for
+    micro-batch sinks. Default ``None`` (leave the session conf alone,
+    AQE on): a controlled interleaved A/B on this sandbox (fresh lakes,
+    round-robin epochs, min-of-3, both n=1k and n=8k) measured the
+    pinned sp=8/AQE-off epoch 10-35%% SLOWER than the session conf —
+    AQE's runtime coalescing/broadcasting pays for its extra stage
+    round-trips even at change-set scale. The BOOTSTRAP epoch (all
     from_versions == 0) is corpus-sized and always keeps the session
-    conf (AQE on)."""
+    conf.
+
+    ``fuse_wave``: run the output-tree wave as two fused union actions
+    instead of per-tree pipelined jobs. Default ``None`` reads
+    ``SPARK_GRAFT_FUSE_WAVE`` (off). The same A/B measured the fused
+    wave 25-45%% slower here: unioning ~15 tree plans into one action
+    serializes all their Catalyst analysis/optimization onto a single
+    JVM thread, while the pipelined pool analyzes and runs them
+    concurrently (traced: the fused batch collect alone took 22 s for
+    400 rows at n=1k). The flag stays selectable because the trade
+    flips with cluster-size economics: on a 1000-executor cluster a
+    job submission costs far more than it does in-process, and two
+    actions vs ~30 may win — measure there before flipping."""
     import os
     import shutil
     import uuid as _uuid
@@ -1472,6 +1486,7 @@ def refresh_entity_universe(
             return _refresh_trees(
                 spark, universe, targets, specs, ch, from_versions,
                 to_versions, batch_id, group, results,
+                fuse_wave=fuse_wave,
             )
     finally:
         for stage, marker in scratches:
@@ -1665,7 +1680,10 @@ def _refresh_one_tree(
 def _refresh_trees(
     spark, universe, targets, specs, ch, from_versions, to_versions,
     batch_id, group, results, parallelism: int = 12,
+    fuse_wave: bool | None = None,
 ) -> dict[str, MergeResult]:
+    if fuse_wave is None:
+        fuse_wave = os.environ.get("SPARK_GRAFT_FUSE_WAVE", "0") == "1"
     if ch:
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -1710,27 +1728,31 @@ def _refresh_trees(
         def run_wave(wave, fuse=False):
             # Wave execution, two strategies:
             #
-            # * PIPELINED (fuse=False, the aux-index wave): plan
-            #   construction is pure driver-side Python/py4j — running
-            #   it on N threads just thrashes the GIL (measured:
-            #   construction phases inflate ~10x under a 12-thread
-            #   pool) — so construction stays on THIS thread, serial,
-            #   and only the Spark actions go to the pool, where their
-            #   JVM waits genuinely overlap.
-            # * FUSED (fuse=True, the output-tree wave): at micro-batch
-            #   scale the epoch floor is per-ACTION fixed cost (job
-            #   submit + stage scheduling + py4j), ~15 trees × 2
-            #   actions each. The fused path runs the whole wave in TWO
-            #   Spark actions: one union-collect of every tree's
+            # * PIPELINED (fuse=False, the DEFAULT for both waves):
+            #   plan construction is pure driver-side Python/py4j —
+            #   running it on N threads just thrashes the GIL
+            #   (measured: construction phases inflate ~10x under a
+            #   12-thread pool) — so construction stays on THIS thread,
+            #   serial, and only the Spark actions go to the pool,
+            #   where their JVM waits genuinely overlap (Catalyst
+            #   analysis/optimization parallelizes across JVM threads).
+            # * FUSED (fuse=True, opt-in via fuse_wave /
+            #   SPARK_GRAFT_FUSE_WAVE): runs the whole wave in TWO
+            #   Spark actions — one union-collect of every tree's
             #   (capped) dirty head, one union-collect of every
             #   local-eligible tree's normalized batch (columns
             #   prefixed per tree so same-named/different-typed columns
             #   never collide), then commits each tree's change set
-            #   driver-side via merge_local_delta — zero further Spark
-            #   work. Ineligible trees (over-cap change set, bootstrap,
-            #   schema evolution, non-standard dirty shape) run the
-            #   distributed merge on the pool, OVERLAPPING the fused
-            #   collect.
+            #   driver-side via merge_local_delta. Ineligible trees
+            #   (over-cap change set, bootstrap, schema evolution,
+            #   non-standard dirty shape) run the distributed merge on
+            #   the pool, OVERLAPPING the fused collect. Cuts jobs per
+            #   epoch 204 -> 66 but measured 25-45% SLOWER in-process
+            #   (the union mega-plan serializes Catalyst onto one JVM
+            #   thread; traced 22 s for a 400-row fused collect) — a
+            #   knob for real clusters where job submission dominates,
+            #   not the sandbox default. See refresh_entity_universe's
+            #   docstring for the A/B protocol.
             if parallelism <= 1 or len(wave) <= 1:
                 for name, spec in wave:
                     r = _refresh_one_tree(
@@ -1883,7 +1905,7 @@ def _refresh_trees(
                     results[name] = fut.result()
 
         run_wave(wave1)
-        run_wave(wave2, fuse=True)
+        run_wave(wave2, fuse=fuse_wave)
     if group is not None and ch:
         versions: dict[str, int] = {}
         member_names = set(group.current_manifest()["tables"])

@@ -801,3 +801,35 @@ def test_universe_refresh_survives_schema_evolution(spark, tmp_path):
     assert got["D1"] == 33.0  # the evolved-epoch update landed
     # the raw table really evolved and stays readable
     assert "internal_tags" in universe["donors"].read().columns
+
+
+def test_fused_wave_epoch_matches_full_recompute(spark, tmp_path):
+    """The opt-in fused wave (two union actions + driver-local commits;
+    fuse_wave=True, pinned epoch shuffle width) must land the exact
+    same state as the default pipelined wave: bootstrap + one change
+    epoch, every output table equal to the full recompute."""
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    fv = {n: 0 for n in universe}
+    for name, rows in SEED_EPOCH_1.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group, fuse_wave=True,
+                            epoch_shuffle_partitions=8)
+    fv = {n: t.current_version() for n, t in universe.items()}
+    for name, rows in EPOCH_2["upsert"].items():
+        _apply(spark, universe[name], name, rows, "upsert", 2000)
+    for name, rows in EPOCH_2["delete"].items():
+        _apply(spark, universe[name], name, rows, "delete", 2500)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group, fuse_wave=True,
+                            epoch_shuffle_partitions=8)
+    inputs = {n: t.read() for n, t in universe.items()}
+    want = transform_all(spark, inputs)
+    for name in OUTPUT_TABLES:
+        assert _rows(group.read(name)) == _rows(want[name]), name
