@@ -309,6 +309,24 @@ _DIRTY_REPLANT_CAP = 1_024
 #: tree's plan construction.
 _CTOR_THREADS = 3
 
+#: wave-2 construction order (lower = earlier): per-tree epoch cost
+#: profiled with a spec.build/spec.restrict wrap at n=1k — the
+#: analysis/step family pays the heavy _run_pairs-index restricts and
+#: the experiment/assay family the experiment-union builds, so they
+#: enter the construction pipeline first and their blocking actions
+#: overlap the cheap dimension trees instead of trailing them.
+_WAVE2_PRIORITY = {
+    "analysisactivity": 0,
+    "stepactivity": 1,
+    "assayactivity": 2,
+    "experimentactivity": 3,
+    "librarypreparationactivity": 4,
+    "file": 5,
+    "sequencingactivity": 6,
+    "alignmentactivity": 7,
+    "biosample": 8,
+}
+
 
 @contextlib.contextmanager
 def _epoch_conf(spark: SparkSession, shuffle_partitions: int | None):
@@ -1724,6 +1742,14 @@ def _refresh_trees(
         # which is what keeps epoch latency flat as tree count grows.
         wave1 = [(n, s) for n, s in pending if n.startswith("_")]
         wave2 = [(n, s) for n, s in pending if not n.startswith("_")]
+        # construct the measured-expensive trees FIRST: the analysis
+        # tree's restrict resolves run groups through the _run_pairs
+        # index (a blocking in-construction Spark action, profiled at
+        # 4 s — the single biggest restrict of an epoch); in spec order
+        # it constructed LAST and became the epoch's tail. Front-
+        # loading it overlaps that action with every other tree's
+        # construction and collects on the pool.
+        wave2.sort(key=lambda item: _WAVE2_PRIORITY.get(item[0], 99))
 
         def run_wave(wave, fuse=False):
             # Wave execution, two strategies:
