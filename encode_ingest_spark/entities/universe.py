@@ -1354,14 +1354,31 @@ def merge_universe_batches(
     source_id: str = "universe",
     batch_id: int = 1,
     parallelism: int = 6,
+    local_commit_cap: int | None = None,
 ) -> dict[str, MergeResult]:
     """Merge per-entity CDC batches into their raw tables CONCURRENTLY —
     each entity targets its own table (independent commits), so the
-    18-stream fan-in threads instead of serializing 18 merge jobs."""
+    18-stream fan-in threads instead of serializing 18 merge jobs.
+
+    ``local_commit_cap``: opt-in trickle fast path — entities whose
+    winner set is ≤ this many rows commit driver-locally as MOR deltas
+    (:func:`~..lake.merge.merge_small_batch`, same fence/lineage/
+    compaction); over-cap entities fall back to the distributed merge.
+    Right for streaming micro-batches where each entity's slice is a
+    handful of rows and 18 job+shuffle+write rounds per micro-batch
+    would otherwise be pure fixed cost; leave ``None`` for corpus-sized
+    seeds (the bootstrap), which must keep the cluster path."""
     from concurrent.futures import ThreadPoolExecutor
 
     def one(item):
         name, df = item
+        if local_commit_cap:
+            from ..lake.merge import merge_small_batch
+
+            return name, merge_small_batch(
+                universe[name], df, source_id=source_id,
+                batch_id=batch_id, local_cap=local_commit_cap,
+            )
         return name, merge_into(
             universe[name], df, source_id=source_id, batch_id=batch_id
         )

@@ -408,6 +408,7 @@ class UniverseStreamPipeline:
         group=None,
         source_id: str = "universe_stream",
         max_files_per_trigger: int | None = None,
+        local_commit_cap: int | None = None,
     ):
         self.universe = universe
         self.targets = targets
@@ -416,6 +417,12 @@ class UniverseStreamPipeline:
         self.group = group
         self.source_id = source_id
         self.max_files_per_trigger = max_files_per_trigger
+        #: opt-in trickle fast path (same trade as CdcStreamPipeline's
+        #: knob): per-entity micro-batch slices whose winner set is ≤
+        #: this many rows land driver-locally as MOR deltas instead of
+        #: paying ~18 job+shuffle+write rounds per micro-batch; over-cap
+        #: slices fall back to the distributed merge automatically.
+        self.local_commit_cap = local_commit_cap
         self.epochs_merged = 0
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -453,6 +460,13 @@ class UniverseStreamPipeline:
                     )
                     .select("_p.*", "op", "event_seq")
                 )
+                if self.local_commit_cap:
+                    from ..lake.merge import merge_small_batch
+
+                    return name, merge_small_batch(
+                        t, rows, source_id=self.source_id, batch_id=bid,
+                        local_cap=self.local_commit_cap,
+                    )
                 return name, merge_into(
                     t, rows, source_id=self.source_id, batch_id=bid
                 )
@@ -546,6 +560,7 @@ class PerEntityUniverseStreamPipeline:
         group,
         source_id: str = "universe_pstream",
         max_files_per_trigger: int | None = None,
+        local_commit_cap: int | None = None,
     ):
         if group is None:
             raise ValueError(
@@ -559,6 +574,10 @@ class PerEntityUniverseStreamPipeline:
         self.group = group
         self.source_id = source_id
         self.max_files_per_trigger = max_files_per_trigger
+        #: same trickle fast path as UniverseStreamPipeline — here each
+        #: entity stream's micro-batch is already typed and per-source,
+        #: so a capped local commit replaces that stream's merge job.
+        self.local_commit_cap = local_commit_cap
         self.streams_merged = 0
 
     def _entity_dirs(self) -> list[str]:
@@ -586,12 +605,23 @@ class PerEntityUniverseStreamPipeline:
 
         def make_apply(name: str, table: LakeTable):
             def apply(batch: DataFrame, epoch_id: int) -> None:
-                res = merge_into(
-                    table,
-                    batch,
-                    source_id=f"{self.source_id}:{name}",
-                    batch_id=int(epoch_id) + 1,
-                )
+                if self.local_commit_cap:
+                    from ..lake.merge import merge_small_batch
+
+                    res = merge_small_batch(
+                        table,
+                        batch,
+                        source_id=f"{self.source_id}:{name}",
+                        batch_id=int(epoch_id) + 1,
+                        local_cap=self.local_commit_cap,
+                    )
+                else:
+                    res = merge_into(
+                        table,
+                        batch,
+                        source_id=f"{self.source_id}:{name}",
+                        batch_id=int(epoch_id) + 1,
+                    )
                 if not res.skipped:
                     merged_flags[name] = True
 

@@ -833,3 +833,74 @@ def test_fused_wave_epoch_matches_full_recompute(spark, tmp_path):
     want = transform_all(spark, inputs)
     for name in OUTPUT_TABLES:
         assert _rows(group.read(name)) == _rows(want[name]), name
+
+
+def test_universe_stream_local_commits_match_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """Trickle fast path for the streaming fan-in (NOTES_r5 round-6
+    candidate 3): with ``local_commit_cap`` set, each micro-batch's
+    per-entity raw merges land as DRIVER-LOCAL MOR deltas (zero Spark
+    write jobs) — the final derived state must still equal the full
+    recompute, the local path must actually be taken, and a
+    checkpoint-wipe replay must fence to zero movement."""
+    import json as _json
+
+    from encode_ingest_spark.lake import merge as merge_mod
+    from encode_ingest_spark.streaming.pipeline import UniverseStreamPipeline
+
+    local_calls = {"n": 0}
+    real_local = merge_mod.merge_local_delta
+
+    def spy(*a, **k):
+        local_calls["n"] += 1
+        return real_local(*a, **k)
+
+    monkeypatch.setattr(merge_mod, "merge_local_delta", spy)
+
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+
+    def envelope(batch_dict, seq0):
+        rows, i = [], 0
+        for name, rws in batch_dict.items():
+            for r in rws:
+                rows.append((name, "upsert", seq0 + i, _json.dumps(r)))
+                i += 1
+        return spark.createDataFrame(
+            rows, "entity string, op string, event_seq long, payload string"
+        )
+
+    ev_dir = str(tmp_path / "events")
+    envelope(SEED_EPOCH_1, 1000).coalesce(1).write.mode("append").parquet(ev_dir)
+    envelope(EPOCH_2["upsert"], 2000).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    pipe = UniverseStreamPipeline(
+        universe, targets, ev_dir, str(tmp_path / "ckpt"), group=group,
+        max_files_per_trigger=1, local_commit_cap=500,
+    )
+    assert pipe.run_available_now(spark) >= 2
+    # every raw merge in this fixture is micro-sized -> all local
+    assert local_calls["n"] >= len(SEED_EPOCH_1) + len(EPOCH_2["upsert"])
+
+    want = transform_all(spark, {n: t.read() for n, t in universe.items()})
+    for name in OUTPUT_TABLES:
+        assert _rows(group.read(name)) == _rows(want[name]), name
+
+    # checkpoint-wipe replay: raw fences skip (merge_small_batch honors
+    # the same watermark fence), derived fences skip, zero movement
+    import shutil as _shutil
+
+    gv = group.current_version()
+    _shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    pipe2 = UniverseStreamPipeline(
+        universe, targets, ev_dir, str(tmp_path / "ckpt"), group=group,
+        max_files_per_trigger=1, local_commit_cap=500,
+    )
+    assert pipe2.run_available_now(spark) == 0
+    assert group.current_version() == gv
