@@ -68,6 +68,17 @@ _CPU_PROBE_THRESHOLD = float(
     os.environ.get("SPARK_GRAFT_CPU_PROBE_THRESHOLD", "0.38")
 )
 
+#: membw_gbps below which the window counts as contended. The round-5
+#: final session caught the regime neither loadavg, steal, nor the CPU
+#: probe sees: membw measured 9.1 GB/s (vs 20.1 the same morning) with
+#: cpu_probe_sec a quiet 0.251 — and the membw-bound streaming e2e ran
+#: 3x under its quiet figure (same-window A/B pinned the code as
+#: equal-or-faster). Extra trials can't fix a bandwidth-starved window,
+#: but the flag makes the artifact say so.
+_MEMBW_THRESHOLD = float(
+    os.environ.get("SPARK_GRAFT_MEMBW_THRESHOLD", "12.0")
+)
+
 
 def _loadavg() -> list[float]:
     return [round(x, 2) for x in os.getloadavg()]
@@ -517,6 +528,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # co-tenancy takes away (quiet windows: cpu_probe_sec ~0.23-0.31).
     contended = (
         host_probe["cpu_probe_sec"] > _CPU_PROBE_THRESHOLD
+        or host_probe["membw_gbps"] < _MEMBW_THRESHOLD
         or load_start[0] > LOAD_THRESHOLD
     )
     n_passes = 3 if contended else 2
