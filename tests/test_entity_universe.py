@@ -698,6 +698,147 @@ def test_shared_dirty_frames_compute_once_per_epoch(spark, tmp_path, monkeypatch
     _assert_matches_full(spark, universe, targets, group)
 
 
+def test_analysis_runs_keep_prewarms_once_per_epoch(spark, tmp_path,
+                                                    monkeypatch):
+    """VERDICT r5 round-6 candidate 2: the analysis tree's runs_keep
+    index resolution (the epoch's single biggest restrict action) is
+    requested twice per epoch — once by the pool-side prewarm, once by
+    restrict-time construction — but COMPUTES exactly once behind the
+    shared-frame future, and the epoch still equals the full
+    recompute."""
+    import encode_ingest_spark.entities.universe as uni
+
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    fv = {n: 0 for n in universe}
+    for name, rows in SEED_EPOCH_1.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group)
+    fv = {n: t.current_version() for n, t in universe.items()}
+
+    import threading
+
+    calls = {"requests": 0, "builds": 0}
+    lock = threading.Lock()
+    orig_keep = uni._analysis_runs_keep
+    orig_shared = uni._shared_frame
+
+    def keep_counted(dirty, ctx):
+        with lock:
+            calls["requests"] += 1
+        return orig_keep(dirty, ctx)
+
+    def shared_counted(ctx, key, fn, checkpoint=True):
+        if key != "analysis_runs_keep":
+            return orig_shared(ctx, key, fn, checkpoint)
+
+        def fn_counted():
+            with lock:
+                calls["builds"] += 1
+            return fn()
+
+        return orig_shared(ctx, key, fn_counted, checkpoint)
+
+    monkeypatch.setattr(uni, "_analysis_runs_keep", keep_counted)
+    monkeypatch.setattr(uni, "_shared_frame", shared_counted)
+
+    # epoch 2 re-upserts a step-run file → the analysis tree is dirty
+    # with a non-empty, under-cap head, so the prewarm path engages
+    for name in ("files", "libraries", "replicates"):
+        _apply(spark, universe[name], name, EPOCH_2["upsert"].get(
+            name, SEED_EPOCH_1[name][:1]), "upsert", 2000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group)
+
+    # prewarm + restrict both asked; the index semi-join ran ONCE
+    assert calls["requests"] >= 2, calls
+    assert calls["builds"] == 1, calls
+    _assert_matches_full(spark, universe, targets, group)
+
+
+def test_overlapped_wave_orders_index_reads_after_refresh(spark, tmp_path,
+                                                          monkeypatch):
+    """The pipelined wave folds the index trees into the output-tree
+    pool (no whole-wave barrier); spec.index_deps must still guarantee
+    every consumer reads an index only AFTER its refresh lands this
+    epoch — and the epoch equals the full recompute."""
+    import itertools
+    import threading
+
+    import encode_ingest_spark.entities.universe as uni
+
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    fv = {n: 0 for n in universe}
+    for name, rows in SEED_EPOCH_1.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group)
+    fv = {n: t.current_version() for n, t in universe.items()}
+
+    seq = itertools.count()
+    lock = threading.Lock()
+    events: list[tuple[str, int]] = []
+
+    def mark(tag):
+        with lock:
+            events.append((tag, next(seq)))
+
+    orig_tree = uni._refresh_one_tree
+    orig_touch = uni._files_touching_biosamples
+    orig_keep = uni._analysis_runs_keep
+
+    def tree_marked(spark_, spec, *a, **k):
+        r = orig_tree(spark_, spec, *a, **k)
+        if spec.name.startswith("_"):
+            mark(f"done:{spec.name}")
+        return r
+
+    def touch_marked(old, new, bios, category, ctx=None):
+        if (ctx or {}).get("file_biosamples") is not None:
+            mark("read:_file_biosamples")
+        return orig_touch(old, new, bios, category, ctx)
+
+    def keep_marked(dirty, ctx):
+        if ctx.get("run_pairs") is not None:
+            mark("read:_run_pairs")
+        return orig_keep(dirty, ctx)
+
+    monkeypatch.setattr(uni, "_refresh_one_tree", tree_marked)
+    monkeypatch.setattr(uni, "_files_touching_biosamples", touch_marked)
+    monkeypatch.setattr(uni, "_analysis_runs_keep", keep_marked)
+
+    # files (incl. a step-run file) + libraries change → both indexes
+    # refresh this epoch AND both consumer families are dirty
+    for name in ("files", "libraries", "replicates"):
+        _apply(spark, universe[name], name, EPOCH_2["upsert"].get(
+            name, SEED_EPOCH_1[name][:1]), "upsert", 2000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group)
+
+    order = {tag: i for tag, i in events if tag.startswith("done:")}
+    assert "done:_file_biosamples" in order and "done:_run_pairs" in order, (
+        events
+    )
+    fb_reads = [i for tag, i in events if tag == "read:_file_biosamples"]
+    rk_reads = [i for tag, i in events if tag == "read:_run_pairs"]
+    assert fb_reads and rk_reads, events
+    assert min(fb_reads) > order["done:_file_biosamples"], events
+    assert min(rk_reads) > order["done:_run_pairs"], events
+    _assert_matches_full(spark, universe, targets, group)
+
+
 def test_non_experiment_dataset_mints_no_junk_tombstones(spark, tmp_path):
     """ADVICE r4: a changed file whose ``dataset`` is NOT an experiment
     must not dirty the experiment-keyed trees — the old behavior minted
