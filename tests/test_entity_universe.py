@@ -976,6 +976,39 @@ def test_fused_wave_epoch_matches_full_recompute(spark, tmp_path):
         assert _rows(group.read(name)) == _rows(want[name]), name
 
 
+def test_barrier_wave_fallback_matches_full_recompute(spark, tmp_path,
+                                                      monkeypatch):
+    """SPARK_GRAFT_EDGE_WAVE=0 (the conservative fallback: hard
+    index-tree barrier before the output wave, no edge gating) must
+    land the exact same state as the edge-gated default: bootstrap +
+    one change epoch, every output table equal to the full
+    recompute."""
+    monkeypatch.setenv("SPARK_GRAFT_EDGE_WAVE", "0")
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    fv = {n: 0 for n in universe}
+    for name, rows in SEED_EPOCH_1.items():
+        _apply(spark, universe[name], name, rows, "upsert", 1000)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=1,
+                            group=group)
+    fv = {n: t.current_version() for n, t in universe.items()}
+    for name, rows in EPOCH_2["upsert"].items():
+        _apply(spark, universe[name], name, rows, "upsert", 2000)
+    for name, rows in EPOCH_2["delete"].items():
+        _apply(spark, universe[name], name, rows, "delete", 2500)
+    refresh_entity_universe(spark, universe, targets, fv, batch_id=2,
+                            group=group)
+    inputs = {n: t.read() for n, t in universe.items()}
+    want = transform_all(spark, inputs)
+    for name in OUTPUT_TABLES:
+        assert _rows(group.read(name)) == _rows(want[name]), name
+
+
 def test_universe_stream_local_commits_match_distributed(
     spark, tmp_path, monkeypatch
 ):
