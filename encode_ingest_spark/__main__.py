@@ -1,0 +1,255 @@
+"""spark-submit-able job driver: ``python -m encode_ingest_spark <cmd>``.
+
+The north-rule deployment shape is ``spark-submit --py-files`` on a
+multi-executor cluster; this module is the job script that shape needs —
+the same CDC engine the library exposes, behind a five-verb CLI:
+
+    create    make an empty bucketed lake table
+    generate  stage a deterministic CDC event backlog (parquet files)
+    merge     apply ONE batch file (exactly-once fenced) to a table
+    ingest    tail an event directory: readStream -> foreachBatch MERGE
+    status    print table state: version, rows, watermarks, lineage tail
+
+Cluster vs sandbox: under spark-submit the master/executor topology comes
+from the submit command (session.get_spark detects PYSPARK_SUBMIT_ARGS and
+leaves ``spark.master`` alone); run bare (``python -m encode_ingest_spark``)
+it falls back to the tuned ``local[N]`` session used everywhere else.
+
+    spark-submit --master yarn --deploy-mode client \
+      --py-files encode_ingest_spark.zip \
+      -m ... # (or: spark-submit cli.py where cli.py imports this main)
+    python -m encode_ingest_spark ingest --root /lake/repo_files \
+      --events-dir /wal/events --checkpoint /ckpt/s1 --source-id s1
+
+Every command prints ONE JSON line (machine-readable, same contract as
+bench.py) so an orchestrator (the reference drives everything from Argo
+YAML, orchestration/cron-workflow.yaml:5-9) can chain verbs on exit code
+plus parsed output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+REPO_FILE_DDL = "repo string, path string, commit string, lang string, content string"
+DEFAULT_KEYS = "repo,path,commit"
+
+
+def _spark(args) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(
+        "encode_ingest_cli", cores=getattr(args, "cores", None) or None
+    )
+
+
+def _load(spark: SparkSession, root: str):
+    from .lake import LakeTable
+
+    return LakeTable.load(spark, root)
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload, sort_keys=True))
+
+
+def cmd_create(spark: SparkSession, args) -> int:
+    from .lake import LakeTable
+
+    schema = T.StructType.fromDDL(args.schema_ddl)
+    table = LakeTable.create(
+        spark,
+        args.root,
+        schema,
+        [k.strip() for k in args.keys.split(",") if k.strip()],
+        num_buckets=args.buckets,
+    )
+    _emit(
+        {
+            "cmd": "create",
+            "root": args.root,
+            "version": table.current_version(),
+            "buckets": args.buckets,
+            "keys": table.current_manifest().key_cols,
+        }
+    )
+    return 0
+
+
+def cmd_generate(spark: SparkSession, args) -> int:
+    from .cdc.generator import repo_file_events
+    from .streaming.pipeline import write_event_files
+
+    ev = repo_file_events(
+        spark,
+        n_keys=args.n_keys,
+        events_per_key=args.events_per_key,
+        seed=args.seed,
+        n_repos=args.n_repos,
+        delete_pct=args.delete_pct,
+    )
+    write_event_files(ev, args.out, n_files=args.files)
+    _emit(
+        {
+            "cmd": "generate",
+            "out": args.out,
+            "events": args.n_keys * args.events_per_key,
+            "files": args.files,
+            "seed": args.seed,
+        }
+    )
+    return 0
+
+
+def cmd_merge(spark: SparkSession, args) -> int:
+    from .lake.merge import merge_into
+
+    table = _load(spark, args.root)
+    batch = spark.read.parquet(args.batch)
+    res = merge_into(
+        table,
+        batch,
+        source_id=args.source_id,
+        batch_id=args.batch_id,
+        mode=args.mode,
+    )
+    _emit(
+        {
+            "cmd": "merge",
+            "root": args.root,
+            "source_id": args.source_id,
+            "batch_id": args.batch_id,
+            "skipped": res.skipped,
+            "version": res.manifest.version,
+            "counts": res.counts,
+        }
+    )
+    return 0
+
+
+def cmd_ingest(spark: SparkSession, args) -> int:
+    from .streaming.pipeline import CdcStreamPipeline
+
+    table = _load(spark, args.root)
+    pipe = CdcStreamPipeline(
+        table,
+        events_dir=args.events_dir,
+        checkpoint_dir=args.checkpoint,
+        source_id=args.source_id,
+        max_files_per_trigger=args.max_files_per_trigger,
+        merge_mode=args.merge_mode,
+        local_commit_cap=args.local_commit_cap,
+    )
+    merged = pipe.run_available_now(spark, timeout_sec=args.timeout_sec)
+    _emit(
+        {
+            "cmd": "ingest",
+            "root": args.root,
+            "source_id": args.source_id,
+            "batches_merged": merged,
+            "batches_fenced": len(pipe.batch_results) - merged,
+            "version": table.current_version(),
+            "last_committed_batch": pipe.last_committed_batch(),
+        }
+    )
+    return 0
+
+
+def cmd_status(spark: SparkSession, args) -> int:
+    table = _load(spark, args.root)
+    m = table.current_manifest()
+    live = [f for f in m.files if not f.is_delta]
+    deltas = [f for f in m.files if f.is_delta]
+    _emit(
+        {
+            "cmd": "status",
+            "root": args.root,
+            "version": m.version,
+            "snapshot_id": m.snapshot_id,
+            "schema_version": m.current_schema_version,
+            "keys": m.key_cols,
+            "buckets": m.num_buckets,
+            "base_files": len(live),
+            "delta_files": len(deltas),
+            "rows_upper_bound": sum(f.rows for f in m.files),
+            "watermarks": m.watermarks,
+            "lineage_tail": m.lineage[-args.lineage_tail:],
+        }
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="encode_ingest_spark")
+    p.add_argument(
+        "--cores",
+        type=int,
+        default=None,
+        help="local[N] width when NOT under spark-submit (default: "
+        "SPARK_GRAFT_CPUS)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create an empty lake table")
+    c.add_argument("--root", required=True)
+    c.add_argument("--schema-ddl", default=REPO_FILE_DDL)
+    c.add_argument("--keys", default=DEFAULT_KEYS)
+    c.add_argument("--buckets", type=int, default=16)
+    c.set_defaults(fn=cmd_create)
+
+    g = sub.add_parser("generate", help="stage a deterministic CDC backlog")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-keys", type=int, default=1000)
+    g.add_argument("--events-per-key", type=int, default=3)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--n-repos", type=int, default=50)
+    g.add_argument("--delete-pct", type=int, default=10)
+    g.add_argument("--files", type=int, default=4)
+    g.set_defaults(fn=cmd_generate)
+
+    m = sub.add_parser("merge", help="apply one CDC batch file")
+    m.add_argument("--root", required=True)
+    m.add_argument("--batch", required=True, help="parquet path of the batch")
+    m.add_argument("--source-id", default="cli")
+    m.add_argument("--batch-id", type=int, required=True)
+    m.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    m.set_defaults(fn=cmd_merge)
+
+    i = sub.add_parser("ingest", help="drain an event directory into the table")
+    i.add_argument("--root", required=True)
+    i.add_argument("--events-dir", required=True)
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--source-id", default="stream")
+    i.add_argument("--max-files-per-trigger", type=int, default=None)
+    i.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    i.add_argument("--local-commit-cap", type=int, default=None)
+    i.add_argument("--timeout-sec", type=int, default=600)
+    i.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("status", help="print table state as one JSON line")
+    s.add_argument("--root", required=True)
+    s.add_argument("--lineage-tail", type=int, default=3)
+    s.set_defaults(fn=cmd_status)
+
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        spark = _spark(args)
+    try:
+        return args.fn(spark, args)
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,9 +33,17 @@ def get_spark(
     throughput scaling efficiency (BASELINE.md).
     """
     n = cores or default_parallelism()
+    # Under spark-submit the master/executor topology belongs to the
+    # submit command (--master yarn/k8s, --num-executors ...); forcing
+    # local[N] here would silently collapse a cluster job to one JVM.
+    # spark-submit advertises itself via PYSPARK_SUBMIT_ARGS — leave
+    # spark.master alone in that case (the __main__ CLI path).
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    builder = SparkSession.builder
+    if "--master" not in submit_args:
+        builder = builder.master(f"local[{n}]")
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")

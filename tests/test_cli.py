@@ -1,0 +1,124 @@
+"""The spark-submit-able CLI (`python -m encode_ingest_spark`).
+
+The north rule's deployment shape is `spark-submit --py-files` driving a
+job script; `encode_ingest_spark/__main__.py` is that script. These tests
+drive every verb in-process against the shared session, plus ONE real
+subprocess (`python -m`, fresh interpreter, PYTHONPATH import — the same
+import path --py-files produces) as the packaging smoke.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from encode_ingest_spark.__main__ import main
+from encode_ingest_spark.lake import LakeTable
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(spark, capsys, *argv) -> dict:
+    assert main(list(argv), spark=spark) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    return json.loads(lines[-1])
+
+
+@pytest.fixture()
+def roots(tmp_path):
+    return str(tmp_path / "lake"), str(tmp_path / "events"), str(tmp_path / "ckpt")
+
+
+def test_cli_end_to_end(spark, capsys, roots):
+    lake, events, ckpt = roots
+    out = run_cli(spark, capsys, "create", "--root", lake, "--buckets", "4")
+    assert out["version"] == 0 and out["keys"] == ["repo", "path", "commit"]
+
+    out = run_cli(
+        spark, capsys, "generate", "--out", events,
+        "--n-keys", "60", "--events-per-key", "3", "--files", "3",
+    )
+    assert out["events"] == 180
+
+    out = run_cli(
+        spark, capsys, "ingest", "--root", lake, "--events-dir", events,
+        "--checkpoint", ckpt, "--source-id", "s1", "--max-files-per-trigger", "1",
+    )
+    # hash-split can leave an empty part file (its batch merges no rows),
+    # so pin a floor, not the exact micro-batch count
+    assert out["batches_merged"] >= 2 and out["batches_fenced"] == 0
+
+    # drained checkpoint: a second run merges nothing
+    out = run_cli(
+        spark, capsys, "ingest", "--root", lake, "--events-dir", events,
+        "--checkpoint", ckpt, "--source-id", "s1",
+    )
+    assert out["batches_merged"] == 0
+
+    # final state == replay oracle (last op per key, deletes dropped)
+    from encode_ingest_spark.cdc.generator import repo_file_events
+
+    ev = repo_file_events(spark, n_keys=60, events_per_key=3, seed=42)
+    expected = (
+        ev.groupBy("repo", "path", "commit")
+        .agg(F.max_by("op", "event_seq").alias("op"))
+        .filter(F.col("op") != "delete")
+        .count()
+    )
+    table = LakeTable.load(spark, lake)
+    assert table.read().count() == expected
+
+    out = run_cli(spark, capsys, "status", "--root", lake, "--lineage-tail", "2")
+    assert out["version"] == table.current_version()
+    assert out["watermarks"]["s1"]["batch_id"] >= 1
+    assert out["rows_upper_bound"] >= expected
+    assert len(out["lineage_tail"]) >= 1
+
+
+def test_cli_merge_fence(spark, capsys, roots, tmp_path):
+    lake, _, _ = roots
+    run_cli(spark, capsys, "create", "--root", lake, "--buckets", "4")
+
+    from encode_ingest_spark.cdc.generator import repo_file_events
+
+    batch_path = str(tmp_path / "batch")
+    repo_file_events(spark, n_keys=40, events_per_key=2, seed=7).write.parquet(
+        batch_path
+    )
+    out = run_cli(
+        spark, capsys, "merge", "--root", lake, "--batch", batch_path,
+        "--source-id", "cli", "--batch-id", "1",
+    )
+    assert not out["skipped"] and out["version"] >= 1
+    v = out["version"]
+
+    # replaying the same batch id is a fenced no-op
+    out = run_cli(
+        spark, capsys, "merge", "--root", lake, "--batch", batch_path,
+        "--source-id", "cli", "--batch-id", "1",
+    )
+    assert out["skipped"] and out["version"] == v
+
+
+def test_cli_subprocess_packaging(tmp_path):
+    """`python -m encode_ingest_spark` from a fresh interpreter outside the
+    repo cwd — the import path a spark-submit --py-files deployment uses."""
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT, SPARK_DRIVER_MEM="2g")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "encode_ingest_spark", "--cores", "2",
+            "create", "--root", str(tmp_path / "lake"), "--buckets", "2",
+        ],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["cmd"] == "create" and out["version"] == 0
