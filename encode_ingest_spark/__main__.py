@@ -2,12 +2,13 @@
 
 The north-rule deployment shape is ``spark-submit --py-files`` on a
 multi-executor cluster; this module is the job script that shape needs —
-the same CDC engine the library exposes, behind a five-verb CLI:
+the same CDC engine the library exposes, behind a six-verb CLI:
 
     create    make an empty bucketed lake table
     generate  stage a deterministic CDC event backlog (parquet files)
     merge     apply ONE batch file (exactly-once fenced) to a table
     ingest    tail an event directory: readStream -> foreachBatch MERGE
+    maintain  housekeeping: compaction, tombstone purge, expiry, GC
     status    print table state: version, rows, watermarks, lineage tail
 
 Cluster vs sandbox: under spark-submit the master/executor topology comes
@@ -160,6 +161,25 @@ def cmd_ingest(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_maintain(spark: SparkSession, args) -> int:
+    table = _load(spark, args.root)
+    report = table.maintain(
+        tombstone_horizon_seq=args.tombstone_horizon_seq,
+        max_files_per_bucket=args.max_files_per_bucket,
+        keep_snapshots=args.keep_snapshots,
+        remove_orphan_files=not args.no_orphan_gc,
+    )
+    _emit(
+        {
+            "cmd": "maintain",
+            "root": args.root,
+            "version": table.current_version(),
+            **report,
+        }
+    )
+    return 0
+
+
 def cmd_status(spark: SparkSession, args) -> int:
     table = _load(spark, args.root)
     m = table.current_manifest()
@@ -230,6 +250,18 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--local-commit-cap", type=int, default=None)
     i.add_argument("--timeout-sec", type=int, default=600)
     i.set_defaults(fn=cmd_ingest)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="housekeeping pass: compact overgrown buckets, purge "
+        "tombstones below a horizon, expire snapshots, GC orphans",
+    )
+    mt.add_argument("--root", required=True)
+    mt.add_argument("--tombstone-horizon-seq", type=int, default=None)
+    mt.add_argument("--max-files-per-bucket", type=int, default=None)
+    mt.add_argument("--keep-snapshots", type=int, default=None)
+    mt.add_argument("--no-orphan-gc", action="store_true")
+    mt.set_defaults(fn=cmd_maintain)
 
     s = sub.add_parser("status", help="print table state as one JSON line")
     s.add_argument("--root", required=True)

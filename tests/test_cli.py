@@ -71,6 +71,13 @@ def test_cli_end_to_end(spark, capsys, roots):
     table = LakeTable.load(spark, lake)
     assert table.read().count() == expected
 
+    # maintenance pass between ingest windows: near-no-op on a healthy
+    # table, but must run and report
+    out = run_cli(
+        spark, capsys, "maintain", "--root", lake, "--keep-snapshots", "10",
+    )
+    assert out["cmd"] == "maintain" and "orphans_removed" in out
+
     out = run_cli(spark, capsys, "status", "--root", lake, "--lineage-tail", "2")
     assert out["version"] == table.current_version()
     assert out["watermarks"]["s1"]["batch_id"] >= 1
