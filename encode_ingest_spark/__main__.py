@@ -2,7 +2,7 @@
 
 The north-rule deployment shape is ``spark-submit --py-files`` on a
 multi-executor cluster; this module is the job script that shape needs —
-the same CDC engine the library exposes, behind a six-verb CLI:
+the same CDC engine the library exposes, behind a nine-verb CLI:
 
     create    make an empty bucketed lake table
     generate  stage a deterministic CDC event backlog (parquet files)
@@ -10,6 +10,15 @@ the same CDC engine the library exposes, behind a six-verb CLI:
     ingest    tail an event directory: readStream -> foreachBatch MERGE
     maintain  housekeeping: compaction, tombstone purge, expiry, GC
     status    print table state: version, rows, watermarks, lineage tail
+
+    universe-create   lay out the full entity universe (raw CDC tables,
+                      derived output trees, atomic table group)
+    universe-ingest   drain a multiplexed raw-entity changelog: per
+                      epoch, merge raw tables then land ONE
+                      transactional incremental refresh of every
+                      derived tree (the reference's whole weekly
+                      extract->transform DAG as a resumable job)
+    universe-status   group version + per-table state
 
 Cluster vs sandbox: under spark-submit the master/executor topology comes
 from the submit command (session.get_spark detects PYSPARK_SUBMIT_ARGS and
@@ -161,6 +170,100 @@ def cmd_ingest(spark: SparkSession, args) -> int:
     return 0
 
 
+def _universe_layout(root: str) -> tuple[str, str, str]:
+    return f"{root}/raw", f"{root}/out", f"{root}/group"
+
+
+def _load_universe(spark: SparkSession, root: str):
+    from .entities.universe import TREE_SPECS, UNIVERSE_SCHEMAS
+    from .lake import LakeTable
+    from .lake.txn import TableGroup
+
+    raw_root, out_root, grp_root = _universe_layout(root)
+    universe = {
+        n: LakeTable.load(spark, f"{raw_root}/{n}") for n in UNIVERSE_SCHEMAS
+    }
+    targets = {
+        n: LakeTable.load(spark, f"{out_root}/{n}") for n in TREE_SPECS
+    }
+    group = TableGroup.load(spark, grp_root)
+    return universe, targets, group
+
+
+def cmd_universe_create(spark: SparkSession, args) -> int:
+    from .entities.universe import create_entity_targets, create_universe
+    from .lake.txn import TableGroup
+
+    raw_root, out_root, grp_root = _universe_layout(args.root)
+    universe = create_universe(spark, raw_root, num_buckets=args.buckets)
+    targets = create_entity_targets(spark, out_root, num_buckets=args.buckets)
+    TableGroup.create(
+        spark, grp_root,
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+    _emit(
+        {
+            "cmd": "universe-create",
+            "root": args.root,
+            "raw_tables": len(universe),
+            "output_tables": len(targets),
+        }
+    )
+    return 0
+
+
+def cmd_universe_ingest(spark: SparkSession, args) -> int:
+    from .streaming.pipeline import UniverseStreamPipeline
+
+    universe, targets, group = _load_universe(spark, args.root)
+    pipe = UniverseStreamPipeline(
+        universe,
+        targets,
+        args.events_dir,
+        args.checkpoint,
+        group=group,
+        source_id=args.source_id,
+        max_files_per_trigger=args.max_files_per_trigger,
+        local_commit_cap=args.local_commit_cap,
+    )
+    merged = pipe.run_available_now(spark, timeout_sec=args.timeout_sec)
+    _emit(
+        {
+            "cmd": "universe-ingest",
+            "root": args.root,
+            "epochs_merged": merged,
+            "group_version": group.current_version(),
+        }
+    )
+    return 0
+
+
+def cmd_universe_status(spark: SparkSession, args) -> int:
+    universe, targets, group = _load_universe(spark, args.root)
+    gm = group.current_manifest()
+    _emit(
+        {
+            "cmd": "universe-status",
+            "root": args.root,
+            "group_version": group.current_version(),
+            "tables": {
+                n: {
+                    "version": v,
+                    "rows_upper_bound": sum(
+                        f.rows for f in targets[n].manifest_at(v).files
+                    ),
+                }
+                for n, v in group.pinned_versions().items()
+            },
+            "raw_versions": {
+                n: t.current_version() for n, t in sorted(universe.items())
+            },
+            "watermarks": gm.get("watermarks", {}),
+        }
+    )
+    return 0
+
+
 def cmd_maintain(spark: SparkSession, args) -> int:
     table = _load(spark, args.root)
     report = table.maintain(
@@ -250,6 +353,35 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--local-commit-cap", type=int, default=None)
     i.add_argument("--timeout-sec", type=int, default=600)
     i.set_defaults(fn=cmd_ingest)
+
+    uc = sub.add_parser(
+        "universe-create",
+        help="create the full entity universe: raw CDC tables, derived "
+        "output trees, and the atomic table group",
+    )
+    uc.add_argument("--root", required=True)
+    uc.add_argument("--buckets", type=int, default=16)
+    uc.set_defaults(fn=cmd_universe_create)
+
+    ui = sub.add_parser(
+        "universe-ingest",
+        help="drain a multiplexed raw-entity changelog: per epoch, merge "
+        "raw tables then land one transactional derived refresh",
+    )
+    ui.add_argument("--root", required=True)
+    ui.add_argument("--events-dir", required=True)
+    ui.add_argument("--checkpoint", required=True)
+    ui.add_argument("--source-id", default="universe_stream")
+    ui.add_argument("--max-files-per-trigger", type=int, default=None)
+    ui.add_argument("--local-commit-cap", type=int, default=None)
+    ui.add_argument("--timeout-sec", type=int, default=600)
+    ui.set_defaults(fn=cmd_universe_ingest)
+
+    us = sub.add_parser(
+        "universe-status", help="group version + per-table state"
+    )
+    us.add_argument("--root", required=True)
+    us.set_defaults(fn=cmd_universe_status)
 
     mt = sub.add_parser(
         "maintain",

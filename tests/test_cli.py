@@ -110,6 +110,56 @@ def test_cli_merge_fence(spark, capsys, roots, tmp_path):
     assert out["skipped"] and out["version"] == v
 
 
+def test_cli_universe_roundtrip(spark, capsys, tmp_path):
+    """The universe verbs drive the reference's whole extract->transform
+    DAG as a job: create the layout, drain a multiplexed changelog, and
+    the derived state equals the full recompute."""
+    import json as _json
+
+    from encode_ingest_spark.entities import transform_all
+    from tests.test_entity_universe import SEED_EPOCH_1, _rows
+
+    root = str(tmp_path / "uni")
+    out = run_cli(spark, capsys, "universe-create", "--root", root,
+                  "--buckets", "2")
+    assert out["raw_tables"] >= 18 and out["output_tables"] >= 15
+
+    rows = []
+    for i, (name, rws) in enumerate(SEED_EPOCH_1.items()):
+        for j, r in enumerate(rws):
+            rows.append((name, "upsert", 1000 + i * 100 + j, _json.dumps(r)))
+    ev_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "entity string, op string, event_seq long, payload string"
+    ).coalesce(1).write.parquet(ev_dir)
+
+    out = run_cli(
+        spark, capsys, "universe-ingest", "--root", root,
+        "--events-dir", ev_dir, "--checkpoint", str(tmp_path / "ck"),
+    )
+    assert out["epochs_merged"] == 1 and out["group_version"] >= 1
+
+    # re-drain is a fenced no-op
+    out = run_cli(
+        spark, capsys, "universe-ingest", "--root", root,
+        "--events-dir", ev_dir, "--checkpoint", str(tmp_path / "ck"),
+    )
+    assert out["epochs_merged"] == 0
+
+    from encode_ingest_spark.__main__ import _load_universe
+
+    universe, _, group = _load_universe(spark, root)
+    want = transform_all(
+        spark, {n: t.read() for n, t in universe.items()}
+    )
+    for name in ("donor", "biosample", "file"):
+        assert _rows(group.read(name)) == _rows(want[name]), name
+
+    out = run_cli(spark, capsys, "universe-status", "--root", root)
+    assert out["group_version"] >= 1
+    assert out["tables"]["donor"]["rows_upper_bound"] >= 3
+
+
 def test_cli_subprocess_packaging(tmp_path):
     """`python -m encode_ingest_spark` from a fresh interpreter outside the
     repo cwd — the import path a spark-submit --py-files deployment uses."""
