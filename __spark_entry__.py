@@ -49,8 +49,15 @@ def oracle_sql() -> dict[str, str]:
     from encode_ingest_spark.suite import _FLAGSHIP_EVENTS, ensure_flagship_staged
 
     try:
+        from py4j.protocol import Py4JError as _Py4JError
+    except ImportError:  # pragma: no cover - py4j ships with pyspark
+        _Py4JError = RuntimeError
+    try:
         ensure_flagship_staged()
-    except (OSError, RuntimeError) as e:
+    except (OSError, RuntimeError, _Py4JError) as e:
+        # Py4JError covers the JVM-side form the same environment
+        # failures take (e.g. a non-writable stage dir surfacing as
+        # java.io.IOException inside the parquet write)
         print(
             f"warning: flagship oracle staging failed ({e!r}); the DuckDB "
             f"oracle for cdc_repo_pipeline needs {_FLAGSHIP_EVENTS} — the "

@@ -78,6 +78,11 @@ def cmd_create(spark: SparkSession, args) -> int:
         schema,
         [k.strip() for k in args.keys.split(",") if k.strip()],
         num_buckets=args.buckets,
+        # bound MOR delta chains by default so `ingest --local-commit-cap`
+        # (and mor-mode merges) can't grow read cost without limit
+        properties={"mor.compact.threshold": str(args.mor_compact_threshold)}
+        if args.mor_compact_threshold
+        else None,
     )
     _emit(
         {
@@ -301,7 +306,9 @@ def cmd_status(spark: SparkSession, args) -> int:
             "delta_files": len(deltas),
             "rows_upper_bound": sum(f.rows for f in m.files),
             "watermarks": m.watermarks,
-            "lineage_tail": m.lineage[-args.lineage_tail:],
+            "lineage_tail": (
+                m.lineage[-args.lineage_tail:] if args.lineage_tail else []
+            ),
         }
     )
     return 0
@@ -323,6 +330,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--schema-ddl", default=REPO_FILE_DDL)
     c.add_argument("--keys", default=DEFAULT_KEYS)
     c.add_argument("--buckets", type=int, default=16)
+    c.add_argument(
+        "--mor-compact-threshold",
+        type=int,
+        default=8,
+        help="auto-fold a bucket's MOR delta chain past this many files "
+        "(0 = manual compaction only)",
+    )
     c.set_defaults(fn=cmd_create)
 
     g = sub.add_parser("generate", help="stage a deterministic CDC backlog")

@@ -50,6 +50,7 @@ set plus the metadata dims — never a full pass over the file payloads.
 from __future__ import annotations
 
 import contextlib
+import math
 import os
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -158,7 +159,17 @@ def create_universe(
         out[name] = LakeTable.create(
             spark, f"{root}/{name}", T._parse_datatype_string(ddl),
             ["@id"], num_buckets=num_buckets or _DEFAULT_BUCKETS,
-            properties={"write.sort_within_buckets": "@id"},
+            # trickle streams (local_commit_cap) land micro-batches as
+            # MOR deltas — bound the per-bucket chain or a long stream
+            # grows snapshot-read cost without limit; max_buckets caps
+            # buckets folded per commit so the 18 raw tables sharing
+            # one epoch cadence can't synchronize into a fleet-wide
+            # rewrite storm (same rationale as create_entity_targets)
+            properties={
+                "write.sort_within_buckets": "@id",
+                "mor.compact.threshold": "8",
+                "mor.compact.max_buckets": "4",
+            },
         )
     return out
 
@@ -391,6 +402,10 @@ def _isin_literal(col: str, vals: list) -> F.Column:
         if isinstance(v, str):
             parts.append("'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'")
         elif isinstance(v, bool) or not isinstance(v, (int, float)):
+            return F.col(col).isin(vals)
+        elif isinstance(v, float) and not math.isfinite(v):
+            # repr() would render nan/inf, which do not parse as SQL
+            # literals — let Column.isin build them JVM-side
             return F.col(col).isin(vals)
         else:
             parts.append(repr(v))
@@ -1555,8 +1570,16 @@ def refresh_entity_universe(
     # join would otherwise recompute per consumer — a single-consumer
     # source hands its lazy changelog straight to the tree (the dirty
     # replant then materializes it exactly once anyway)
+    # the dataset singleton lists EVERY source (any change re-checks its
+    # bootstrap state) but its dirty fn never reads changelog CONTENTS
+    # (_dirty_for short-circuits it) — counting it would put every
+    # source at fanout >= 2 and make the single-consumer skip dead
     fanout = {
-        n: sum(1 for s in specs.values() if n in s.sources)
+        n: sum(
+            1
+            for s in specs.values()
+            if n in s.sources and s.name != "dataset"
+        )
         for n in universe
     }
     ch: dict[str, DataFrame] = {}

@@ -52,6 +52,7 @@ Shared mechanics:
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 from pyspark.sql import DataFrame, Observation
@@ -467,6 +468,23 @@ def merge_local_delta(
                 if isinstance(f.dataType, T.MapType):
                     vals = [
                         list(v.items()) if isinstance(v, dict) else v
+                        for v in vals
+                    ]
+                elif isinstance(f.dataType, T.TimestampType):
+                    # Spark's collect() hands back NAIVE datetimes in
+                    # the driver's OS timezone, and pa.array stores the
+                    # WALL-CLOCK value under timestamp[us, tz=UTC]
+                    # (verified: it does not convert even tz-aware
+                    # inputs) — on a non-UTC driver that shifts the
+                    # stored instant by the UTC offset vs the
+                    # distributed write path. Re-express every value as
+                    # UTC wall time first (naive = local by collect()'s
+                    # contract; aware converts directly).
+                    utc = _dt.timezone.utc
+                    vals = [
+                        v.astimezone(utc)
+                        if isinstance(v, _dt.datetime)
+                        else v
                         for v in vals
                     ]
                 cols.append(pa.array(vals, type=af.type))

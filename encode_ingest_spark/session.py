@@ -36,11 +36,17 @@ def get_spark(
     # Under spark-submit the master/executor topology belongs to the
     # submit command (--master yarn/k8s, --num-executors ...); forcing
     # local[N] here would silently collapse a cluster job to one JVM.
-    # spark-submit advertises itself via PYSPARK_SUBMIT_ARGS — leave
-    # spark.master alone in that case (the __main__ CLI path).
-    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    # Detection: spark-submit of a Python app launches the driver from
+    # an ALREADY-RUNNING JVM gateway and hands the python process its
+    # port via PYSPARK_GATEWAY_PORT (that JVM's conf carries the submit
+    # command's spark.master); bin/pyspark instead passes the submit
+    # line via PYSPARK_SUBMIT_ARGS. Either signal means the topology is
+    # owned elsewhere — leave spark.master alone.
     builder = SparkSession.builder
-    if "--master" not in submit_args:
+    if (
+        "PYSPARK_GATEWAY_PORT" not in os.environ
+        and "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    ):
         builder = builder.master(f"local[{n}]")
     builder = (
         builder.appName(app_name)

@@ -542,10 +542,18 @@ class PerEntityUniverseStreamPipeline:
       (``source_id:entity``, epoch) merge fence;
     * the refresh barrier: its diff span starts at the LAST REFRESHED
       version vector, persisted in the group watermark
-      (``source_versions``, written by the group commit itself) — a
-      crash anywhere between raw merges and the group commit simply
-      widens the next cycle's span, and per-target fences +
-      ``version_for_batch`` resolution heal a half-landed refresh.
+      (``source_versions``, written by the group commit itself). A
+      crash between the raw merges and the refresh simply widens the
+      next cycle's span (no target is fenced yet). A crash MID-refresh
+      (some targets fenced, no group commit) is healed at the START of
+      the next cycle: before any stream drains, the pending span
+      (watermark vector → current raw) re-runs under the same batch
+      id — fences skip the landed targets, ``version_for_batch`` pins
+      them, and the group commit records the pre-drain vector, so the
+      post-drain refresh covers pending→new for EVERY target. (Healing
+      before the drain matters: replaying after new data merged would
+      fence-skip the landed targets across the widened span and lose
+      their pending→post-drain changes.)
 
     Layout: ``events_root/<entity>/*.parquet`` — rows are that entity's
     RAW schema + ``op`` + ``event_seq`` (the typed per-entity log).
@@ -600,6 +608,31 @@ class PerEntityUniverseStreamPipeline:
             UNIVERSE_SCHEMAS,
             refresh_entity_universe,
         )
+
+        # Heal a half-landed refresh from a crashed prior cycle BEFORE
+        # new stream data widens the raw span: if the group watermark's
+        # resume vector trails the raw tables, the previous cycle died
+        # between its target merges and its group commit. Re-run that
+        # EXACT pending span under the SAME batch id — per-target
+        # fences skip whatever already landed, version_for_batch pins
+        # the fenced targets' versions, and the group commit records
+        # the pre-drain vector. Draining first instead would let the
+        # replayed batch id fence-skip those targets across a WIDER
+        # span (old-vector → post-drain raw), permanently losing the
+        # pending→post-drain changes for them.
+        wm0 = self.group.watermark(REFRESH_SOURCE_ID)
+        pending_from = {
+            n: int(wm0.get("source_versions", {}).get(n, 0))
+            for n in self.universe
+        }
+        if any(
+            pending_from[n] != t.current_version()
+            for n, t in self.universe.items()
+        ):
+            refresh_entity_universe(
+                spark, self.universe, self.targets, pending_from,
+                batch_id=int(wm0.get("batch_id", 0)) + 1, group=self.group,
+            )
 
         merged_flags: dict[str, bool] = {}
 

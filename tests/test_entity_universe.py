@@ -1078,3 +1078,82 @@ def test_universe_stream_local_commits_match_distributed(
     )
     assert pipe2.run_available_now(spark) == 0
     assert group.current_version() == gv
+
+def test_per_entity_cycle_heals_crashed_refresh_before_drain(
+    spark, tmp_path, monkeypatch
+):
+    """A cycle that dies BETWEEN its target merges and its group commit
+    leaves every target fenced at a batch id the group watermark never
+    recorded. The next run_cycle must re-land that pending span BEFORE
+    draining new stream data — replaying it after the drain would let
+    the fenced targets skip the replayed batch across the WIDENED span
+    and permanently lose the newer changes (review finding, round 5)."""
+    import encode_ingest_spark.entities.universe as uni
+    from encode_ingest_spark.entities.universe import REFRESH_SOURCE_ID
+    from encode_ingest_spark.streaming.pipeline import (
+        PerEntityUniverseStreamPipeline,
+    )
+
+    universe = create_universe(spark, str(tmp_path / "raw"), num_buckets=2)
+    targets = create_entity_targets(spark, str(tmp_path / "out"),
+                                    num_buckets=2)
+    group = TableGroup.create(
+        spark, str(tmp_path / "grp"),
+        {n: t for n, t in targets.items() if not n.startswith("_")},
+    )
+
+    def typed_rows(name, rows, seq0):
+        df = spark.createDataFrame(
+            rows, T._parse_datatype_string(UNIVERSE_SCHEMAS[name]))
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("@id"))
+        return df.withColumn("op", F.lit("upsert")).withColumn(
+            "event_seq", (F.lit(seq0) + F.row_number().over(w)).cast("long"))
+
+    ev_root = str(tmp_path / "events")
+    for name, rows in SEED_EPOCH_1.items():
+        typed_rows(name, rows, 1000).coalesce(1).write.mode("append").parquet(
+            f"{ev_root}/{name}")
+    pipe = PerEntityUniverseStreamPipeline(
+        universe, targets, ev_root, str(tmp_path / "ckpt"), group=group)
+    assert pipe.run_cycle(spark) == len(SEED_EPOCH_1)
+    wm1 = group.watermark(REFRESH_SOURCE_ID)
+
+    # ---- cycle 2 CRASHES mid-refresh: the streams drain and commit
+    # (checkpoint + raw fences advance), every target merges + fences
+    # at batch K, but the group commit never lands — simulated by a
+    # refresh that drops the group argument ----
+    donor_v2 = dict(SEED_EPOCH_1["donors"][0], age="40")
+    typed_rows("donors", [donor_v2], 2000).coalesce(1).write.mode(
+        "append").parquet(f"{ev_root}/donors")
+    real_refresh = uni.refresh_entity_universe
+
+    def crashing_refresh(spark_, universe_, targets_, from_versions,
+                         batch_id, group=None, **kw):
+        return real_refresh(spark_, universe_, targets_, from_versions,
+                            batch_id=batch_id, group=None, **kw)
+
+    monkeypatch.setattr(uni, "refresh_entity_universe", crashing_refresh)
+    pipe2 = PerEntityUniverseStreamPipeline(
+        universe, targets, ev_root, str(tmp_path / "ckpt"), group=group)
+    assert pipe2.run_cycle(spark) == 1
+    monkeypatch.setattr(uni, "refresh_entity_universe", real_refresh)
+    assert group.watermark(REFRESH_SOURCE_ID) == wm1  # commit never landed
+
+    # ---- cycle 3: a NEWER donor change arrives, then a normal cycle ----
+    donor_v3 = dict(SEED_EPOCH_1["donors"][0], age="41")
+    typed_rows("donors", [donor_v3], 3000).coalesce(1).write.mode(
+        "append").parquet(f"{ev_root}/donors")
+    pipe3 = PerEntityUniverseStreamPipeline(
+        universe, targets, ev_root, str(tmp_path / "ckpt"), group=group)
+    pipe3.run_cycle(spark)
+
+    # every derived table equals the full recompute — in particular the
+    # donor tree (fenced by the crashed batch) saw BOTH newer changes
+    want = transform_all(spark, {n: t.read() for n, t in universe.items()})
+    for name in OUTPUT_TABLES:
+        assert _rows(group.read(name)) == _rows(want[name]), name
+    d1 = [r for r in group.read("donor").collect()
+          if r["donor_id"].endswith("D1")][0]
+    assert "41" in str(d1.asDict()), d1

@@ -234,3 +234,58 @@ def test_small_batch_evolves_schema(spark, tmp_path):
     assert not res.skipped
     got = t.read().filter(F.col("id") == "a").select("extra").collect()
     assert got[0][0] == "fresh"
+
+
+def test_local_delta_timestamps_survive_non_utc_driver(spark, tmp_path):
+    """Spark's collect() yields naive datetimes in the DRIVER's OS
+    timezone; the pyarrow write must attach that zone before landing
+    them under timestamp[us, tz=UTC], or every local commit on a
+    non-UTC driver shifts the instant by the UTC offset vs the
+    distributed path."""
+    import datetime as dt
+    import os
+    import time
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "tz"), schema, ["id"], num_buckets=2
+    )
+    m = t.current_manifest()
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        # the instant 2020-07-01T12:00:00Z collected on an EDT driver
+        # arrives as naive 08:00 local — exactly what collect() hands
+        # the batch-plan path. No Spark work happens while TZ is off.
+        naive_local = dt.datetime(2020, 7, 1, 8, 0, 0)
+        rows = [
+            {
+                "id": "a",
+                "ts": naive_local,
+                "_seq": 1,
+                "_deleted": False,
+                BUCKET_COL: 0,
+            }
+        ]
+        merge_local_delta(t, rows, batch_id=1)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+    got = (
+        t.read()
+        .select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == "2020-07-01 12:00:00", got
+    assert m is not None
