@@ -396,6 +396,38 @@ def _maybe_compact(
     return res
 
 
+def _contains_timestamp(dt: T.DataType) -> bool:
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_timestamp(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_timestamp(dt.keyType) or _contains_timestamp(
+            dt.valueType
+        )
+    if isinstance(dt, T.StructType):
+        return any(_contains_timestamp(f.dataType) for f in dt.fields)
+    return False
+
+
+def _utc_wall(v, dt: T.DataType):
+    """Re-express every TimestampType value under ``dt`` as UTC wall
+    time, at any nesting depth (see merge_local_delta: pa.array stores
+    wall clocks without converting, so the driver-local write must do
+    the timezone math itself). Naive datetimes are local by collect()'s
+    contract; aware ones convert directly."""
+    if v is None:
+        return None
+    if isinstance(dt, T.TimestampType):
+        return v.astimezone(_dt.timezone.utc) if isinstance(v, _dt.datetime) else v
+    if isinstance(dt, T.ArrayType):
+        return [_utc_wall(x, dt.elementType) for x in v]
+    if isinstance(dt, T.StructType):
+        d = v if isinstance(v, dict) else v.asDict()
+        return {f.name: _utc_wall(d.get(f.name), f.dataType) for f in dt.fields}
+    return v
+
+
 def merge_local_delta(
     table: LakeTable,
     rows: list,
@@ -470,23 +502,28 @@ def merge_local_delta(
                         list(v.items()) if isinstance(v, dict) else v
                         for v in vals
                     ]
-                elif isinstance(f.dataType, T.TimestampType):
+                    if _contains_timestamp(f.dataType):
+                        kd, vd = f.dataType.keyType, f.dataType.valueType
+                        vals = [
+                            None
+                            if v is None
+                            else [
+                                (_utc_wall(k, kd), _utc_wall(x, vd))
+                                for k, x in v
+                            ]
+                            for v in vals
+                        ]
+                elif _contains_timestamp(f.dataType):
                     # Spark's collect() hands back NAIVE datetimes in
                     # the driver's OS timezone, and pa.array stores the
-                    # WALL-CLOCK value under timestamp[us, tz=UTC]
-                    # (verified: it does not convert even tz-aware
-                    # inputs) — on a non-UTC driver that shifts the
-                    # stored instant by the UTC offset vs the
-                    # distributed write path. Re-express every value as
-                    # UTC wall time first (naive = local by collect()'s
-                    # contract; aware converts directly).
-                    utc = _dt.timezone.utc
-                    vals = [
-                        v.astimezone(utc)
-                        if isinstance(v, _dt.datetime)
-                        else v
-                        for v in vals
-                    ]
+                    # WALL-CLOCK value under timestamp[us, tz=UTC] at
+                    # ANY nesting depth (verified: it does not convert
+                    # even tz-aware inputs) — on a non-UTC driver that
+                    # shifts the stored instant by the UTC offset vs
+                    # the distributed write path. Re-express every
+                    # timestamp as UTC wall time first, recursing
+                    # through arrays/structs.
+                    vals = [_utc_wall(v, f.dataType) for v in vals]
                 cols.append(pa.array(vals, type=af.type))
             at = pa.Table.from_arrays(cols, schema=arrow_schema)
             fname = f"{_uuid.uuid4().hex}.parquet"

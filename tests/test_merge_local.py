@@ -289,3 +289,60 @@ def test_local_delta_timestamps_survive_non_utc_driver(spark, tmp_path):
     )
     assert got == "2020-07-01 12:00:00", got
     assert m is not None
+
+
+def test_local_delta_nested_timestamps_survive_non_utc_driver(spark, tmp_path):
+    """The UTC re-expression must recurse: timestamps inside arrays and
+    structs take the same wall-clock path through pa.array."""
+    import datetime as dt
+    import os
+    import time
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("tss", T.ArrayType(T.TimestampType()), True),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("at", T.TimestampType(), True)]),
+                True,
+            ),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "tznest"), schema, ["id"], num_buckets=2
+    )
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        naive_local = dt.datetime(2020, 7, 1, 8, 0, 0)  # 12:00Z in EDT
+        rows = [
+            {
+                "id": "a",
+                "tss": [naive_local],
+                "meta": {"at": naive_local},
+                "_seq": 1,
+                "_deleted": False,
+                BUCKET_COL: 0,
+            }
+        ]
+        merge_local_delta(t, rows, batch_id=1)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+    r = (
+        t.read()
+        .select(
+            F.date_format(F.element_at("tss", 1), "yyyy-MM-dd HH:mm:ss").alias("a"),
+            F.date_format("meta.at", "yyyy-MM-dd HH:mm:ss").alias("b"),
+        )
+        .collect()[0]
+    )
+    assert r["a"] == "2020-07-01 12:00:00", r
+    assert r["b"] == "2020-07-01 12:00:00", r
