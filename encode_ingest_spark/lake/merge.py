@@ -422,6 +422,12 @@ def _utc_wall(v, dt: T.DataType):
         return v.astimezone(_dt.timezone.utc) if isinstance(v, _dt.datetime) else v
     if isinstance(dt, T.ArrayType):
         return [_utc_wall(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        items = v.items() if isinstance(v, dict) else v
+        return [
+            (_utc_wall(k, dt.keyType), _utc_wall(x, dt.valueType))
+            for k, x in items
+        ]
     if isinstance(dt, T.StructType):
         d = v if isinstance(v, dict) else v.asDict()
         return {f.name: _utc_wall(d.get(f.name), f.dataType) for f in dt.fields}
@@ -497,23 +503,7 @@ def merge_local_delta(
             cols = []
             for f, af in zip(file_fields, arrow_schema):
                 vals = [r.get(f.name) for r in brows]
-                if isinstance(f.dataType, T.MapType):
-                    vals = [
-                        list(v.items()) if isinstance(v, dict) else v
-                        for v in vals
-                    ]
-                    if _contains_timestamp(f.dataType):
-                        kd, vd = f.dataType.keyType, f.dataType.valueType
-                        vals = [
-                            None
-                            if v is None
-                            else [
-                                (_utc_wall(k, kd), _utc_wall(x, vd))
-                                for k, x in v
-                            ]
-                            for v in vals
-                        ]
-                elif _contains_timestamp(f.dataType):
+                if _contains_timestamp(f.dataType):
                     # Spark's collect() hands back NAIVE datetimes in
                     # the driver's OS timezone, and pa.array stores the
                     # WALL-CLOCK value under timestamp[us, tz=UTC] at
@@ -522,8 +512,14 @@ def merge_local_delta(
                     # shifts the stored instant by the UTC offset vs
                     # the distributed write path. Re-express every
                     # timestamp as UTC wall time first, recursing
-                    # through arrays/structs.
+                    # through arrays/structs/maps (_utc_wall also
+                    # normalizes map dicts to item lists for pa.array).
                     vals = [_utc_wall(v, f.dataType) for v in vals]
+                elif isinstance(f.dataType, T.MapType):
+                    vals = [
+                        list(v.items()) if isinstance(v, dict) else v
+                        for v in vals
+                    ]
                 cols.append(pa.array(vals, type=af.type))
             at = pa.Table.from_arrays(cols, schema=arrow_schema)
             fname = f"{_uuid.uuid4().hex}.parquet"

@@ -346,3 +346,76 @@ def test_local_delta_nested_timestamps_survive_non_utc_driver(spark, tmp_path):
     )
     assert r["a"] == "2020-07-01 12:00:00", r
     assert r["b"] == "2020-07-01 12:00:00", r
+
+
+def test_local_delta_map_timestamps_survive_non_utc_driver(spark, tmp_path):
+    """Timestamps inside MAP values — top-level and nested in a struct —
+    take the same wall-clock path through pa.array (verified: pyarrow
+    stores the naive wall clock under timestamp[us, tz=UTC] for nested
+    maps too), so the UTC re-expression must cover MapType at any depth."""
+    import datetime as dt
+    import os
+    import time
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.TimestampType()), True
+            ),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "mm",
+                            T.MapType(T.StringType(), T.TimestampType()),
+                            True,
+                        )
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "tzmap"), schema, ["id"], num_buckets=2
+    )
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        naive_local = dt.datetime(2020, 7, 1, 8, 0, 0)  # 12:00Z in EDT
+        rows = [
+            {
+                "id": "a",
+                "m": {"k": naive_local},
+                "meta": {"mm": {"k": naive_local}},
+                "_seq": 1,
+                "_deleted": False,
+                BUCKET_COL: 0,
+            }
+        ]
+        merge_local_delta(t, rows, batch_id=1)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+    r = (
+        t.read()
+        .select(
+            F.date_format(
+                F.element_at("m", F.lit("k")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("a"),
+            F.date_format(
+                F.element_at("meta.mm", F.lit("k")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert r["a"] == "2020-07-01 12:00:00", r
+    assert r["b"] == "2020-07-01 12:00:00", r
