@@ -477,6 +477,19 @@ def merge_local_delta(
             )
     schema = m.schema
     file_fields = [f for f in schema.fields]  # data cols + _seq + _deleted
+    allowed = {f.name for f in file_fields} | {BUCKET_COL}
+    for r in rows:
+        unknown = r.keys() - allowed
+        if unknown:
+            # fail loudly: the column loop reads r.get(name), so an
+            # unknown key (typo, or a column the table hasn't evolved
+            # to yet) would otherwise be dropped silently — and unlike
+            # merge_into this path never auto-evolves
+            raise ValueError(
+                f"row keys {sorted(unknown)} not in table schema "
+                f"{sorted(allowed)}; evolve the schema first or use "
+                "merge_into/merge_small_batch"
+            )
     arrow_schema = to_arrow_schema(T.StructType(file_fields))
     cluster = m.properties.get("write.sort_within_buckets", "")
     stat_cols = [c for c in cluster.split(",") if c]

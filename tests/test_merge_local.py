@@ -419,3 +419,25 @@ def test_local_delta_map_timestamps_survive_non_utc_driver(spark, tmp_path):
     )
     assert r["a"] == "2020-07-01 12:00:00", r
     assert r["b"] == "2020-07-01 12:00:00", r
+
+
+def test_local_delta_rejects_unknown_row_keys(spark, tmp_path):
+    """A row key outside the table schema must raise, not silently drop:
+    the pyarrow column loop reads r.get(name), and this path never
+    auto-evolves, so a typo'd or not-yet-evolved column would vanish."""
+    t = _mk_table(spark, tmp_path, "unknownkeys")
+    with pytest.raises(ValueError, match="not in table schema"):
+        merge_local_delta(
+            t,
+            [
+                {
+                    "id": "a",
+                    "label": "x",
+                    "labell": "typo",
+                    "_seq": 1,
+                    "_deleted": False,
+                    BUCKET_COL: 0,
+                }
+            ],
+            batch_id=1,
+        )
