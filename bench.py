@@ -328,13 +328,20 @@ def bench_changelog_pruning(spark, sf_dir: str) -> dict:
     return out
 
 
-def bench_streaming_e2e(spark, sf_dir: str, n_batches: int = 4) -> dict:
+def bench_streaming_e2e(spark, sf_dir: str, n_batches: int = 4,
+                        trials: int = 2) -> dict:
     """The north metric measured LITERALLY: change-events/sec sustained
     end-to-end through Structured Streaming — rate-micro-batch tail →
     foreachBatch dedup+MERGE → committed snapshot, including checkpoint
     and fence overhead per epoch. (bench_cdc_merge times the same work
     without the streaming machinery; the delta between the two is the
-    per-epoch fixed cost.)"""
+    per-epoch fixed cost.)
+
+    min-of-``trials`` full passes, each against a FRESH table +
+    checkpoint: this was the only headline metric captured single-pass,
+    and the one co-tenant windows inflated hardest (BENCH_r04 recorded
+    streaming −36% on byte-identical code; every other metric already
+    carried a min-of-N)."""
     import time as _time
 
     from pyspark.sql import types as T
@@ -350,13 +357,15 @@ def bench_streaming_e2e(spark, sf_dir: str, n_batches: int = 4) -> dict:
         [T.StructField(c, T.StringType()) for c in
          ["repo", "path", "commit", "lang", "content"]]
     )
-    try:
+
+    def one_pass(idx: int) -> tuple[float, int]:
         table = LakeTable.create(
-            spark, os.path.join(root, "t"), schema,
+            spark, os.path.join(root, f"t{idx}"), schema,
             ["repo", "path", "commit"], num_buckets=32,
         )
         pipe = CdcStreamPipeline(
-            table, checkpoint_dir=os.path.join(root, "ckpt"), source="rate",
+            table, checkpoint_dir=os.path.join(root, f"ckpt{idx}"),
+            source="rate",
             rate_opts={"n_keys": n_keys, "events_per_key": 3,
                        "rows_per_batch": total // n_batches},
         )
@@ -378,11 +387,20 @@ def bench_streaming_e2e(spark, sf_dir: str, n_batches: int = 4) -> dict:
             query.stop()
             query.awaitTermination(30)
         done = len([r for r in pipe.batch_results if not r.skipped])
-        events = min(done, n_batches) * (total // n_batches)
+        return dt, min(done, n_batches) * (total // n_batches)
+
+    try:
+        best_dt, events = None, 0
+        for idx in range(trials):
+            dt, ev = one_pass(idx)
+            if ev and (best_dt is None or dt < best_dt):
+                best_dt, events = dt, ev
+        dt = best_dt if best_dt is not None else 0.0
         return {
             "streaming_e2e_sec": round(dt, 3),
             "streaming_e2e_events": events,
             "events_per_sec_stream": round(events / dt, 1) if dt else 0.0,
+            "streaming_trials": trials,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -549,7 +567,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     narrow = bench_narrow_batch(spark, sf_dir)
     chlog = bench_changelog_pruning(spark, sf_dir)
-    stream = bench_streaming_e2e(spark, sf_dir)
+    stream = bench_streaming_e2e(spark, sf_dir,
+                                 trials=3 if contended else 2)
 
     # entity-universe maintenance probe (the round-4 layer): one
     # change-driven epoch vs the reference-shaped full recompute over

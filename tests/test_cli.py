@@ -179,3 +179,92 @@ def test_cli_subprocess_packaging(tmp_path):
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert out["cmd"] == "create" and out["version"] == 0
+
+
+_SUBMIT_JOB = """\
+import json
+import sys
+
+from encode_ingest_spark.__main__ import main
+from encode_ingest_spark.session import get_spark
+
+# get_spark must detect the spark-submit-owned gateway (PYSPARK_GATEWAY_PORT)
+# and leave spark.master alone: cores=4 would force local[4] in a bare run,
+# but the submit line said local[2] and that must win.
+spark = get_spark("submit-e2e", cores=4)
+assert spark.sparkContext.master == "local[2]", spark.sparkContext.master
+
+lake, events, ckpt = sys.argv[1:4]
+rc = 0
+rc |= main(["create", "--root", lake, "--buckets", "2"], spark=spark)
+rc |= main(
+    ["generate", "--out", events, "--n-keys", "40", "--events-per-key", "3",
+     "--files", "2"],
+    spark=spark,
+)
+rc |= main(
+    ["ingest", "--root", lake, "--events-dir", events, "--checkpoint", ckpt,
+     "--source-id", "s1"],
+    spark=spark,
+)
+rc |= main(["status", "--root", lake], spark=spark)
+spark.stop()
+sys.exit(rc)
+"""
+
+
+def test_cli_spark_submit_py_files(tmp_path):
+    """The north rule's deployment shape, literally: ``spark-submit
+    --py-files encode_ingest_spark.zip job.py`` in a fresh JVM, with the
+    repo NOT on any import path — the package must resolve from the zip,
+    the master must come from the submit line (not get_spark's local[N]
+    fallback), and one job must chain create -> generate -> ingest ->
+    status through a single session."""
+    import shutil as _shutil
+    import zipfile
+
+    spark_submit = _shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not installed")
+
+    pkg_zip = tmp_path / "encode_ingest_spark.zip"
+    pkg_root = os.path.join(REPO_ROOT, "encode_ingest_spark")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                zf.write(full, os.path.relpath(full, REPO_ROOT))
+
+    job = tmp_path / "job.py"
+    job.write_text(_SUBMIT_JOB)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY import source
+    env.setdefault("SPARK_DRIVER_MEM", "2g")
+    lake, events, ckpt = (
+        str(tmp_path / "lake"), str(tmp_path / "events"), str(tmp_path / "ckpt")
+    )
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]", "--driver-memory", "2g",
+            "--py-files", str(pkg_zip), str(job), lake, events, ckpt,
+        ],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
+    outs = [
+        json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")
+    ]
+    by_cmd = {o["cmd"]: o for o in outs}
+    assert by_cmd["create"]["version"] == 0
+    assert by_cmd["generate"]["events"] == 120
+    assert by_cmd["ingest"]["batches_merged"] >= 1
+    status = by_cmd["status"]
+    assert status["watermarks"]["s1"]["batch_id"] >= 0
+    assert status["rows_upper_bound"] >= 1 and status["version"] >= 1
