@@ -429,7 +429,14 @@ def _utc_wall(v, dt: T.DataType):
             for k, x in items
         ]
     if isinstance(dt, T.StructType):
-        d = v if isinstance(v, dict) else v.asDict()
+        if isinstance(v, dict):
+            d = v
+        elif isinstance(v, (tuple, list)):
+            # positional struct values — pa.array accepts them, so we
+            # must too rather than crash on a missing .asDict
+            d = dict(zip([f.name for f in dt.fields], v))
+        else:
+            d = v.asDict()
         return {f.name: _utc_wall(d.get(f.name), f.dataType) for f in dt.fields}
     return v
 

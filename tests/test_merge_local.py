@@ -9,6 +9,10 @@ further Spark work, under the SAME exactly-once fence, lineage, stats,
 and auto-compaction contracts as merge_into(mode="mor").
 """
 
+import os
+import time
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,6 +45,24 @@ def _batch(spark, rows):
         rows, "id string, label string, xs array<string>, n long, "
         "op string, event_seq long"
     )
+
+
+@contextmanager
+def _driver_tz(name):
+    """Run the body with the process timezone set to ``name``, restoring
+    (and re-tzset-ing) the original on exit — the restore must be exact
+    or a mutated TZ leaks into every later test in the process."""
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = name
+    time.tzset()
+    try:
+        yield
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
 
 
 def _local_rows(table, batch):
@@ -243,8 +265,6 @@ def test_local_delta_timestamps_survive_non_utc_driver(spark, tmp_path):
     non-UTC driver shifts the instant by the UTC offset vs the
     distributed path."""
     import datetime as dt
-    import os
-    import time
 
     schema = T.StructType(
         [
@@ -257,10 +277,7 @@ def test_local_delta_timestamps_survive_non_utc_driver(spark, tmp_path):
     )
     m = t.current_manifest()
 
-    old_tz = os.environ.get("TZ")
-    os.environ["TZ"] = "America/New_York"
-    time.tzset()
-    try:
+    with _driver_tz("America/New_York"):
         # the instant 2020-07-01T12:00:00Z collected on an EDT driver
         # arrives as naive 08:00 local — exactly what collect() hands
         # the batch-plan path. No Spark work happens while TZ is off.
@@ -275,12 +292,6 @@ def test_local_delta_timestamps_survive_non_utc_driver(spark, tmp_path):
             }
         ]
         merge_local_delta(t, rows, batch_id=1)
-    finally:
-        if old_tz is None:
-            os.environ.pop("TZ", None)
-        else:
-            os.environ["TZ"] = old_tz
-        time.tzset()
 
     got = (
         t.read()
@@ -295,8 +306,6 @@ def test_local_delta_nested_timestamps_survive_non_utc_driver(spark, tmp_path):
     """The UTC re-expression must recurse: timestamps inside arrays and
     structs take the same wall-clock path through pa.array."""
     import datetime as dt
-    import os
-    import time
 
     schema = T.StructType(
         [
@@ -313,10 +322,7 @@ def test_local_delta_nested_timestamps_survive_non_utc_driver(spark, tmp_path):
         spark, str(tmp_path / "tznest"), schema, ["id"], num_buckets=2
     )
 
-    old_tz = os.environ.get("TZ")
-    os.environ["TZ"] = "America/New_York"
-    time.tzset()
-    try:
+    with _driver_tz("America/New_York"):
         naive_local = dt.datetime(2020, 7, 1, 8, 0, 0)  # 12:00Z in EDT
         rows = [
             {
@@ -329,12 +335,6 @@ def test_local_delta_nested_timestamps_survive_non_utc_driver(spark, tmp_path):
             }
         ]
         merge_local_delta(t, rows, batch_id=1)
-    finally:
-        if old_tz is None:
-            os.environ.pop("TZ", None)
-        else:
-            os.environ["TZ"] = old_tz
-        time.tzset()
 
     r = (
         t.read()
@@ -354,8 +354,6 @@ def test_local_delta_map_timestamps_survive_non_utc_driver(spark, tmp_path):
     stores the naive wall clock under timestamp[us, tz=UTC] for nested
     maps too), so the UTC re-expression must cover MapType at any depth."""
     import datetime as dt
-    import os
-    import time
 
     schema = T.StructType(
         [
@@ -382,10 +380,7 @@ def test_local_delta_map_timestamps_survive_non_utc_driver(spark, tmp_path):
         spark, str(tmp_path / "tzmap"), schema, ["id"], num_buckets=2
     )
 
-    old_tz = os.environ.get("TZ")
-    os.environ["TZ"] = "America/New_York"
-    time.tzset()
-    try:
+    with _driver_tz("America/New_York"):
         naive_local = dt.datetime(2020, 7, 1, 8, 0, 0)  # 12:00Z in EDT
         rows = [
             {
@@ -398,12 +393,6 @@ def test_local_delta_map_timestamps_survive_non_utc_driver(spark, tmp_path):
             }
         ]
         merge_local_delta(t, rows, batch_id=1)
-    finally:
-        if old_tz is None:
-            os.environ.pop("TZ", None)
-        else:
-            os.environ["TZ"] = old_tz
-        time.tzset()
 
     r = (
         t.read()
@@ -441,3 +430,45 @@ def test_local_delta_rejects_unknown_row_keys(spark, tmp_path):
             ],
             batch_id=1,
         )
+
+
+def test_local_delta_accepts_positional_struct_values(spark, tmp_path):
+    """pa.array accepts tuples for struct columns, so the UTC
+    re-expression must too — a tuple-shaped struct value from an
+    external caller must not crash on a missing .asDict and must get
+    the same wall-clock correction as the dict form."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("at", T.TimestampType(), True)]),
+                True,
+            ),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "tztuple"), schema, ["id"], num_buckets=2
+    )
+
+    with _driver_tz("America/New_York"):
+        naive_local = dt.datetime(2020, 7, 1, 8, 0, 0)  # 12:00Z in EDT
+        rows = [
+            {
+                "id": "a",
+                "meta": (naive_local,),
+                "_seq": 1,
+                "_deleted": False,
+                BUCKET_COL: 0,
+            }
+        ]
+        merge_local_delta(t, rows, batch_id=1)
+
+    got = (
+        t.read()
+        .select(F.date_format("meta.at", "yyyy-MM-dd HH:mm:ss").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == "2020-07-01 12:00:00", got
