@@ -63,6 +63,7 @@ from .table import (
     BUCKET_COL,
     DELETED_COL,
     SEQ_COL,
+    CommitConflictError,
     DataFile,
     LakeTable,
     Manifest,
@@ -849,17 +850,10 @@ def _merge_cow_write(
     return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
 
 
-def _commit(
-    table: LakeTable,
-    m: Manifest,
-    keep_files,
-    new_files,
-    batch_id,
-    source_id,
-    offset_range,
-    counts,
-) -> MergeResult:
-    watermarks = dict(m.watermarks)
+def _build_commit_manifest(
+    parent: Manifest, files, batch_id, source_id, offset_range, counts
+) -> Manifest:
+    watermarks = dict(parent.watermarks)
     lineage = []
     if batch_id is not None:
         wm = {"batch_id": int(batch_id)}
@@ -875,18 +869,110 @@ def _commit(
                 "row_counts": counts,
             }
         )
-    nm = Manifest(
-        version=m.version + 1,
-        snapshot_id=m.snapshot_id + 1,
-        schemas=m.schemas,
-        current_schema_version=m.current_schema_version,
-        key_cols=m.key_cols,
-        num_buckets=m.num_buckets,
-        files=list(keep_files) + list(new_files),
+    return Manifest(
+        version=parent.version + 1,
+        snapshot_id=parent.snapshot_id + 1,
+        schemas=parent.schemas,
+        current_schema_version=parent.current_schema_version,
+        key_cols=parent.key_cols,
+        num_buckets=parent.num_buckets,
+        files=list(files),
         watermarks=watermarks,
         lineage=lineage,
-        parent_version=m.version,
-        properties=m.properties,
+        parent_version=parent.version,
+        properties=parent.properties,
     )
-    table._write_manifest(nm)
-    return MergeResult(nm, counts, skipped=False)
+
+
+#: commit-race retry budget for pure-append commits; each retry re-reads
+#: CURRENT, so the budget only bounds pathological thundering herds
+_APPEND_RETRY_ATTEMPTS = 5
+
+
+def _commit(
+    table: LakeTable,
+    m: Manifest,
+    keep_files,
+    new_files,
+    batch_id,
+    source_id,
+    offset_range,
+    counts,
+) -> MergeResult:
+    nm = _build_commit_manifest(
+        m, list(keep_files) + list(new_files),
+        batch_id, source_id, offset_range, counts,
+    )
+    try:
+        table._write_manifest(nm)
+        return MergeResult(nm, counts, skipped=False)
+    except CommitConflictError:
+        # Optimistic-concurrency rebase (the Iceberg fast-append retry):
+        # a commit that REMOVED nothing from its base snapshot — MOR
+        # delta appends, driver-local commits — is position-independent,
+        # so losing the version race is recoverable by replaying the
+        # same already-written files on top of the winner's manifest.
+        # A commit that rewrote base files (COW merge, fused compaction)
+        # raced against a writer that may have touched the same buckets:
+        # its work is stale, re-raise for the caller to redo the merge.
+        if {f.path for f in keep_files} != {f.path for f in m.files}:
+            raise
+        return _retry_append_commit(
+            table, m, list(new_files), batch_id, source_id,
+            offset_range, counts,
+        )
+
+
+def _retry_append_commit(
+    table: LakeTable,
+    m: Manifest,
+    new_files,
+    batch_id,
+    source_id,
+    offset_range,
+    counts,
+) -> MergeResult:
+    import time as _time
+
+    for attempt in range(_APPEND_RETRY_ATTEMPTS):
+        parent = table.current_manifest()
+        if batch_id is not None:
+            wm = parent.watermarks.get(source_id)
+            if wm is not None and int(wm.get("batch_id", -1)) >= int(batch_id):
+                # the winner committed this very batch (two replicas of
+                # one stream replaying the same micro-batch): honor the
+                # exactly-once fence instead of double-applying; our
+                # staged files are referenced by no manifest, drop them
+                for f in new_files:
+                    try:
+                        os.remove(os.path.join(table.root, f.path))
+                    except OSError:
+                        pass
+                return MergeResult(parent, counts, skipped=True)
+        rebase_safe = (
+            parent.key_cols == m.key_cols
+            and parent.num_buckets == m.num_buckets
+            and all(parent.schemas.get(k) == v for k, v in m.schemas.items())
+        )
+        if not rebase_safe:
+            raise CommitConflictError(
+                f"append commit on {table.root} lost its version race and "
+                "the winning commit changed the table's schema set, keys, "
+                "or bucketing — rebase is unsafe, redo the merge"
+            )
+        nm = _build_commit_manifest(
+            parent, list(parent.files) + new_files,
+            batch_id, source_id, offset_range, counts,
+        )
+        try:
+            table._write_manifest(nm)
+            return MergeResult(nm, counts, skipped=False)
+        except CommitConflictError:
+            # another writer landed between our re-read and our swap
+            # (or the winner's CURRENT swap is still in flight): back
+            # off briefly and re-read
+            _time.sleep(0.02 * (attempt + 1))
+    raise CommitConflictError(
+        f"append commit on {table.root} lost {_APPEND_RETRY_ATTEMPTS} "
+        "consecutive version races"
+    )

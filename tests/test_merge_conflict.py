@@ -1,0 +1,144 @@
+"""Optimistic concurrency on the manifest swap: pure-append commits
+(MOR deltas, driver-local deltas) that lose the version race REBASE onto
+the winner's manifest and retry — the Iceberg fast-append pattern — while
+rewrite-shaped commits (COW) re-raise CommitConflictError, because the
+winner may have touched the same buckets.
+
+The race is made deterministic by interposing on _write_manifest: the
+competing writer lands its commit between the loser's manifest read and
+the loser's swap, exactly the window a real multi-writer deployment
+races over.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from encode_ingest_spark.lake import CommitConflictError, LakeTable, merge_into
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["id"], num_buckets=4
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id string, v string, op string, event_seq long")
+
+
+def _race_once(monkeypatch, table, competing):
+    """Arrange for ``competing()`` to commit first, inside the window
+    between the caller's snapshot read and its manifest swap."""
+    orig = LakeTable._write_manifest
+    state = {"fired": False}
+
+    def interposed(self, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            competing()
+        return orig(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_write_manifest", interposed)
+    return state
+
+
+def test_append_commit_rebases_over_concurrent_winner(
+    spark, tmp_path, monkeypatch
+):
+    t = _mk(spark, tmp_path)
+    merge_into(t, _batch(spark, [("a", "1", "upsert", 1)]), batch_id=1)
+
+    t2 = LakeTable(spark, t.root)
+
+    def competing():
+        merge_into(
+            t2, _batch(spark, [("b", "2", "upsert", 1)]),
+            batch_id=1, source_id="other", mode="mor",
+        )
+
+    _race_once(monkeypatch, t, competing)
+    res = merge_into(
+        t, _batch(spark, [("c", "3", "upsert", 1)]),
+        batch_id=2, mode="mor",
+    )
+    assert not res.skipped
+    # BOTH writers' rows survive: the loser replayed its delta files on
+    # top of the winner's manifest instead of clobbering or crashing
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {("a", "1"), ("b", "2"), ("c", "3")}
+    m = t.current_manifest()
+    assert m.watermarks["other"]["batch_id"] == 1
+    assert m.watermarks["default"]["batch_id"] == 2
+    # seed v1, winner v2, rebased loser v3
+    assert m.version == 3
+
+
+def test_append_commit_race_honors_exactly_once_fence(
+    spark, tmp_path, monkeypatch
+):
+    """Two replicas of ONE stream replaying the same micro-batch: the
+    loser must skip (fence), not double-apply, and must GC its staged
+    delta files since no manifest references them."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _batch(spark, [("a", "1", "upsert", 1)]), batch_id=1)
+
+    t2 = LakeTable(spark, t.root)
+
+    def competing():
+        merge_into(
+            t2, _batch(spark, [("b", "2", "upsert", 1)]),
+            batch_id=2, mode="mor",
+        )
+
+    _race_once(monkeypatch, t, competing)
+    res = merge_into(
+        t, _batch(spark, [("b", "2-dup", "upsert", 1)]),
+        batch_id=2, mode="mor",
+    )
+    assert res.skipped
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {("a", "1"), ("b", "2")}
+    # the loser's unreferenced delta files are gone from disk: every
+    # surviving data file is referenced by some committed manifest
+    referenced = set()
+    for v in range(t.current_version() + 1):
+        referenced |= {
+            os.path.normpath(f.path) for f in t.manifest_at(v).files
+        }
+    data_dir = os.path.join(t.root, "data")
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for fname in files:
+            rel = os.path.normpath(
+                os.path.relpath(os.path.join(dirpath, fname), t.root)
+            )
+            assert rel in referenced, rel
+
+
+def test_cow_commit_conflict_reraises(spark, tmp_path, monkeypatch):
+    """A COW merge rewrites base files, so its work is stale after losing
+    the race — it must surface CommitConflictError, never silently rebase."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _batch(spark, [("a", "1", "upsert", 1)]), batch_id=1)
+
+    t2 = LakeTable(spark, t.root)
+
+    def competing():
+        merge_into(
+            t2, _batch(spark, [("b", "2", "upsert", 1)]),
+            batch_id=1, source_id="other",
+        )
+
+    _race_once(monkeypatch, t, competing)
+    with pytest.raises(CommitConflictError):
+        merge_into(
+            t, _batch(spark, [("a", "1-v2", "upsert", 2)]), batch_id=2
+        )
