@@ -885,7 +885,9 @@ def _build_commit_manifest(
 
 
 #: commit-race retry budget for pure-append commits; each retry re-reads
-#: CURRENT, so the budget only bounds pathological thundering herds
+#: CURRENT, so the budget only bounds pathological thundering herds.
+#: Override per table via property "commit.retry.num-retries" (the
+#: Iceberg knob name) when many writers share one table.
 _APPEND_RETRY_ATTEMPTS = 5
 
 
@@ -934,7 +936,10 @@ def _retry_append_commit(
 ) -> MergeResult:
     import time as _time
 
-    for attempt in range(_APPEND_RETRY_ATTEMPTS):
+    attempts = int(
+        m.properties.get("commit.retry.num-retries", _APPEND_RETRY_ATTEMPTS)
+    )
+    for attempt in range(attempts):
         parent = table.current_manifest()
         if batch_id is not None:
             wm = parent.watermarks.get(source_id)
@@ -973,6 +978,6 @@ def _retry_append_commit(
             # off briefly and re-read
             _time.sleep(0.02 * (attempt + 1))
     raise CommitConflictError(
-        f"append commit on {table.root} lost {_APPEND_RETRY_ATTEMPTS} "
+        f"append commit on {table.root} lost {attempts} "
         "consecutive version races"
     )

@@ -142,3 +142,57 @@ def test_cow_commit_conflict_reraises(spark, tmp_path, monkeypatch):
         merge_into(
             t, _batch(spark, [("a", "1-v2", "upsert", 2)]), batch_id=2
         )
+
+
+def test_threaded_multi_writer_append_storm(spark, tmp_path):
+    """Real (nondeterministic) races: N writer threads land driver-local
+    append commits into ONE table concurrently. Every commit must
+    survive — no lost updates, no crashed writers — and the version
+    chain must hold exactly one commit per batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from encode_ingest_spark.lake.merge import merge_local_delta, normalize_batch
+    from encode_ingest_spark.lake.table import BUCKET_COL, bucket_expr
+
+    t = _mk(spark, tmp_path)
+    m = t.current_manifest()
+    writers, batches = 3, 4
+
+    # pre-compute every batch's table-shaped rows (Spark work done
+    # up front) so the threads race on pure driver-side commits
+    staged = {}
+    for w in range(writers):
+        for b in range(1, batches + 1):
+            df = _batch(
+                spark,
+                [(f"w{w}-k{b}-{i}", f"v{b}", "upsert", b) for i in range(3)],
+            )
+            prepared = normalize_batch(df, m.schema, m.key_cols).withColumn(
+                BUCKET_COL, bucket_expr(m.key_cols, m.num_buckets)
+            )
+            staged[(w, b)] = [r.asDict(recursive=True) for r in prepared.collect()]
+
+    def run_writer(w):
+        handle = LakeTable(spark, t.root)
+        for b in range(1, batches + 1):
+            res = merge_local_delta(
+                handle, staged[(w, b)], source_id=f"w{w}", batch_id=b
+            )
+            assert not res.skipped
+
+    with ThreadPoolExecutor(max_workers=writers) as pool:
+        list(pool.map(run_writer, range(writers)))
+
+    # one commit per (writer, batch): create=v0, then 12 appends
+    assert t.current_version() == writers * batches
+    m2 = t.current_manifest()
+    for w in range(writers):
+        assert m2.watermarks[f"w{w}"]["batch_id"] == batches
+    got = {r.id for r in t.read().collect()}
+    want = {
+        f"w{w}-k{b}-{i}"
+        for w in range(writers)
+        for b in range(1, batches + 1)
+        for i in range(3)
+    }
+    assert got == want
