@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -288,6 +289,75 @@ def cmd_maintain(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_rollback(spark: SparkSession, args) -> int:
+    """Incident recovery: commit-forward rollback of a table (or a
+    whole table GROUP, consistently) to an earlier snapshot, reverting
+    data + watermarks so re-driving ingest replays the rolled-back
+    span exactly once."""
+    if args.group:
+        from .lake import TableGroup
+
+        g = TableGroup.load(spark, args.root)
+        nm = g.rollback_to(args.version)
+        _emit(
+            {
+                "cmd": "rollback",
+                "root": args.root,
+                "group": True,
+                "rolled_back_to": args.version,
+                "version": nm["version"],
+                "tables": {
+                    n: e["version"] for n, e in nm["tables"].items()
+                },
+            }
+        )
+        return 0
+    table = _load(spark, args.root)
+    nm = table.rollback_to(args.version)
+    _emit(
+        {
+            "cmd": "rollback",
+            "root": args.root,
+            "group": False,
+            "rolled_back_to": args.version,
+            "version": nm.version,
+            "watermarks": nm.watermarks,
+        }
+    )
+    return 0
+
+
+def cmd_follow(spark: SparkSession, args) -> int:
+    """One poll of a checkpointed change-feed follower: apply every
+    source commit since the last poll to the target, exactly once
+    (checkpoint = the target's merge watermark). Run it on any cadence;
+    `--create-target` bootstraps a mirror table on first use."""
+    from .lake import ChangeFeedFollower, LakeTable
+
+    source = _load(spark, args.source)
+    if args.create_target and not os.path.exists(
+        os.path.join(args.target, "_meta")
+    ):
+        target = ChangeFeedFollower.mirror_target(source, args.target)
+    else:
+        target = LakeTable.load(spark, args.target)
+    f = ChangeFeedFollower(source, target, source_id=args.source_id or None)
+    res = f.poll()
+    _emit(
+        {
+            "cmd": "follow",
+            "source": args.source,
+            "target": args.target,
+            "caught_up": res.caught_up,
+            "from_version": res.from_version,
+            "to_version": res.to_version,
+            "checkpoint": f.checkpoint(),
+            "target_version": target.current_version(),
+        }
+    )
+    return 0
+
+
 def cmd_status(spark: SparkSession, args) -> int:
     table = _load(spark, args.root)
     m = table.current_manifest()
@@ -408,6 +478,44 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--keep-snapshots", type=int, default=None)
     mt.add_argument("--no-orphan-gc", action="store_true")
     mt.set_defaults(fn=cmd_maintain)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="commit-forward rollback of a table (or --group) to an "
+        "earlier snapshot; data AND exactly-once watermarks revert, so "
+        "re-driving ingest replays the span",
+    )
+    rb.add_argument("--root", required=True)
+    rb.add_argument("--version", type=int, required=True)
+    rb.add_argument(
+        "--group",
+        action="store_true",
+        help="ROOT is a TableGroup: roll every member back to the "
+        "target group version's consistent vector",
+    )
+    rb.set_defaults(fn=cmd_rollback)
+
+    fo = sub.add_parser(
+        "follow",
+        help="one checkpointed poll of a table's change feed into a "
+        "target table (exactly-once; checkpoint lives in the target's "
+        "merge watermark)",
+    )
+    fo.add_argument("--source", required=True)
+    fo.add_argument("--target", required=True)
+    fo.add_argument(
+        "--source-id",
+        default=None,
+        help="override the follower's watermark identity (default: "
+        "follow:<abs source root>)",
+    )
+    fo.add_argument(
+        "--create-target",
+        action="store_true",
+        help="create the target as an empty mirror of the source "
+        "(schema/keys/buckets) if it does not exist yet",
+    )
+    fo.set_defaults(fn=cmd_follow)
 
     s = sub.add_parser("status", help="print table state as one JSON line")
     s.add_argument("--root", required=True)

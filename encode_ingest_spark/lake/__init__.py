@@ -1,6 +1,7 @@
 """Snapshot-versioned parquet lake-table format with CDC MERGE."""
 
 from .evolution import SchemaEvolutionError, align_to_schema, merge_schemas
+from .follow import ChangeFeedFollower, FollowResult
 from .merge import (
     EVENT_SEQ_COL,
     OP_COL,
@@ -24,6 +25,8 @@ from .txn import TableGroup
 __all__ = [
     "LakeTable",
     "TableGroup",
+    "ChangeFeedFollower",
+    "FollowResult",
     "Manifest",
     "DataFile",
     "CommitConflictError",

@@ -489,6 +489,12 @@ class LakeTable:
         added = [f for f in manifest.files if f.path not in parent_paths]
         if len(removed) + len(added) >= max(len(manifest.files), 1):
             return payload  # delta not smaller (e.g. rebucket): stay full
+        if any(k not in manifest.schemas for k in parent.schemas):
+            # the schema set SHRANK (rollback_to across an evolution
+            # boundary) — the delta form below can only add/change
+            # schema entries, not remove them, so resolving it would
+            # resurrect the rolled-back schemas: stay full
+            return payload
         payload = {
             k: v for k, v in payload.items()
             if k not in ("files", "schemas", "watermarks")
@@ -1568,6 +1574,82 @@ class LakeTable:
         for f in m.files:
             counts[f.bucket] = counts.get(f.bucket, 0) + 1
         return sorted(b for b, c in counts.items() if c > max_files)
+
+    def rollback_to(self, version: int) -> "Manifest":
+        """Roll the table back to an earlier snapshot by committing a
+        NEW version whose content equals the target's — Iceberg's
+        ``rollback_to_snapshot`` semantics (history stays monotone and
+        append-only; the bad versions remain inspectable until snapshot
+        expiry reclaims them). Incident recovery for a CDC sink: a bad
+        batch landed, roll back, replay.
+
+        Everything data-shaped comes from the TARGET manifest: files,
+        the schema set and current schema version (rollback undoes a
+        schema evolution — the restored files were written under the
+        old schema), key columns and bucket count (rollback undoes a
+        ``rebucket``), and — the CDC-critical half — the WATERMARKS:
+        the exactly-once fences revert with the data, so re-tailing the
+        source replays every batch after the target and the fences
+        admit them. Recovery is literally rollback + replay. Table
+        PROPERTIES stay at their current values (operational knobs, not
+        data). The commit records a lineage row
+        (``source_id="rollback"``, ``batch_id=<target version>``) so
+        ``lineage_df()`` shows the intervention.
+
+        Raises ``ValueError`` if the target snapshot (or any data file
+        it references) has been expired, and ``CommitConflictError`` if
+        a concurrent writer wins the version race — re-examine state
+        and re-call; rollback is rewrite-shaped, never auto-rebased."""
+        cur = self.current_manifest()
+        if version == cur.version:
+            return cur
+        if version > cur.version:
+            raise ValueError(
+                f"cannot roll forward: target {version} is newer than "
+                f"CURRENT {cur.version}"
+            )
+        try:
+            target = self.manifest_at(version)
+        except OSError as e:
+            raise ValueError(
+                f"version {version} of {self.root} is not loadable — "
+                "expired by snapshot retention? (expire_snapshots keeps "
+                "only recent and pinned versions)"
+            ) from e
+        missing = [
+            f.path
+            for f in target.files
+            if not os.path.exists(os.path.join(self.root, f.path))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot roll {self.root} back to {version}: "
+                f"{len(missing)} data file(s) it references were "
+                f"reclaimed by expiry (first: {missing[0]})"
+            )
+        nm = Manifest(
+            version=cur.version + 1,
+            snapshot_id=cur.snapshot_id + 1,
+            schemas=dict(target.schemas),
+            current_schema_version=target.current_schema_version,
+            key_cols=list(target.key_cols),
+            num_buckets=target.num_buckets,
+            files=list(target.files),
+            watermarks={k: dict(v) for k, v in target.watermarks.items()},
+            lineage=[
+                {
+                    "batch_id": int(version),
+                    "source_id": "rollback",
+                    "source_offset_start": -1,
+                    "source_offset_end": -1,
+                    "row_counts": {},
+                }
+            ],
+            parent_version=cur.version,
+            properties=cur.properties,
+        )
+        self._write_manifest(nm)
+        return nm
 
     def purge_tombstones(self, min_seq: int) -> "Manifest":
         """GC tombstone rows whose seq is below ``min_seq`` — safe once

@@ -316,6 +316,83 @@ class TableGroup:
         self._gc_member_pins(tables, keep_from=nv - keep_pinned + 1)
         return nm
 
+    def rollback_to(self, version: int) -> dict[str, Any]:
+        """Roll the GROUP back to an earlier consistent vector by
+        committing a NEW group version (history stays monotone, like
+        ``LakeTable.rollback_to``): each member rolls back to its
+        pinned version in the target group manifest, then one group
+        commit points at the new member versions and restores the
+        TARGET's group watermarks — the cross-table exactly-once fences
+        revert with the data, so re-driving the pipeline replays every
+        epoch after the target and lands it exactly once. Incident
+        recovery for the entity universe: a bad epoch committed
+        group-atomically, so it rolls back group-atomically.
+
+        The rollback window is the pin window
+        (``retention.keep_pinned``): each protected group version pins
+        its member snapshots against expiry, so rollback within the
+        window never chases reclaimed files; older targets raise
+        ``ValueError`` (from the group manifest or the member
+        rollback). Member rollbacks are individually committed before
+        the group swap — a crash or ``CommitConflictError`` between
+        them leaves members with extra content-identical snapshots and
+        the group still at the pre-rollback vector; re-running the
+        rollback converges (member rollback of an already-reverted
+        table is a no-op)."""
+        cur = self.current_manifest()
+        if version == cur["version"]:
+            return cur
+        if version > cur["version"]:
+            raise ValueError(
+                f"cannot roll forward: target {version} is newer than "
+                f"CURRENT group version {cur['version']}"
+            )
+        try:
+            target = self.manifest_at(version)
+        except OSError as e:
+            raise ValueError(
+                f"group version {version} of {self.root} is not "
+                "loadable — expired by group snapshot retention?"
+            ) from e
+        gone = set(target["tables"]) - set(cur["tables"])
+        if gone:
+            raise ValueError(
+                f"cannot roll back {self.root} to {version}: member(s) "
+                f"{sorted(gone)} have left the group"
+            )
+        tables = {k: dict(v) for k, v in cur["tables"].items()}
+        for name, entry in target["tables"].items():
+            t = LakeTable(self.spark, tables[name]["root"])
+            tables[name]["version"] = t.rollback_to(int(entry["version"])).version
+        nv = cur["version"] + 1
+        nm = {
+            "version": nv,
+            "tables": tables,
+            "watermarks": {
+                k: dict(v) for k, v in target.get("watermarks", {}).items()
+            },
+            "parent_version": cur["version"],
+            "properties": cur.get("properties", {}),
+            "rollback_of": int(version),
+        }
+        # same pin choreography as commit(): pin before the swap, heal
+        # the actual winner on conflict, re-assert after the swap
+        self._pin_members(tables, nv)
+        try:
+            self._write_manifest(nm)
+        except CommitConflictError:
+            try:
+                self._pin_members(self.manifest_at(nv)["tables"], nv)
+            except (OSError, ValueError, KeyError):  # pragma: no cover
+                pass
+            raise
+        self._pin_members(tables, nv)
+        keep_pinned = max(
+            1, int(nm["properties"].get("retention.keep_pinned", 3))
+        )
+        self._gc_member_pins(tables, keep_from=nv - keep_pinned + 1)
+        return nm
+
     @property
     def _history_archive_path(self) -> str:
         return os.path.join(self._meta_dir, "history.archive.jsonl")
