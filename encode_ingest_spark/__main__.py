@@ -270,6 +270,40 @@ def cmd_universe_status(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_universe_maintain(spark: SparkSession, args) -> int:
+    """Housekeeping across the whole universe layout, the pass a
+    scheduler runs between ingest windows: expire old GROUP versions
+    first (freeing the member-snapshot pins they hold), then run every
+    member table's ``maintain()`` — bucket compaction, optional
+    tombstone purge, snapshot expiry, orphan GC — each step manifest-
+    or stats-pruned so a healthy universe is a near-no-op."""
+    universe, targets, group = _load_universe(spark, args.root)
+    expired_group = group.expire_snapshots(
+        keep_last=args.keep_group_versions
+    )
+    tables = list(universe.values()) + list(targets.values())
+    agg: dict[str, int] = {}
+    for t in tables:
+        rep = t.maintain(
+            tombstone_horizon_seq=args.tombstone_horizon_seq,
+            max_files_per_bucket=args.max_files_per_bucket,
+            keep_snapshots=args.keep_snapshots,
+            remove_orphan_files=not args.no_orphan_gc,
+        )
+        for k, v in rep.items():
+            agg[k] = agg.get(k, 0) + int(v)
+    _emit(
+        {
+            "cmd": "universe-maintain",
+            "root": args.root,
+            "tables_maintained": len(tables),
+            "expired_group_versions": expired_group,
+            **agg,
+        }
+    )
+    return 0
+
+
 def cmd_maintain(spark: SparkSession, args) -> int:
     table = _load(spark, args.root)
     report = table.maintain(
@@ -466,6 +500,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     us.add_argument("--root", required=True)
     us.set_defaults(fn=cmd_universe_status)
+
+    um = sub.add_parser(
+        "universe-maintain",
+        help="universe housekeeping: expire group versions (freeing "
+        "member pins), then maintain() every raw + derived table",
+    )
+    um.add_argument("--root", required=True)
+    um.add_argument("--keep-group-versions", type=int, default=None)
+    um.add_argument("--keep-snapshots", type=int, default=None)
+    um.add_argument("--tombstone-horizon-seq", type=int, default=None)
+    um.add_argument("--max-files-per-bucket", type=int, default=None)
+    um.add_argument("--no-orphan-gc", action="store_true")
+    um.set_defaults(fn=cmd_universe_maintain)
 
     mt = sub.add_parser(
         "maintain",

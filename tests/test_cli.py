@@ -159,6 +159,18 @@ def test_cli_universe_roundtrip(spark, capsys, tmp_path):
     assert out["group_version"] >= 1
     assert out["tables"]["donor"]["rows_upper_bound"] >= 3
 
+    # housekeeping across the whole layout is one verb; derived state
+    # (read through the group's pinned vector) is untouched by it
+    out = run_cli(
+        spark, capsys, "universe-maintain", "--root", root,
+        "--keep-snapshots", "2",
+    )
+    assert out["tables_maintained"] >= 33
+    assert out["expired_group_versions"] >= 0
+    assert "orphans_removed" in out
+    for name in ("donor", "biosample", "file"):
+        assert _rows(group.read(name)) == _rows(want[name]), name
+
 
 def test_cli_subprocess_packaging(tmp_path):
     """`python -m encode_ingest_spark` from a fresh interpreter outside the
