@@ -369,17 +369,18 @@ def cmd_follow(spark: SparkSession, args) -> int:
     from .lake import ChangeFeedFollower, LakeTable
 
     source = _load(spark, args.source)
-    if args.create_target and not os.path.exists(
-        os.path.join(args.target, "_meta")
-    ):
+    if args.create_target and not LakeTable.exists(args.target):
+        # exists() keys on _meta/CURRENT, so a first run that crashed
+        # mid-create (bare _meta dir, no manifest) self-heals here
         target = ChangeFeedFollower.mirror_target(source, args.target)
     else:
         target = LakeTable.load(spark, args.target)
     f = ChangeFeedFollower(source, target, source_id=args.source_id or None)
-    res = f.poll()
+    res = f.resync() if args.resync else f.poll()
     _emit(
         {
             "cmd": "follow",
+            "resync": bool(args.resync),
             "source": args.source,
             "target": args.target,
             "caught_up": res.caught_up,
@@ -561,6 +562,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="create the target as an empty mirror of the source "
         "(schema/keys/buckets) if it does not exist yet",
+    )
+    fo.add_argument(
+        "--resync",
+        action="store_true",
+        help="full re-mirror of the source's CURRENT snapshot (upserts "
+        "+ deletes for vanished keys) instead of an incremental span — "
+        "the recovery path when the checkpoint was expired by source "
+        "snapshot retention",
     )
     fo.set_defaults(fn=cmd_follow)
 

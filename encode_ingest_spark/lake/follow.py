@@ -126,7 +126,20 @@ class ChangeFeedFollower:
         )
 
     def _span_batch(self, from_version: int, to_version: int) -> DataFrame:
-        changes = self.source.read_changes(from_version, to_version)
+        try:
+            changes = self.source.read_changes(from_version, to_version)
+        except (FileNotFoundError, OSError) as e:
+            # the checkpointed source version was expired by the
+            # source's snapshot retention while this follower lagged —
+            # an incremental span can no longer be derived
+            raise ValueError(
+                f"follower checkpoint at source version {from_version} of "
+                f"{self.source.root} is no longer loadable (expired by "
+                "snapshot retention while the follower lagged?) — the "
+                "incremental span cannot be derived; recover with "
+                "resync(), which re-mirrors the full current snapshot "
+                "exactly once"
+            ) from e
         is_del = F.col("_change_type") == "delete"
         return (
             changes
@@ -141,28 +154,95 @@ class ChangeFeedFollower:
             .drop("_change_type", SEQ_COL)
         )
 
+    #: stale-CAS retries per poll — each retry recomputes the span from
+    #: the fresh checkpoint, so one concurrent poll costs one recompute
+    _POLL_ATTEMPTS = 3
+
     def poll(self) -> FollowResult:
         """Consume everything committed to the source since the last
         poll, exactly once. Returns the consumed span (``caught_up``
-        when there was nothing new)."""
+        when there was nothing new).
+
+        Safe under OVERLAPPING polls (cron overlap, a second scheduler):
+        the merge carries ``expected_watermark=from_v``, a compare-and-
+        swap on the checkpoint — if another poll advanced it between
+        this poll's span computation and its commit, the commit is
+        skipped as stale (never landed) and the span is recomputed from
+        the fresh checkpoint. Without the CAS, two polls sharing a
+        stale checkpoint could both commit and the wider (possibly
+        empty, e.g. after a source rollback to the checkpoint) span
+        would advance the checkpoint past the narrower span's rows."""
+        for _ in range(self._POLL_ATTEMPTS):
+            to_v = self.source.current_version()
+            from_v = self.checkpoint()
+            if from_v >= to_v:
+                return FollowResult(None, None, None)
+            if from_v < 0:
+                batch = self._bootstrap_batch(to_v)
+            else:
+                batch = self._span_batch(from_v, to_v)
+            if self.transform is not None:
+                batch = self.transform(batch)
+            res = merge_into(
+                self.target,
+                batch,
+                source_id=self.source_id,
+                batch_id=to_v,
+                offset_range=(max(0, from_v), to_v),
+                mode=self.merge_mode,
+                batch_unique=self.batch_unique,
+                expected_watermark=from_v,
+                **self.merge_kwargs,
+            )
+            if not getattr(res, "stale", False):
+                return FollowResult(max(0, from_v), to_v, res)
+            # checkpoint moved under us — loop recomputes from CURRENT
+        raise RuntimeError(
+            f"poll of {self.source.root} lost {self._POLL_ATTEMPTS} "
+            "consecutive checkpoint races — another follower instance is "
+            "actively consuming this feed into the same target"
+        )
+
+    def resync(self) -> FollowResult:
+        """Full re-mirror: land the source's CURRENT snapshot as one
+        batch — upserts for every live row plus deletes for target keys
+        the source no longer holds — and move the checkpoint to the
+        current source version. The recovery path when the checkpoint
+        has been EXPIRED by source snapshot retention (``poll`` raises
+        ``ValueError``): one full-snapshot scan + one target-keys
+        anti-join instead of the unrecoverable incremental span. Runs
+        under the same exactly-once fence and checkpoint CAS as
+        ``poll``, so a concurrent poll/resync cannot double-apply."""
         to_v = self.source.current_version()
         from_v = self.checkpoint()
         if from_v >= to_v:
             return FollowResult(None, None, None)
-        if from_v < 0:
-            batch = self._bootstrap_batch(to_v)
-        else:
-            batch = self._span_batch(from_v, to_v)
+        batch = self._bootstrap_batch(to_v)
         if self.transform is not None:
             batch = self.transform(batch)
+        # deletes: target keys absent from the (transformed) live image.
+        # Computed on TARGET keys so a renaming transform still works.
+        keys = list(self.target.current_manifest().key_cols)
+        gone = (
+            self.target.read()
+            .select(*keys)
+            .join(batch.select(*keys), on=keys, how="left_anti")
+            .select(
+                "*",
+                F.lit("delete").alias(OP_COL),
+                F.lit(to_v).cast("long").alias(EVENT_SEQ_COL),
+            )
+        )
+        full = batch.unionByName(gone, allowMissingColumns=True)
         res = merge_into(
             self.target,
-            batch,
+            full,
             source_id=self.source_id,
             batch_id=to_v,
             offset_range=(max(0, from_v), to_v),
             mode=self.merge_mode,
             batch_unique=self.batch_unique,
+            expected_watermark=from_v,
             **self.merge_kwargs,
         )
         return FollowResult(max(0, from_v), to_v, res)

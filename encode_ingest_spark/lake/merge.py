@@ -132,16 +132,45 @@ def normalize_batch(batch: DataFrame, schema, keys) -> DataFrame:
 
 
 class MergeResult:
-    def __init__(self, manifest: Manifest, counts: dict[str, int], skipped: bool):
+    def __init__(
+        self,
+        manifest: Manifest,
+        counts: dict[str, int],
+        skipped: bool,
+        stale: bool = False,
+    ):
         self.manifest = manifest
         self.counts = counts
         self.skipped = skipped
+        # skipped because the caller's ``expected_watermark`` CAS failed
+        # (another writer advanced/rewound this source's watermark since
+        # the caller computed its batch) — the caller should recompute
+        # from the CURRENT watermark and retry, unlike a fence skip
+        # (which means THIS batch already landed)
+        self.stale = stale
 
     def __repr__(self) -> str:  # pragma: no cover
         return (
             f"MergeResult(v={self.manifest.version}, counts={self.counts}, "
-            f"skipped={self.skipped})"
+            f"skipped={self.skipped}, stale={self.stale})"
         )
+
+
+def _watermark_stale(
+    m: Manifest, source_id: str, expected_watermark: int | None
+) -> bool:
+    """True when the caller's compare-and-swap precondition fails: the
+    table's CURRENT watermark for ``source_id`` is not the one the
+    caller derived its batch from (-1 = no watermark yet). Guards the
+    span-continuity of checkpointed consumers (ChangeFeedFollower):
+    two overlapping polls sharing a stale checkpoint would otherwise
+    both commit, and the wider (possibly empty) span could advance the
+    checkpoint past the narrower span's rows."""
+    if expected_watermark is None:
+        return False
+    wm = m.watermarks.get(source_id)
+    cur = int(wm.get("batch_id", -1)) if wm is not None else -1
+    return cur != int(expected_watermark)
 
 
 def merge_into(
@@ -157,6 +186,7 @@ def merge_into(
     stage_batch: bool | None = None,
     merge_strategy: str | None = None,
     batch_unique: bool = False,
+    expected_watermark: int | None = None,
 ) -> MergeResult:
     """Apply one CDC batch to the table. See module docstring.
 
@@ -189,6 +219,13 @@ def merge_into(
     than the corpus. A violated assertion degrades, not corrupts: equal
     event_seq duplicates resolve to an arbitrary-but-atomic whole-row
     winner at read time, exactly like a replay tie.
+    ``expected_watermark``: optional compare-and-swap on this source's
+    CURRENT watermark batch_id (-1 = none yet) — when it no longer
+    matches, the commit is skipped with ``stale=True`` instead of
+    landing a batch derived from an outdated checkpoint (span
+    continuity for checkpointed consumers; see ChangeFeedFollower).
+    The CAS is re-checked on every append-rebase retry, so a racing
+    writer can never slip between the check and the commit.
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
@@ -199,6 +236,11 @@ def merge_into(
         wm = m.watermarks.get(source_id)
         if wm is not None and wm.get("batch_id", -1) >= batch_id:
             return MergeResult(m, {"inserted": 0, "updated": 0, "deleted": 0}, skipped=True)
+    if _watermark_stale(m, source_id, expected_watermark):
+        return MergeResult(
+            m, {"inserted": 0, "updated": 0, "deleted": 0},
+            skipped=True, stale=True,
+        )
 
     # ---- schema evolution (metadata-only commit) ----
     batch = batch.drop(EVENT_TS_COL)
@@ -235,7 +277,8 @@ def merge_into(
         new_files = table._stage_write(observed, m.current_schema_version, is_delta=True)
         counts = {"appended": int(obs.get["n"] or 0)}
         res = _commit(
-            table, m, m.files, new_files, batch_id, source_id, offset_range, counts
+            table, m, m.files, new_files, batch_id, source_id, offset_range,
+            counts, expected_watermark=expected_watermark,
         )
         return _maybe_compact(table, res, mor_compact_threshold)
 
@@ -280,6 +323,7 @@ def merge_into(
         return _merge_cow_write(
             table, m, src, touched, [], [f for f in m.files], data_cols, keys,
             batch_id, source_id, offset_range, src_deduped=batch_unique,
+            expected_watermark=expected_watermark,
         )
 
     import os
@@ -308,6 +352,7 @@ def merge_into(
                 return _commit(
                     table, m, m.files, [], batch_id, source_id, offset_range,
                     {"inserted": 0, "updated": 0, "deleted": 0},
+                    expected_watermark=expected_watermark,
                 )
         else:
             touched = list(range(m.num_buckets))
@@ -344,10 +389,12 @@ def merge_into(
             return _merge_cow_broadcast(
                 table, m, staged, touched, keep, data_cols, keys,
                 batch_id, source_id, offset_range, staged_live,
+                expected_watermark=expected_watermark,
             )
         return _merge_cow_write(
             table, m, staged, touched, keep, live_files, data_cols, keys,
             batch_id, source_id, offset_range, src_deduped=True,
+            expected_watermark=expected_watermark,
         )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
@@ -676,6 +723,7 @@ def _staged_row_count(stage_dir: str) -> int:
 def _merge_cow_broadcast(
     table, m, staged, touched, keep, data_cols, keys,
     batch_id, source_id, offset_range, staged_live,
+    expected_watermark=None,
 ) -> MergeResult:
     """Broadcast MERGE: the touched buckets' rows are map-scanned against
     a broadcast (key, seq, deleted) relation of the batch winners —
@@ -756,7 +804,10 @@ def _merge_cow_broadcast(
         "updated": updated,
         "deleted": int(got_t["deleted"] or 0),
     }
-    res = _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
+    res = _commit(
+        table, m, keep, new_files, batch_id, source_id, offset_range, counts,
+        expected_watermark=expected_watermark,
+    )
     max_files = int(
         m.properties.get("compact.max_files_per_bucket", _MAX_FILES_PER_BUCKET) or 0
     )
@@ -771,6 +822,7 @@ def _merge_cow_broadcast(
 def _merge_cow_write(
     table, m, winners, touched, keep, live_files, data_cols, keys,
     batch_id, source_id, offset_range, src_deduped=True,
+    expected_watermark=None,
 ) -> MergeResult:
     """Write phase of the COW merge. ``winners`` is the batch side —
     already per-key deduped on the staged path (src_deduped=True), raw on
@@ -847,7 +899,10 @@ def _merge_cow_write(
         "updated": int(got["updated"] or 0),
         "deleted": int(got["deleted"] or 0),
     }
-    return _commit(table, m, keep, new_files, batch_id, source_id, offset_range, counts)
+    return _commit(
+        table, m, keep, new_files, batch_id, source_id, offset_range, counts,
+        expected_watermark=expected_watermark,
+    )
 
 
 def _build_commit_manifest(
@@ -900,6 +955,7 @@ def _commit(
     source_id,
     offset_range,
     counts,
+    expected_watermark=None,
 ) -> MergeResult:
     nm = _build_commit_manifest(
         m, list(keep_files) + list(new_files),
@@ -921,7 +977,7 @@ def _commit(
             raise
         return _retry_append_commit(
             table, m, list(new_files), batch_id, source_id,
-            offset_range, counts,
+            offset_range, counts, expected_watermark=expected_watermark,
         )
 
 
@@ -933,8 +989,17 @@ def _retry_append_commit(
     source_id,
     offset_range,
     counts,
+    expected_watermark=None,
 ) -> MergeResult:
     import time as _time
+
+    def _drop_staged():
+        # our staged files are referenced by no manifest — drop them
+        for f in new_files:
+            try:
+                os.remove(os.path.join(table.root, f.path))
+            except OSError:
+                pass
 
     attempts = int(
         m.properties.get("commit.retry.num-retries", _APPEND_RETRY_ATTEMPTS)
@@ -946,24 +1011,41 @@ def _retry_append_commit(
             if wm is not None and int(wm.get("batch_id", -1)) >= int(batch_id):
                 # the winner committed this very batch (two replicas of
                 # one stream replaying the same micro-batch): honor the
-                # exactly-once fence instead of double-applying; our
-                # staged files are referenced by no manifest, drop them
-                for f in new_files:
-                    try:
-                        os.remove(os.path.join(table.root, f.path))
-                    except OSError:
-                        pass
+                # exactly-once fence instead of double-applying
+                _drop_staged()
                 return MergeResult(parent, counts, skipped=True)
+        if _watermark_stale(parent, source_id, expected_watermark):
+            # the caller's CAS precondition broke mid-commit: another
+            # writer moved this source's watermark, so our batch was
+            # derived from a superseded checkpoint — skip, never land
+            _drop_staged()
+            return MergeResult(parent, counts, skipped=True, stale=True)
+        # Winner-shape safety: rebase only onto a winner that kept the
+        # table's shape AND its history direction. A winner that REWOUND
+        # any merge watermark (LakeTable.rollback_to) reverted committed
+        # batches that must be REPLAYED — replaying our files on top and
+        # re-asserting our (higher) watermark would fence out that whole
+        # replay span permanently. Watermark monotonicity vs our base
+        # snapshot is the discriminator: compaction / schema commits /
+        # other appends never rewind watermarks, rollback always does
+        # (when the rolled-back span contained merges).
+        wm_monotone = all(
+            int((parent.watermarks.get(sid) or {}).get("batch_id", -1))
+            >= int((w or {}).get("batch_id", -1))
+            for sid, w in m.watermarks.items()
+        )
         rebase_safe = (
             parent.key_cols == m.key_cols
             and parent.num_buckets == m.num_buckets
+            and wm_monotone
             and all(parent.schemas.get(k) == v for k, v in m.schemas.items())
         )
         if not rebase_safe:
             raise CommitConflictError(
                 f"append commit on {table.root} lost its version race and "
                 "the winning commit changed the table's schema set, keys, "
-                "or bucketing — rebase is unsafe, redo the merge"
+                "or bucketing, or rewound a merge watermark (rollback) — "
+                "rebase is unsafe, redo the merge from CURRENT"
             )
         nm = _build_commit_manifest(
             parent, list(parent.files) + new_files,

@@ -387,7 +387,13 @@ class LakeTable:
             ]
         )
         table = LakeTable(spark, root)
-        os.makedirs(table._meta_dir, exist_ok=False)
+        if LakeTable.exists(root):
+            raise FileExistsError(f"table already exists at {root}")
+        # exist_ok: a prior create that crashed between makedirs and the
+        # v0 manifest write (no CURRENT yet) is re-creatable in place —
+        # double-create still fails above, and a concurrent double
+        # create loses on the v0 manifest swap (CommitConflictError)
+        os.makedirs(table._meta_dir, exist_ok=True)
         os.makedirs(table._data_dir, exist_ok=True)
         manifest = Manifest(
             version=0,

@@ -279,13 +279,22 @@ class TableGroup:
             "parent_version": m["version"],
             "properties": m.get("properties", {}),
         }
-        # pin BEFORE the group manifest swap: over-pinning (crash after
-        # pin, before swap) only retains an extra member snapshot until
-        # the next commit re-pins; under-pinning (the old order) left a
-        # committed vector unprotected against member snapshot expiry.
-        # Pins are namespaced by group version, so a losing concurrent
-        # committer can only have raced THIS version's pins — healed
-        # below from the winner's committed manifest.
+        return self._finalize_group_swap(nm, tables)
+
+    def _finalize_group_swap(
+        self, nm: dict[str, Any], tables: dict[str, dict[str, Any]]
+    ) -> dict[str, Any]:
+        """The pin/swap choreography shared by ``commit`` and
+        ``rollback_to`` — the ordering invariants live in ONE place.
+
+        Pin BEFORE the group manifest swap: over-pinning (crash after
+        pin, before swap) only retains an extra member snapshot until
+        the next commit re-pins; under-pinning (the old order) left a
+        committed vector unprotected against member snapshot expiry.
+        Pins are namespaced by group version, so a losing concurrent
+        committer can only have raced THIS version's pins — healed
+        below from the winner's committed manifest."""
+        nv = int(nm["version"])
         self._pin_members(tables, nv)
         try:
             self._write_manifest(nm)
@@ -334,11 +343,17 @@ class TableGroup:
         window never chases reclaimed files; older targets raise
         ``ValueError`` (from the group manifest or the member
         rollback). Member rollbacks are individually committed before
-        the group swap — a crash or ``CommitConflictError`` between
-        them leaves members with extra content-identical snapshots and
-        the group still at the pre-rollback vector; re-running the
-        rollback converges (member rollback of an already-reverted
-        table is a no-op)."""
+        the group swap — a CRASH between them leaves members with extra
+        content-identical snapshots and the group still at the
+        pre-rollback vector; re-running the rollback converges (member
+        rollback of an already-reverted table is a no-op). A group-swap
+        VERSION RACE self-heals: the swap retries on a fresh group
+        version as long as every member still sits at the rolled-back
+        vector (the conflicting commit was vector-neutral — a fence
+        replay or pin race); if a live committer moved a member PAST
+        the rollback, ``CommitConflictError`` is raised with the
+        members-may-hold-rolled-back-state warning — stop the writers
+        and re-run ``rollback_to`` to converge."""
         cur = self.current_manifest()
         if version == cur["version"]:
             return cur
@@ -364,34 +379,49 @@ class TableGroup:
         for name, entry in target["tables"].items():
             t = LakeTable(self.spark, tables[name]["root"])
             tables[name]["version"] = t.rollback_to(int(entry["version"])).version
-        nv = cur["version"] + 1
-        nm = {
-            "version": nv,
-            "tables": tables,
-            "watermarks": {
-                k: dict(v) for k, v in target.get("watermarks", {}).items()
-            },
-            "parent_version": cur["version"],
-            "properties": cur.get("properties", {}),
-            "rollback_of": int(version),
+        parent_v = cur["version"]
+        watermarks = {
+            k: dict(v) for k, v in target.get("watermarks", {}).items()
         }
-        # same pin choreography as commit(): pin before the swap, heal
-        # the actual winner on conflict, re-assert after the swap
-        self._pin_members(tables, nv)
-        try:
-            self._write_manifest(nm)
-        except CommitConflictError:
+        # the member rollbacks above are already committed; the group
+        # swap below must not leave them dangling behind a transient
+        # version race (a concurrent fence replay / status commit), so
+        # retry the swap on a fresh group version as long as members
+        # still sit at our rolled-back vector
+        for _ in range(5):
+            nm = {
+                "version": parent_v + 1,
+                "tables": tables,
+                "watermarks": watermarks,
+                "parent_version": parent_v,
+                "properties": cur.get("properties", {}),
+                "rollback_of": int(version),
+            }
             try:
-                self._pin_members(self.manifest_at(nv)["tables"], nv)
-            except (OSError, ValueError, KeyError):  # pragma: no cover
-                pass
-            raise
-        self._pin_members(tables, nv)
-        keep_pinned = max(
-            1, int(nm["properties"].get("retention.keep_pinned", 3))
+                return self._finalize_group_swap(nm, tables)
+            except CommitConflictError:
+                cur2 = self.current_manifest()
+                moved = sorted(
+                    name
+                    for name, entry in tables.items()
+                    if LakeTable(self.spark, entry["root"]).current_version()
+                    != int(entry["version"])
+                )
+                if moved:
+                    raise CommitConflictError(
+                        f"group rollback of {self.root} to {version} lost "
+                        "its swap race to a committer that advanced "
+                        f"member(s) {moved} past the rollback — member "
+                        "tables MAY now hold rolled-back data diverging "
+                        "from the group vector; stop concurrent writers "
+                        "and re-run rollback_to to converge"
+                    )
+                parent_v = cur2["version"]
+        raise CommitConflictError(
+            f"group rollback of {self.root} to {version} lost 5 "
+            "consecutive swap races — member tables may hold rolled-back "
+            "data; stop concurrent writers and re-run rollback_to"
         )
-        self._gc_member_pins(tables, keep_from=nv - keep_pinned + 1)
-        return nm
 
     @property
     def _history_archive_path(self) -> str:

@@ -196,3 +196,83 @@ def test_threaded_multi_writer_append_storm(spark, tmp_path):
         for i in range(3)
     }
     assert got == want
+
+
+def test_append_rebase_refuses_winner_that_rewound_watermarks(
+    spark, tmp_path, monkeypatch
+):
+    """A rollback that WINS the race against an in-flight append must
+    fail that append, not get silently rebased over: replaying our
+    files on top of the rolled-back snapshot would re-assert the higher
+    watermark and permanently fence out the replay of the rolled-back
+    span (data loss). Watermark monotonicity vs the append's base
+    snapshot is the discriminator."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _batch(spark, [("a", "1", "upsert", 1)]), batch_id=1, mode="mor")
+    v_good = t.current_version()
+    merge_into(t, _batch(spark, [("a", "2", "upsert", 2)]), batch_id=2, mode="mor")
+
+    t2 = LakeTable(spark, t.root)
+
+    def competing():
+        t2.rollback_to(v_good)
+
+    _race_once(monkeypatch, t, competing)
+    with pytest.raises(CommitConflictError, match="rewound"):
+        merge_into(
+            t, _batch(spark, [("c", "3", "upsert", 3)]), batch_id=3, mode="mor"
+        )
+    # the rollback stands: fence back at batch 1, so batches 2..3 replay
+    m = t.current_manifest()
+    assert m.watermarks["default"]["batch_id"] == 1
+    res = merge_into(
+        t, _batch(spark, [("a", "2", "upsert", 2)]), batch_id=2, mode="mor"
+    )
+    assert not res.skipped
+    assert {(r.id, r.v) for r in t.read().collect()} == {("a", "2")}
+
+
+def test_merge_expected_watermark_cas(spark, tmp_path, monkeypatch):
+    """expected_watermark is a compare-and-swap on the source's current
+    watermark: a mismatch skips with stale=True (checkpointed-consumer
+    span continuity), both when visible at merge start and when it
+    appears mid-commit via the append-rebase retry."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _batch(spark, [("a", "1", "upsert", 1)]), batch_id=1, mode="mor")
+
+    # visible at merge start
+    res = merge_into(
+        t, _batch(spark, [("b", "2", "upsert", 2)]),
+        batch_id=2, mode="mor", expected_watermark=0,
+    )
+    assert res.skipped and res.stale
+    assert t.current_manifest().watermarks["default"]["batch_id"] == 1
+
+    # appears mid-commit: a competing writer advances the watermark in
+    # the race window — the rebase retry must re-check the CAS and skip
+    t2 = LakeTable(spark, t.root)
+
+    def competing():
+        merge_into(
+            t2, _batch(spark, [("x", "9", "upsert", 9)]),
+            batch_id=2, mode="mor",
+        )
+
+    _race_once(monkeypatch, t, competing)
+    # loser's batch_id (3) outranks the winner's (2), so the fence alone
+    # would let it through — only the CAS re-check catches the moved
+    # checkpoint (the overlapping-polls shape: wider span, stale base)
+    res = merge_into(
+        t, _batch(spark, [("c", "3", "upsert", 3)]),
+        batch_id=3, mode="mor", expected_watermark=1,
+    )
+    assert res.skipped and res.stale
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {("a", "1"), ("x", "9")}  # the stale batch never landed
+    assert t.current_manifest().watermarks["default"]["batch_id"] == 2
+    # a correct CAS passes
+    res = merge_into(
+        t, _batch(spark, [("d", "4", "upsert", 10)]),
+        batch_id=4, mode="mor", expected_watermark=2,
+    )
+    assert not res.skipped and not res.stale

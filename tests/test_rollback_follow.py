@@ -498,3 +498,272 @@ def test_cli_rollback_and_follow(spark, tmp_path, capsys):
     out = run("follow", "--source", src.root, "--target", tgt_root)
     assert not out["caught_up"]
     assert _state(LakeTable.load(spark, tgt_root))[("o/r", "p")][2] == "good"
+
+
+def test_follower_expired_checkpoint_diagnosed_and_resynced(spark, tmp_path):
+    """A follower that lags past the source's snapshot retention gets a
+    DIAGNOSED failure (not a raw FileNotFoundError) and a working
+    recovery path: resync() re-mirrors the full current snapshot —
+    including deletes for keys that vanished while lagging — exactly
+    once, and normal polling resumes."""
+    src = _mk(spark, str(tmp_path / "src"))
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("o/r", "p", "c1", "py", "one", "upsert", 1),
+                ("o/r", "q", "c1", "py", "two", "upsert", 1),
+            ],
+        ),
+        batch_id=1,
+    )
+    tgt = ChangeFeedFollower.mirror_target(src, str(tmp_path / "tgt"))
+    f = ChangeFeedFollower(src, tgt)
+    assert not f.poll().caught_up
+
+    # source advances (update, delete, insert) and expires history
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("o/r", "q", "c1", None, None, "delete", 2),
+                ("o/r", "r", "c2", "go", "three", "upsert", 2),
+            ],
+        ),
+        batch_id=2,
+    )
+    merge_into(
+        src,
+        _batch(spark, [("o/r", "p", "c1", "py", "one-v2", "upsert", 3)]),
+        batch_id=3,
+    )
+    src.expire_snapshots(keep_last=1)
+
+    with pytest.raises(ValueError, match="resync"):
+        f.poll()
+    res = f.resync()
+    assert res.merge is not None and not res.merge.skipped
+    assert _state(tgt) == _state(src)  # q's delete mirrored too
+    assert ("o/r", "q") not in _state(tgt)
+    assert f.checkpoint() == src.current_version()
+    assert f.poll().caught_up
+    # resync is fenced like any batch: a replay is a no-op
+    assert f.resync().caught_up
+
+
+def test_follower_overlapping_polls_never_skip_a_span(spark, tmp_path):
+    """Two overlapping polls sharing a stale checkpoint (cron overlap):
+    poll A computed the NARROWER span (1,2] and stalled; poll B computed
+    the wider span (1,3]; A's merge lands first. B's commit must be
+    refused by the checkpoint CAS and recomputed from the fresh
+    checkpoint — landing exactly (2,3], never a batch derived from the
+    superseded checkpoint (which, after a source rollback, could be
+    empty and skip A's span forever)."""
+    src = _mk(spark, str(tmp_path / "src"))
+    merge_into(
+        src,
+        _batch(spark, [("o/r", "p", "c1", "py", "one", "upsert", 1)]),
+        batch_id=1,
+    )
+    tgt = ChangeFeedFollower.mirror_target(src, str(tmp_path / "tgt"))
+    fa = ChangeFeedFollower(src, tgt)
+    assert not fa.poll().caught_up  # checkpoint = 1
+
+    merge_into(
+        src,
+        _batch(spark, [("o/r", "q", "c2", "go", "two", "upsert", 2)]),
+        batch_id=2,
+    )  # source v2 — A's stalled poll saw this
+    merge_into(
+        src,
+        _batch(spark, [("o/r", "r", "c3", "rs", "three", "upsert", 3)]),
+        batch_id=3,
+    )  # source v3 — B's poll sees this too
+
+    # B's transform hook runs between B's span computation (1,3] and
+    # B's merge — exactly the overlap window; A's narrower (1,2]
+    # stalled merge lands inside it
+    fired = {"n": 0}
+
+    def interpose(df):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            a_batch = fa._span_batch(1, 2)
+            res_a = merge_into(
+                tgt,
+                a_batch,
+                source_id=fa.source_id,
+                batch_id=2,
+                offset_range=(1, 2),
+                mode="mor",
+                batch_unique=True,
+                expected_watermark=1,
+            )
+            assert not res_a.skipped
+        return df
+
+    fb = ChangeFeedFollower(src, tgt, transform=interpose)
+    res = fb.poll()
+    # B's wide first attempt went stale; the retry landed exactly (2,3]
+    assert (res.from_version, res.to_version) == (2, 3)
+    assert res.merge is not None and not res.merge.skipped
+    assert _state(tgt) == _state(src)
+    assert fb.checkpoint() == src.current_version()
+
+
+def test_group_rollback_swap_race_self_heals(spark, tmp_path, monkeypatch):
+    """A vector-neutral group commit landing between the member
+    rollbacks and the group swap (fence replay, pin race) must not
+    leave the rollback half-applied: the swap retries on a fresh group
+    version and the rollback completes atomically."""
+    a = _mk(spark, str(tmp_path / "a"))
+    g = TableGroup.create(spark, str(tmp_path / "g"), {"a": a})
+
+    def epoch(n, content):
+        merge_into(
+            a,
+            _batch(spark, [("o/r", "p", "c", "py", content, "upsert", n)]),
+            source_id="epoch",
+            batch_id=n,
+        )
+        g.commit({"a": a.current_version()}, source_id="epoch", batch_id=n)
+
+    epoch(1, "good")
+    gv_good = g.current_version()
+    epoch(2, "BAD")
+
+    orig = TableGroup._write_manifest
+    fired = {"n": 0}
+
+    def interposed(self, manifest):
+        if fired["n"] == 0 and manifest.get("rollback_of") is not None:
+            fired["n"] += 1
+            # a concurrent vector-neutral commit (e.g. a fence replay)
+            # steals this group version number first
+            cur = self.current_manifest()
+            orig(
+                self,
+                {
+                    "version": manifest["version"],
+                    "tables": {k: dict(v) for k, v in manifest["tables"].items()},
+                    "watermarks": cur.get("watermarks", {}),
+                    "parent_version": cur["version"],
+                    "properties": cur.get("properties", {}),
+                },
+            )
+        return orig(self, manifest)
+
+    monkeypatch.setattr(TableGroup, "_write_manifest", interposed)
+    nm = g.rollback_to(gv_good)
+    assert nm["rollback_of"] == gv_good
+    assert g.current_version() == nm["version"]
+    assert _state(a)[("o/r", "p")][2] == "good"
+    # the group fence reverted with the swap — epoch 2 replays
+    assert g.last_batch("epoch") == 1
+    epoch(2, "fixed")
+    assert _state(a)[("o/r", "p")][2] == "fixed"
+
+
+def test_group_rollback_swap_race_against_live_committer_raises(
+    spark, tmp_path, monkeypatch
+):
+    """If the racing commit moved a member PAST the rollback (a live
+    writer), retrying would clobber it — the rollback must raise with
+    the members-may-hold-rolled-back-state warning instead."""
+    a = _mk(spark, str(tmp_path / "a"))
+    g = TableGroup.create(spark, str(tmp_path / "g"), {"a": a})
+
+    def epoch(n, content):
+        merge_into(
+            a,
+            _batch(spark, [("o/r", "p", "c", "py", content, "upsert", n)]),
+            source_id="epoch",
+            batch_id=n,
+        )
+        g.commit({"a": a.current_version()}, source_id="epoch", batch_id=n)
+
+    epoch(1, "good")
+    gv_good = g.current_version()
+    epoch(2, "BAD")
+
+    orig = TableGroup._write_manifest
+    fired = {"n": 0}
+
+    def interposed(self, manifest):
+        if fired["n"] == 0 and manifest.get("rollback_of") is not None:
+            fired["n"] += 1
+            # a live committer advances the member AND the group first
+            merge_into(
+                a,
+                _batch(
+                    spark, [("o/r", "z", "c", "py", "live", "upsert", 7)]
+                ),
+                source_id="other",
+                batch_id=1,
+            )
+            cur = self.current_manifest()
+            tables = {k: dict(v) for k, v in cur["tables"].items()}
+            tables["a"]["version"] = a.current_version()
+            orig(
+                self,
+                {
+                    "version": manifest["version"],
+                    "tables": tables,
+                    "watermarks": cur.get("watermarks", {}),
+                    "parent_version": cur["version"],
+                    "properties": cur.get("properties", {}),
+                },
+            )
+        return orig(self, manifest)
+
+    monkeypatch.setattr(TableGroup, "_write_manifest", interposed)
+    from encode_ingest_spark.lake import CommitConflictError
+
+    with pytest.raises(CommitConflictError, match="rolled-back"):
+        g.rollback_to(gv_good)
+    # convergence path: re-running with writers stopped completes
+    nm = g.rollback_to(gv_good)
+    assert nm["rollback_of"] == gv_good
+    assert _state(a)[("o/r", "p")][2] == "good"
+
+
+def test_cli_follow_heals_wedged_create(spark, tmp_path, capsys):
+    """A first `follow --create-target` run that crashed between the
+    _meta makedirs and the v0 manifest write must self-heal on the next
+    run (existence keys on _meta/CURRENT, and create tolerates the bare
+    directory)."""
+    import os
+
+    from encode_ingest_spark.__main__ import main
+
+    src = _mk(spark, str(tmp_path / "src"))
+    merge_into(
+        src,
+        _batch(spark, [("o/r", "p", "c", "py", "v", "upsert", 1)]),
+        batch_id=1,
+    )
+    tgt_root = str(tmp_path / "tgt")
+    os.makedirs(os.path.join(tgt_root, "_meta"))  # the crashed create
+    assert (
+        main(
+            [
+                "follow",
+                "--source", src.root,
+                "--target", tgt_root,
+                "--create-target",
+            ],
+            spark=spark,
+        )
+        == 0
+    )
+    out = json.loads(
+        [
+            l
+            for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ][-1]
+    )
+    assert not out["caught_up"]
+    assert _state(LakeTable.load(spark, tgt_root))[("o/r", "p")][2] == "v"
