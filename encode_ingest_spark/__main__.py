@@ -2,7 +2,7 @@
 
 The north-rule deployment shape is ``spark-submit --py-files`` on a
 multi-executor cluster; this module is the job script that shape needs —
-the same CDC engine the library exposes, behind a nine-verb CLI:
+the same CDC engine the library exposes, behind a verb-per-operation CLI:
 
     create    make an empty bucketed lake table
     generate  stage a deterministic CDC event backlog (parquet files)
@@ -10,6 +10,11 @@ the same CDC engine the library exposes, behind a nine-verb CLI:
     ingest    tail an event directory: readStream -> foreachBatch MERGE
     maintain  housekeeping: compaction, tombstone purge, expiry, GC
     status    print table state: version, rows, watermarks, lineage tail
+    rollback  commit-forward rollback (table or --group) for recovery
+    follow    checkpointed change-feed poll into a derived table
+    tag       named immutable snapshots (set / delete / list)
+    branch    write-audit-publish refs (create / publish / drop / list;
+              stage with `merge --ref`, audit with `status --ref`)
 
     universe-create   lay out the full entity universe (raw CDC tables,
                       derived output trees, atomic table group)
@@ -59,10 +64,11 @@ def _spark(args) -> SparkSession:
     )
 
 
-def _load(spark: SparkSession, root: str):
+def _load(spark: SparkSession, root: str, ref: str | None = None):
     from .lake import LakeTable
 
-    return LakeTable.load(spark, root)
+    table = LakeTable.load(spark, root)
+    return table.branch(ref) if ref else table
 
 
 def _emit(payload: dict) -> None:
@@ -125,7 +131,7 @@ def cmd_generate(spark: SparkSession, args) -> int:
 def cmd_merge(spark: SparkSession, args) -> int:
     from .lake.merge import merge_into
 
-    table = _load(spark, args.root)
+    table = _load(spark, args.root, ref=getattr(args, "ref", None))
     batch = spark.read.parquet(args.batch)
     res = merge_into(
         table,
@@ -393,8 +399,60 @@ def cmd_follow(spark: SparkSession, args) -> int:
     return 0
 
 
-def cmd_status(spark: SparkSession, args) -> int:
+def cmd_tag(spark: SparkSession, args) -> int:
+    """Named immutable snapshots: ``tag list`` / ``tag set --name N
+    [--version V]`` / ``tag delete --name N``. A tag is a retention
+    root — the snapshot and its files survive expiry until deleted."""
     table = _load(spark, args.root)
+    if args.action == "list":
+        _emit({"cmd": "tag", "action": "list", "root": args.root,
+               "tags": table.tags()})
+        return 0
+    if not args.name:
+        raise SystemExit("tag set/delete requires --name")
+    if args.action == "set":
+        v = table.tag(args.name, version=args.version)
+        _emit({"cmd": "tag", "action": "set", "root": args.root,
+               "name": args.name, "version": v})
+    else:
+        table.untag(args.name)
+        _emit({"cmd": "tag", "action": "delete", "root": args.root,
+               "name": args.name})
+    return 0
+
+
+def cmd_branch(spark: SparkSession, args) -> int:
+    """Write-audit-publish staging refs: ``branch create`` forks an
+    isolated manifest chain (stage onto it with ``merge --root ...``
+    pointing at the branch via --ref, or the library API), ``publish``
+    fast-forwards main in ONE atomic commit (files, schema set, and
+    exactly-once watermarks travel), ``drop`` GCs branch-only files."""
+    table = _load(spark, args.root)
+    if args.action == "list":
+        _emit({"cmd": "branch", "action": "list", "root": args.root,
+               "branches": table.branches()})
+        return 0
+    if not args.name:
+        raise SystemExit(f"branch {args.action} requires --name")
+    if args.action == "create":
+        br = table.create_branch(args.name, version=args.version)
+        _emit({"cmd": "branch", "action": "create", "root": args.root,
+               "name": args.name,
+               "fork_version": table.branch_fork_version(args.name),
+               "head": br.current_version()})
+    elif args.action == "publish":
+        nm = table.publish_branch(args.name)
+        _emit({"cmd": "branch", "action": "publish", "root": args.root,
+               "name": args.name, "version": nm.version})
+    else:  # drop
+        removed = table.drop_branch(args.name)
+        _emit({"cmd": "branch", "action": "drop", "root": args.root,
+               "name": args.name, "files_removed": removed})
+    return 0
+
+
+def cmd_status(spark: SparkSession, args) -> int:
+    table = _load(spark, args.root, ref=getattr(args, "ref", None))
     m = table.current_manifest()
     live = [f for f in m.files if not f.is_delta]
     deltas = [f for f in m.files if f.is_delta]
@@ -460,6 +518,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--source-id", default="cli")
     m.add_argument("--batch-id", type=int, required=True)
     m.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    m.add_argument(
+        "--ref",
+        default=None,
+        help="stage onto this BRANCH instead of main (write-audit-"
+        "publish: audit with status --ref, then branch publish)",
+    )
     m.set_defaults(fn=cmd_merge)
 
     i = sub.add_parser("ingest", help="drain an event directory into the table")
@@ -573,9 +637,42 @@ def build_parser() -> argparse.ArgumentParser:
     )
     fo.set_defaults(fn=cmd_follow)
 
+    tg = sub.add_parser(
+        "tag",
+        help="named immutable snapshots (retention roots): "
+        "set / delete / list",
+    )
+    tg.add_argument("action", choices=["set", "delete", "list"])
+    tg.add_argument("--root", required=True)
+    tg.add_argument("--name", default=None)
+    tg.add_argument(
+        "--version", type=int, default=None,
+        help="snapshot to tag (default: CURRENT)",
+    )
+    tg.set_defaults(fn=cmd_tag)
+
+    bs = sub.add_parser(
+        "branch",
+        help="write-audit-publish staging refs: create / publish / "
+        "drop / list (stage with `merge --ref`, audit with "
+        "`status --ref`)",
+    )
+    bs.add_argument("action", choices=["create", "publish", "drop", "list"])
+    bs.add_argument("--root", required=True)
+    bs.add_argument("--name", default=None)
+    bs.add_argument(
+        "--version", type=int, default=None,
+        help="fork point for create (default: CURRENT)",
+    )
+    bs.set_defaults(fn=cmd_branch)
+
     s = sub.add_parser("status", help="print table state as one JSON line")
     s.add_argument("--root", required=True)
     s.add_argument("--lineage-tail", type=int, default=3)
+    s.add_argument(
+        "--ref", default=None,
+        help="inspect this BRANCH's head instead of main",
+    )
     s.set_defaults(fn=cmd_status)
 
     return p

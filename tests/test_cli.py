@@ -280,3 +280,64 @@ def test_cli_spark_submit_py_files(tmp_path):
     status = by_cmd["status"]
     assert status["watermarks"]["s1"]["batch_id"] >= 0
     assert status["rows_upper_bound"] >= 1 and status["version"] >= 1
+
+
+def test_cli_tag_and_branch_wap(spark, capsys, roots, tmp_path):
+    """The write-audit-publish flow driven verb-by-verb, the way an
+    orchestrator would: tag a release, stage a batch on a branch with
+    `merge --ref`, audit with `status --ref` (main unmoved), publish,
+    drop — plus tag time-travel protection surviving maintain()'s
+    expiry."""
+    lake, _, _ = roots
+    run_cli(spark, capsys, "create", "--root", lake, "--buckets", "4")
+
+    from encode_ingest_spark.cdc.generator import repo_file_events
+
+    batch = str(tmp_path / "batch")
+    repo_file_events(
+        spark, n_keys=40, events_per_key=1, seed=7, delete_pct=0
+    ).write.parquet(batch)
+    run_cli(
+        spark, capsys, "merge", "--root", lake, "--batch", batch,
+        "--batch-id", "1",
+    )
+    out = run_cli(spark, capsys, "tag", "set", "--root", lake, "--name", "rel")
+    assert out["version"] == 1
+    assert run_cli(spark, capsys, "tag", "list", "--root", lake)["tags"] == {
+        "rel": 1
+    }
+
+    # fork, stage the same logical batch under a new id on the branch
+    out = run_cli(
+        spark, capsys, "branch", "create", "--root", lake, "--name", "wap"
+    )
+    assert out["fork_version"] == 1
+    run_cli(
+        spark, capsys, "merge", "--root", lake, "--batch", batch,
+        "--batch-id", "2", "--source-id", "stage", "--ref", "wap",
+    )
+    main_status = run_cli(spark, capsys, "status", "--root", lake)
+    br_status = run_cli(
+        spark, capsys, "status", "--root", lake, "--ref", "wap"
+    )
+    assert main_status["version"] == 1  # isolation: main unmoved
+    assert br_status["version"] == 2
+    assert br_status["watermarks"]["stage"]["batch_id"] == 2
+
+    out = run_cli(
+        spark, capsys, "branch", "publish", "--root", lake, "--name", "wap"
+    )
+    assert out["version"] == 2
+    published = run_cli(spark, capsys, "status", "--root", lake)
+    assert published["watermarks"]["stage"]["batch_id"] == 2  # fence traveled
+    run_cli(spark, capsys, "branch", "drop", "--root", lake, "--name", "wap")
+    assert run_cli(spark, capsys, "branch", "list", "--root", lake)[
+        "branches"
+    ] == {}
+
+    # maintain() expires aggressively; the tagged snapshot must survive
+    run_cli(spark, capsys, "maintain", "--root", lake, "--keep-snapshots", "1")
+    t = LakeTable.load(spark, lake)
+    assert t.read(tag="rel").count() == 40
+    run_cli(spark, capsys, "tag", "delete", "--root", lake, "--name", "rel")
+    assert run_cli(spark, capsys, "tag", "list", "--root", lake)["tags"] == {}
