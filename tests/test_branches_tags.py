@@ -229,3 +229,43 @@ def test_branch_guardrails(spark, tmp_path):
     # publish with nothing staged is a no-op returning CURRENT
     cur = t.current_manifest()
     assert t.publish_branch("b1").version == cur.version
+
+
+def test_follower_consumes_published_branch(spark, tmp_path):
+    """WAP composes with the change feed: a downstream follower polling
+    MAIN sees a branch publish as one ordinary commit — the staged
+    changes land in the mirror exactly once, and nothing leaks while
+    the branch is unpublished (read_changes is a snapshot diff, so the
+    rewrite-shaped publish needs no lineage row counts to be consumed)."""
+    from encode_ingest_spark.lake import ChangeFeedFollower
+
+    t = _mk(spark, tmp_path)
+    mirror = ChangeFeedFollower.mirror_target(t, str(tmp_path / "m"))
+    f = ChangeFeedFollower(t, mirror)
+    f.poll()
+    assert mirror.read().count() == 6
+
+    br = t.create_branch("wap")
+    merge_into(
+        br,
+        _batch(
+            spark,
+            [
+                ("o/r", "p0", "c" * 40, "python", "staged", "upsert", 200),
+                ("o/r", "p5", "c" * 40, None, None, "delete", 201),
+            ],
+        ),
+        source_id="stage",
+        batch_id=9,
+    )
+    # unpublished staging is invisible to the feed
+    assert f.poll().caught_up and mirror.read().count() == 6
+
+    t.publish_branch("wap")
+    res = f.poll()
+    assert res.to_version == t.current_version()
+    mirrored = {r.path: r.content for r in mirror.read().collect()}
+    assert mirrored["p0"] == "staged" and "p5" not in mirrored
+    assert len(mirrored) == 5
+    # re-poll is a fenced no-op
+    assert f.poll().caught_up
