@@ -1,5 +1,13 @@
 """Snapshot-versioned parquet lake-table format with CDC MERGE."""
 
+from .datasource import (
+    CHANGE_COL,
+    LAKE_CHANGES_FORMAT,
+    LAKE_FORMAT,
+    LakeChangesDataSource,
+    LakeDataSource,
+    register_lake_sources,
+)
 from .evolution import SchemaEvolutionError, align_to_schema, merge_schemas
 from .follow import ChangeFeedFollower, FollowResult
 from .merge import (
@@ -43,4 +51,10 @@ __all__ = [
     "SEQ_COL",
     "OP_COL",
     "EVENT_SEQ_COL",
+    "register_lake_sources",
+    "LakeDataSource",
+    "LakeChangesDataSource",
+    "LAKE_FORMAT",
+    "LAKE_CHANGES_FORMAT",
+    "CHANGE_COL",
 ]

@@ -1,0 +1,533 @@
+"""Spark-native DataSource adapters for the lake format (PySpark 4
+Python DataSource API).
+
+Two formats, registered via :func:`register_lake_sources`:
+
+* ``lake`` — batch snapshot reads through the STANDARD reader API::
+
+      spark.read.format("lake").option("version", 7).load(root)
+
+  Time-travel (``version`` / ``tag``), branch refs (``branch``), and
+  bucket-parallel scan: one input partition per hash bucket, each task
+  resolving its bucket's merge-on-read state in pure pyarrow (no
+  nested Spark job — DataSource readers cannot launch one).
+
+* ``lake_changes`` — a STREAMING changelog source (the Delta CDF /
+  Iceberg incremental-scan analogue, surfaced as a native Structured
+  Streaming source rather than this repo's batch-driven
+  ``ChangeFeedFollower``)::
+
+      spark.readStream.format("lake_changes")
+           .option("startingVersion", 0).load(root)
+
+  Offsets ARE table versions — the same strictly-monotone integers the
+  exactly-once merge fences use — so a checkpointed stream resumes from
+  the precise snapshot it last consumed and replays deterministically
+  (manifests and data files are immutable). Each micro-batch covers a
+  version span ``(from, to]``; input partitions are the span's CHANGED
+  BUCKETS (``LakeTable.changed_buckets`` — a driver-side manifest diff,
+  KB of JSON), so per-batch work is proportional to the change set,
+  not the table: the scale property that makes tailing a 10^10-row
+  table viable. Within a partition the old/new bucket states are
+  MOR-resolved and diffed columnar in pyarrow/pandas (Arrow batches in,
+  Arrow batches out — never per-row Python over the hot columns).
+
+Semantics match ``LakeTable.read_changes`` (parity test-pinned): one
+row per key whose state differs across the span, ``_change_type`` ∈
+insert/update/delete, the NEW payload (old for deletes), ``_seq``
+carried for downstream ordering. Like Delta's streaming source, the
+schema is PINNED when the stream starts: columns added later are
+invisible until restart, and a span that crosses a REBUCKET boundary
+(bucket ids not comparable across layouts) fails with an explicit
+resync error instead of guessing.
+
+Reference behavior covered: the staged-vs-live diff consumed as a
+stream (ingest-processed-data.yaml:86-116) without re-deriving it per
+poll, and the idempotent-resume contract (ingest lineage,
+ingest-processed-data.yaml:10-11) expressed as Spark's own offset
+checkpointing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .table import DELETED_COL, SEQ_COL, LakeTable
+
+CHANGE_COL = "_change_type"
+LAKE_FORMAT = "lake"
+LAKE_CHANGES_FORMAT = "lake_changes"
+#: transient column marking delta-vs-base provenance during resolution
+_MOR_FLAG = "_mor_delta"
+
+
+def register_lake_sources(spark) -> None:
+    """Register both formats on a SparkSession (idempotent)."""
+    spark.dataSource.register(LakeDataSource)
+    spark.dataSource.register(LakeChangesDataSource)
+
+
+# --------------------------------------------------------------------
+# schema plumbing
+# --------------------------------------------------------------------
+
+def _arrow_schema(st: T.StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(st)
+
+
+def changelog_schema(table_schema: T.StructType, key_cols: list[str]) -> T.StructType:
+    """The stream's output schema — same column order as
+    ``LakeTable.read_changes``: keys, ``_change_type``, payload, ``_seq``."""
+    by = {f.name: f for f in table_schema.fields}
+    fields = [by[k] for k in key_cols]
+    fields.append(T.StructField(CHANGE_COL, T.StringType(), False))
+    fields.extend(
+        f for f in table_schema.fields
+        if f.name not in key_cols and f.name not in (SEQ_COL, DELETED_COL)
+    )
+    fields.append(T.StructField(SEQ_COL, T.LongType(), True))
+    return T.StructType(fields)
+
+
+def _read_schema_from_stream_schema(stream_schema: T.StructType) -> T.StructType:
+    """Invert :func:`changelog_schema`: the file-read target schema
+    (payload + internal cols) implied by the stream's pinned schema."""
+    fields = [f for f in stream_schema.fields if f.name != CHANGE_COL]
+    names = {f.name for f in fields}
+    if SEQ_COL not in names:
+        fields.append(T.StructField(SEQ_COL, T.LongType(), True))
+    if DELETED_COL not in names:
+        fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+    return T.StructType(fields)
+
+
+# --------------------------------------------------------------------
+# pyarrow kernels (run inside DataSource read tasks — no Spark access)
+# --------------------------------------------------------------------
+
+def _aligned(tbl: pa.Table, target: pa.Schema) -> pa.Table:
+    """Project/cast a file's table to the target schema: null-fill
+    columns the file predates, widen-cast evolved columns, drop columns
+    newer than the pinned schema — the Arrow twin of
+    ``lake.evolution.align_to_schema`` for top-level (added/widened
+    column) evolution, which is the lake's evolution contract."""
+    n = len(tbl)
+    have = set(tbl.schema.names)
+    cols = []
+    for f in target:
+        if f.name in have:
+            c = tbl.column(f.name)
+            if c.type != f.type:
+                c = c.cast(f.type)
+        else:
+            c = pa.nulls(n, f.type)
+        cols.append(c)
+    return pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols], schema=target)
+
+
+def _resolve_bucket(
+    root: str,
+    files: list[dict],
+    target: pa.Schema,
+    key_cols: list[str],
+) -> pd.DataFrame:
+    """One bucket's LIVE state at a snapshot: read its files, align to
+    the target schema, last-writer-wins MOR resolution ordered by
+    ``(coalesce(_seq,-1), delta-over-base)`` (the same whole-row rule as
+    ``LakeTable.read``), drop tombstones."""
+    if not files:
+        return target.empty_table().to_pandas()
+    any_delta = any(f["is_delta"] for f in files)
+    parts = []
+    for f in files:
+        t = _aligned(pq.read_table(os.path.join(root, f["path"])), target)
+        if any_delta:
+            t = t.append_column(
+                _MOR_FLAG,
+                pa.array(np.full(len(t), 1 if f["is_delta"] else 0, dtype=np.int8)),
+            )
+        parts.append(t)
+    pdf = pa.concat_tables(parts).to_pandas(use_threads=False)
+    if any_delta:
+        order = pdf[SEQ_COL].fillna(-1)
+        pdf = (
+            pdf.assign(_ord=order)
+            .sort_values(["_ord", _MOR_FLAG], kind="stable")
+            .drop_duplicates(subset=key_cols, keep="last")
+            .drop(columns=["_ord", _MOR_FLAG])
+        )
+    if DELETED_COL in pdf.columns:
+        dead = pdf[DELETED_COL].astype(object).map(lambda v: bool(v) if v is not None and v == v else False)
+        pdf = pdf[~dead.astype(bool)]
+    return pdf.reset_index(drop=True)
+
+
+def _canon(v: Any) -> Any:
+    """Canonicalize a nested value for null-safe comparison: arrays and
+    lists → tuples, dicts/maps → key-sorted tuples (the pandas twin of
+    ``read_changes``' key-sorted ``map_entries`` comparison), NaN → a
+    marker so NaN equals NaN (Spark's eqNullSafe ordering semantics)."""
+    if isinstance(v, np.ndarray):
+        return tuple(_canon(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, float) and v != v:
+        return ("__nan__",)
+    return v
+
+
+def _col_eq(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Vectorized null-safe equality; object columns (nested types)
+    compare canonicalized."""
+    if a.dtype == object or b.dtype == object:
+        ca = a.map(_canon, na_action=None)
+        cb = b.map(_canon, na_action=None)
+        eq = np.array([x == y for x, y in zip(ca, cb)], dtype=bool)
+        both_null = np.array(
+            [x is None and y is None for x, y in zip(ca, cb)], dtype=bool
+        )
+        return eq | both_null
+    eq = (a == b).to_numpy(dtype=bool, na_value=False)
+    both_null = (a.isna() & b.isna()).to_numpy(dtype=bool)
+    return eq | both_null
+
+
+def _to_arrow(pdf: pd.DataFrame, out: pa.Schema) -> pa.Table:
+    arrays = []
+    for f in out:
+        s = pdf[f.name]
+        if s.dtype == object:
+            # normalize ndarray elements so arrow sees plain lists
+            s = s.map(
+                lambda v: v.tolist() if isinstance(v, np.ndarray) else v,
+                na_action=None,
+            )
+        arrays.append(pa.array(s, type=f.type, from_pandas=True))
+    return pa.Table.from_arrays(arrays, schema=out)
+
+
+def _diff_bucket(
+    old: pd.DataFrame,
+    new: pd.DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    out: pa.Schema,
+) -> pa.Table:
+    """Per-key diff of two resolved bucket states → changelog rows
+    matching ``read_changes``: comparison covers payload AND ``_seq``
+    (a row rewritten at a new seq classifies update, exactly like the
+    Spark path's struct comparison); payload = new row, old for deletes."""
+    cmp_cols = payload_cols + [SEQ_COL]
+    j = old.merge(
+        new, on=key_cols, how="outer", suffixes=("_o", "_n"), indicator=True
+    )
+    merge_flag = j["_merge"].to_numpy()
+    is_ins = merge_flag == "right_only"
+    is_del = merge_flag == "left_only"
+    eq = np.ones(len(j), dtype=bool)
+    for c in cmp_cols:
+        eq &= _col_eq(j[c + "_o"], j[c + "_n"])
+    change = np.where(
+        is_ins, "insert", np.where(is_del, "delete", np.where(~eq, "update", ""))
+    )
+    keep = change != ""
+    data: dict[str, Any] = {k: j[k][keep] for k in key_cols}
+    data[CHANGE_COL] = pd.Series(change[keep], index=j.index[keep])
+    for c in cmp_cols:
+        data[c] = j[c + "_n"].where(~pd.Series(is_del, index=j.index), j[c + "_o"])[keep]
+    return _to_arrow(pd.DataFrame(data), out)
+
+
+# --------------------------------------------------------------------
+# partitions
+# --------------------------------------------------------------------
+
+@dataclass
+class BucketDiffPartition(InputPartition):
+    root: str
+    bucket: int
+    old_files: list = field(default_factory=list)
+    new_files: list = field(default_factory=list)
+
+
+@dataclass
+class BucketScanPartition(InputPartition):
+    root: str
+    bucket: int
+    files: list = field(default_factory=list)
+
+
+def _file_payload(f) -> dict:
+    return {"path": f.path, "is_delta": f.is_delta}
+
+
+# --------------------------------------------------------------------
+# batch snapshot source: spark.read.format("lake")
+# --------------------------------------------------------------------
+
+class LakeSnapshotReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('lake') requires .load(<table root>)")
+        table = LakeTable(None, self.root, ref=options.get("branch"))
+        tag = options.get("tag")
+        version = options.get("version")
+        if tag is not None and version is not None:
+            raise ValueError("pass either version or tag, not both")
+        if tag is not None:
+            v = table._resolve_tag(tag)
+        elif version is not None:
+            v = int(version)
+        else:
+            v = table.current_version()
+        # pin the snapshot's file list at PLANNING time (consistent scan)
+        m = table.manifest_at(v)
+        self.key_cols = list(m.key_cols)
+        self.out_schema = schema
+        self._read_schema = _read_schema_from_stream_schema(
+            T.StructType([f for f in schema.fields])
+        )
+        by_bucket: dict[int, list] = {}
+        for f in m.files:
+            by_bucket.setdefault(f.bucket, []).append(_file_payload(f))
+        self._parts = [
+            BucketScanPartition(root=self.root, bucket=b, files=fs)
+            for b, fs in sorted(by_bucket.items())
+        ]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return self._parts
+
+    def read(self, partition: BucketScanPartition) -> Iterator[pa.RecordBatch]:
+        target = _arrow_schema(self._read_schema)
+        out = _arrow_schema(self.out_schema)
+        pdf = _resolve_bucket(
+            partition.root, partition.files, target, self.key_cols
+        )
+        tbl = _to_arrow(pdf, out)
+        yield from tbl.to_batches()
+
+
+class LakeDataSource(DataSource):
+    """``spark.read.format("lake").load(root)`` — snapshot scan with
+    time-travel (``version``/``tag``) and branch (``branch``) options."""
+
+    @classmethod
+    def name(cls) -> str:
+        return LAKE_FORMAT
+
+    def schema(self) -> T.StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("format('lake') requires .load(<table root>)")
+        table = LakeTable(None, root, ref=self.options.get("branch"))
+        version = self.options.get("version")
+        tag = self.options.get("tag")
+        if tag is not None:
+            m = table.manifest_at(table._resolve_tag(tag))
+        elif version is not None:
+            m = table.manifest_at(int(version))
+        else:
+            m = table.current_manifest()
+        keep = [
+            f for f in m.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
+        ]
+        if self.options.get("includeinternal", "false").lower() == "true":
+            keep = [f for f in m.schema.fields if f.name != DELETED_COL]
+        return T.StructType(keep)
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return LakeSnapshotReader(schema, dict(self.options))
+
+
+# --------------------------------------------------------------------
+# streaming changelog source: spark.readStream.format("lake_changes")
+# --------------------------------------------------------------------
+
+class LakeChangesStreamReader(DataSourceStreamReader):
+    """Offsets = table versions. ``startingVersion`` option:
+
+    * ``"latest"`` (default) — only changes committed after the stream
+      starts (the Kafka-tail default);
+    * ``"earliest"`` — from the oldest RETAINED snapshot (incremental
+      only; rows already live at that snapshot are not replayed);
+    * ``"snapshot"`` — bootstrap: first batch emits the whole current
+      table as inserts (Delta's initial-snapshot behavior), then tails;
+    * an integer N — changes committed strictly after version N.
+    """
+
+    def __init__(self, stream_schema: T.StructType, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('lake_changes') requires .load(<table root>)")
+        self.ref = options.get("branch")
+        table = self._table()
+        m = table.current_manifest()
+        self.key_cols = list(m.key_cols)
+        self.out_schema = stream_schema
+        self._read_st = _read_schema_from_stream_schema(stream_schema)
+        self.payload_cols = [
+            f.name for f in stream_schema.fields
+            if f.name not in self.key_cols
+            and f.name not in (CHANGE_COL, SEQ_COL, DELETED_COL)
+        ]
+        start = str(options.get("startingversion", "latest")).lower()
+        if start == "latest":
+            self._start = table.current_version()
+        elif start == "earliest":
+            self._start = min(table._all_versions())
+        elif start == "snapshot":
+            self._start = -1  # empty-base sentinel: full table as inserts
+        else:
+            self._start = int(start)
+        mv = options.get("maxversionsperbatch")
+        self.max_versions = int(mv) if mv is not None else None
+        #: rate-limit position. Armed at CONSTRUCTION because Spark
+        #: calls latestOffset() before initialOffset() (observed call
+        #: order of PythonMicroBatchStream). After a checkpoint
+        #: restart the reader cannot see the committed offset (the
+        #: Python API passes none), so a capped stream ratchets
+        #: forward by max_versions per trigger until it passes the
+        #: checkpoint, planning no batches on the way — idle triggers,
+        #: never wrong data; partitions() re-teaches the true span.
+        self._last_seen: int | None = self._start
+        self._dbg(f"init start={self._start} cap={self.max_versions}")
+
+    def _table(self) -> LakeTable:
+        return LakeTable(None, self.root, ref=self.ref)
+
+    def _dbg(self, msg: str) -> None:
+        """Ops trace hook: the reader lives in a detached runner
+        process where print() is lost — set LAKE_DS_DEBUG_LOG to a file
+        path to see offset/planning decisions when diagnosing a
+        stream."""
+        p = os.environ.get("LAKE_DS_DEBUG_LOG")
+        if p:
+            with open(p, "a") as fh:
+                fh.write(f"[pid={os.getpid()}] {msg}\n")
+
+    # ----- offsets -----
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        cur = self._table().current_version()
+        if self.max_versions is not None and self._last_seen is not None:
+            cur = min(cur, self._last_seen + self.max_versions)
+        self._last_seen = max(cur, self._last_seen if self._last_seen is not None else self._start)
+        self._dbg(f"latestOffset -> {self._last_seen}")
+        return {"version": self._last_seen}
+
+    def commit(self, end: dict) -> None:  # nothing to release
+        return
+
+    # ----- planning -----
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from_v, to_v = int(start["version"]), int(end["version"])
+        self._dbg(f"partitions({from_v},{to_v})")
+        self._last_seen = max(self._last_seen or to_v, to_v)
+        if to_v <= from_v:
+            return []
+        table = self._table()
+        try:
+            m_to = table.manifest_at(to_v)
+            m_from = table.manifest_at(from_v) if from_v >= 0 else None
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"lake_changes checkpoint span ({from_v}, {to_v}] on "
+                f"{self.root} references an EXPIRED snapshot ({e}); the "
+                "stream outlived the table's retention. Restart from a "
+                "fresh checkpoint (startingVersion=snapshot to re-bootstrap)."
+            ) from e
+        empty_base = m_from is None or not m_from.files
+        if empty_base:
+            # bootstrap: every live row at to_v is an insert
+            by_bucket: dict[int, list] = {}
+            for f in m_to.files:
+                by_bucket.setdefault(f.bucket, []).append(_file_payload(f))
+            return [
+                BucketDiffPartition(
+                    root=self.root, bucket=b, old_files=[], new_files=fs
+                )
+                for b, fs in sorted(by_bucket.items())
+            ]
+        buckets = table.changed_buckets(from_v, to_v)
+        if buckets is None:
+            raise ValueError(
+                f"lake_changes span ({from_v}, {to_v}] on {self.root} "
+                "crosses a REBUCKET boundary — bucket ids are not "
+                "comparable across layouts. Restart the stream from a "
+                "fresh checkpoint at or after the rebucket version "
+                "(startingVersion=<int> or snapshot)."
+            )
+        want = set(buckets)
+        old_by: dict[int, list] = {}
+        new_by: dict[int, list] = {}
+        for f in m_from.files:
+            if f.bucket in want:
+                old_by.setdefault(f.bucket, []).append(_file_payload(f))
+        for f in m_to.files:
+            if f.bucket in want:
+                new_by.setdefault(f.bucket, []).append(_file_payload(f))
+        return [
+            BucketDiffPartition(
+                root=self.root,
+                bucket=b,
+                old_files=old_by.get(b, []),
+                new_files=new_by.get(b, []),
+            )
+            for b in sorted(want)
+        ]
+
+    # ----- execution (no Spark access; pure pyarrow) -----
+    def read(self, partition: BucketDiffPartition) -> Iterator[pa.RecordBatch]:
+        target = _arrow_schema(self._read_st)
+        out = _arrow_schema(self.out_schema)
+        old = _resolve_bucket(
+            partition.root, partition.old_files, target, self.key_cols
+        )
+        new = _resolve_bucket(
+            partition.root, partition.new_files, target, self.key_cols
+        )
+        tbl = _diff_bucket(old, new, self.key_cols, self.payload_cols, out)
+        yield from tbl.to_batches()
+
+
+class LakeChangesDataSource(DataSource):
+    """``spark.readStream.format("lake_changes").load(root)`` — native
+    Structured Streaming tail of a lake table's changelog."""
+
+    @classmethod
+    def name(cls) -> str:
+        return LAKE_CHANGES_FORMAT
+
+    def schema(self) -> T.StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("format('lake_changes') requires .load(<table root>)")
+        table = LakeTable(None, root, ref=self.options.get("branch"))
+        m = table.current_manifest()
+        return changelog_schema(m.schema, m.key_cols)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return LakeChangesStreamReader(schema, dict(self.options))

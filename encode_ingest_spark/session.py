@@ -48,6 +48,21 @@ def get_spark(
         and "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     ):
         builder = builder.master(f"local[{n}]")
+        # Python workers resolve imports from the PYTHONPATH the JVM
+        # inherits, not from the driver's sys.path — a driver started
+        # outside the repo (sys.path.insert) would strand pickled
+        # module references (Python DataSources, module-level pandas
+        # UDFs) in the workers. Export this package's parent before
+        # the gateway launches; under spark-submit (gateway already
+        # running) --py-files owns distribution and this is skipped.
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + pp if pp else "")
+            )
     builder = (
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))

@@ -1,0 +1,447 @@
+"""Spark-native DataSource adapters (lake / lake_changes formats).
+
+Pins the PySpark-4 Python DataSource surface: batch snapshot reads
+(time-travel, tags, branches) through ``spark.read.format("lake")`` and
+the native Structured Streaming changelog tail through
+``spark.readStream.format("lake_changes")`` — offset semantics (table
+versions), exactly-once across checkpoint restart, per-commit span
+parity with ``read_changes``, pinned-schema behavior under evolution,
+and the explicit rebucket-boundary refusal.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.lake import LakeTable, merge_into
+from encode_ingest_spark.lake.datasource import (
+    CHANGE_COL,
+    register_lake_sources,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+KEYS = ["repo", "path"]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_lake_sources(spark)
+
+
+def _mk(spark, tmp_path, buckets=4, schema=SCHEMA):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), schema, KEYS, num_buckets=buckets
+    )
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, lang string, content string, "
+        "op string, event_seq long",
+    )
+
+
+def _seed(spark, t):
+    merge_into(
+        t,
+        _b(spark, [
+            ("r1", "a.py", "py", "x1", "upsert", 1),
+            ("r1", "b.py", "py", "y1", "upsert", 1),
+            ("r2", "c.go", "go", "z1", "upsert", 1),
+        ]),
+        batch_id=1, mode="mor",
+    )
+    merge_into(
+        t,
+        _b(spark, [
+            ("r1", "a.py", "py", "x2", "upsert", 2),
+            ("r2", "d.go", "go", "w1", "upsert", 2),
+        ]),
+        batch_id=2, mode="mor",
+    )
+    merge_into(
+        t,
+        _b(spark, [
+            ("r1", "b.py", "py", None, "delete", 3),
+            ("r2", "c.go", "go", "z2", "upsert", 3),
+        ]),
+        batch_id=3, mode="mor",
+    )
+
+
+def _run_stream(spark, root, name, ckpt, **opts):
+    """One drain pass. Python streaming sources fall back to
+    single-batch execution under availableNow, so this processes ONE
+    micro-batch covering the whole pending span."""
+    reader = spark.readStream.format("lake_changes")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(root)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def _drain_stream(spark, root, name, ckpt, **opts):
+    """Continuous-trigger drain: real multi-micro-batch execution; stops
+    once offsets reach the table's current version with no new input."""
+    import ast
+    import time
+
+    target = LakeTable(None, root).current_version()
+    reader = spark.readStream.format("lake_changes")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(root)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        quiet = 0
+        while time.time() < deadline and quiet < 2:
+            time.sleep(0.3)
+            lp = q.lastProgress
+            if not lp or not lp.get("sources"):
+                continue
+            src = lp["sources"][0]
+            end = src.get("endOffset")
+            if isinstance(end, str):
+                # Spark stringifies python-source offsets via repr
+                end = ast.literal_eval(end)
+            if (
+                end is not None
+                and int(end["version"]) >= target
+                and src.get("numInputRows", 0) == 0
+            ):
+                quiet += 1
+            else:
+                quiet = 0
+        assert quiet >= 2, f"stream never caught up to v{target}: {q.lastProgress}"
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ------------------------------------------------------------ batch
+
+
+def test_batch_reader_matches_table_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    got = spark.read.format("lake").load(t.root)
+    exp = t.read()
+    assert got.schema == exp.schema
+    assert _rows(got) == _rows(exp)
+
+
+def test_batch_reader_time_travel_and_tag(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    v1 = t.snapshots()[1].version
+    got = spark.read.format("lake").option("version", v1).load(t.root)
+    assert _rows(got) == _rows(t.read(version=v1))
+    t.tag("audited", v1)
+    got_tag = spark.read.format("lake").option("tag", "audited").load(t.root)
+    assert _rows(got_tag) == _rows(t.read(version=v1))
+
+
+def test_batch_reader_branch_ref(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    t.create_branch("wap")
+    br = t.branch("wap")
+    merge_into(
+        br, _b(spark, [("r9", "n.rs", "rs", "v1", "upsert", 9)]),
+        batch_id=9, mode="mor",
+    )
+    got = spark.read.format("lake").option("branch", "wap").load(t.root)
+    assert _rows(got) == _rows(br.read())
+    # main unaffected
+    got_main = spark.read.format("lake").load(t.root)
+    assert _rows(got_main) == _rows(t.read())
+
+
+# ------------------------------------------------------------ stream
+
+
+def test_stream_bootstrap_matches_read_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ckpt = str(tmp_path / "ck1")
+    got = _run_stream(spark, t.root, "chg_boot", ckpt, startingVersion=0)
+    exp = t.read_changes(0)
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in exp.schema.fields
+    ]
+    assert _rows(got) == _rows(exp)
+
+
+def test_stream_per_commit_spans_match(spark, tmp_path):
+    """maxVersionsPerBatch=1 → one micro-batch per commit; the union of
+    per-span diffs equals the concatenation of read_changes(v-1, v)."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ckpt = str(tmp_path / "ck2")
+    got = _drain_stream(
+        spark, t.root, "chg_spans", ckpt,
+        startingVersion=0, maxVersionsPerBatch=1,
+    )
+    exp = set()
+    for v in range(1, t.current_version() + 1):
+        exp |= _rows(t.read_changes(v - 1, v))
+    assert _rows(got) == exp
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    """Checkpointed restart resumes at the committed version — a
+    recoverable FILE sink (memory sink forbids checkpoint recovery),
+    stop, new commits, restart: each span lands exactly once."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ckpt = str(tmp_path / "ck3")
+    out = str(tmp_path / "sink3")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_changes")
+            .option("startingVersion", 0)
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = _rows(spark.read.parquet(out))
+    assert first == _rows(t.read_changes(0))
+    v_mid = t.current_version()
+    merge_into(
+        t, _b(spark, [("r3", "e.md", "md", "m1", "upsert", 4)]),
+        batch_id=4, mode="mor",
+    )
+    run_once()
+    total = _rows(spark.read.parquet(out))
+    # exactly the old rows plus ONLY the post-restart span — no replay
+    assert total == first | _rows(t.read_changes(v_mid))
+    assert len(total) == len(first) + t.read_changes(v_mid).count()
+
+
+def test_stream_default_latest_sees_only_new_commits(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    v0 = t.current_version()
+    ckpt = str(tmp_path / "ck4")
+    out = str(tmp_path / "sink4")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_changes")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # parquet dir may hold only metadata (zero rows emitted)
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "x3", "upsert", 5)]),
+        batch_id=5, mode="mor",
+    )
+    run_once()
+    got = _rows(spark.read.schema(
+        t.read_changes(v0).schema).parquet(out))
+    assert got == _rows(t.read_changes(v0))
+
+
+def test_stream_snapshot_bootstrap_emits_full_table(spark, tmp_path):
+    """startingVersion=snapshot: first batch is the whole live table as
+    inserts even when early manifests are expired."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    t.compact_deltas()
+    t.expire_snapshots(keep_last=1)
+    ckpt = str(tmp_path / "ck5")
+    got = _run_stream(
+        spark, t.root, "chg_snap", ckpt, startingVersion="snapshot"
+    )
+    live = t.read(include_internal=True)
+    assert {r[CHANGE_COL] for r in got.collect()} == {"insert"}
+    assert {(r.repo, r.path, r.lang, r.content) for r in got.collect()} == {
+        (r.repo, r.path, r.lang, r.content) for r in live.collect()
+    }
+
+
+def test_stream_cow_and_compaction_spans(spark, tmp_path):
+    """COW rewrites and delta compaction are plain commits: the diff
+    over a span containing a compaction (no logical change) is empty."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "x1", "upsert", 1)]),
+        batch_id=1, mode="cow",
+    )
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "x2", "upsert", 2)]),
+        batch_id=2, mode="mor",
+    )
+    v_pre = t.current_version()
+    t.compact_deltas()
+    assert t.current_version() > v_pre
+    assert _rows(t.read_changes(v_pre)) == set()
+    ckpt = str(tmp_path / "ck6")
+    got = _run_stream(spark, t.root, "chg_cow", ckpt, startingVersion=0)
+    assert _rows(got) == _rows(t.read_changes(0))
+    assert {r[CHANGE_COL] for r in got.collect()} == {"insert"}
+
+
+def test_stream_pins_schema_across_evolution(spark, tmp_path):
+    """Columns added after the stream starts stay invisible (Delta's
+    pinned-schema contract); the stream keeps running and later rows
+    project onto the pinned columns."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ckpt = str(tmp_path / "ck7")
+    out = str(tmp_path / "sink7")
+    pinned = t.read_changes(0).schema
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_changes")
+            .option("startingVersion", 0)
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert "stars" not in pinned.fieldNames()
+    evolved = spark.createDataFrame(
+        [("r1", "a.py", "py", "x9", 42, "upsert", 9)],
+        "repo string, path string, lang string, content string, "
+        "stars long, op string, event_seq long",
+    )
+    merge_into(t, evolved, batch_id=9, mode="mor")
+    assert "stars" in t.current_manifest().schema.fieldNames()
+    run_once()  # post-evolution span projects onto the pinned schema
+    rows = _rows(spark.read.schema(pinned).parquet(out))
+    assert ("r1", "a.py", "update", "py", "x9", 9) in rows
+
+
+def test_stream_refuses_rebucket_span(spark, tmp_path):
+    t = _mk(spark, tmp_path, buckets=2)
+    _seed(spark, t)
+    t.rebucket(4)
+    merge_into(
+        t, _b(spark, [("r4", "f.c", "c", "c1", "upsert", 5)]),
+        batch_id=5, mode="mor",
+    )
+    ckpt = str(tmp_path / "ck8")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    # startingVersion=0 would take the empty-base bootstrap path (no
+    # bucket comparison needed); a NON-empty base crossing the
+    # rebucket must refuse
+    with pytest.raises(StreamingQueryException, match="REBUCKET"):
+        _run_stream(spark, t.root, "chg_rb", ckpt, startingVersion=1)
+    # a span entirely after the rebucket works
+    ckpt2 = str(tmp_path / "ck9")
+    rb_v = next(
+        m.version for m in t.snapshots() if m.num_buckets == 4
+    )
+    got = _run_stream(
+        spark, t.root, "chg_rb2", ckpt2, startingVersion=rb_v
+    )
+    assert _rows(got) == _rows(t.read_changes(rb_v))
+
+
+def test_stream_nested_payload_diff(spark, tmp_path):
+    """Array-typed payload columns flow through the Arrow diff kernel
+    (canonicalized comparison) with read_changes parity."""
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("imports", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "tn"), schema, KEYS, num_buckets=2
+    )
+
+    def nb(rows):
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, lang string, content string, "
+            "imports array<string>, op string, event_seq long",
+        )
+
+    merge_into(
+        t,
+        nb([
+            ("r1", "a.py", "py", "x1", ["os", "sys"], "upsert", 1),
+            ("r1", "b.py", "py", "y1", [], "upsert", 1),
+        ]),
+        batch_id=1, mode="mor",
+    )
+    merge_into(
+        t,
+        nb([
+            ("r1", "a.py", "py", "x1", ["os", "json"], "upsert", 2),
+            ("r1", "b.py", "py", None, None, "delete", 2),
+        ]),
+        batch_id=2, mode="mor",
+    )
+    ckpt = str(tmp_path / "ckn")
+    got = _run_stream(spark, t.root, "chg_nested", ckpt, startingVersion=0)
+
+    def norm(rows):
+        return {
+            (r.repo, r.path, r[CHANGE_COL], r.lang, r.content,
+             tuple(r.imports) if r.imports is not None else None, r._seq)
+            for r in rows.collect()
+        }
+
+    assert norm(got) == norm(t.read_changes(0))
+    # span diff across the two commits: update keeps the NEW array
+    per_span = norm(_run_stream(
+        spark, t.root, "chg_nested2", str(tmp_path / "ckn2"),
+        startingVersion=1,
+    ))
+    assert per_span == norm(t.read_changes(1))
