@@ -389,6 +389,63 @@ def test_stream_refuses_rebucket_span(spark, tmp_path):
     assert _rows(got) == _rows(t.read_changes(rb_v))
 
 
+def test_stream_capped_restart_ratchets_past_checkpoint(spark, tmp_path):
+    """A rate-capped stream (maxVersionsPerBatch) restarted from a
+    checkpoint cannot see the committed offset (the Python API passes
+    none), so latestOffset ratchets forward planning nothing until it
+    passes the checkpoint — idle triggers, then exactly-once resumes
+    with per-commit spans."""
+    import time
+
+    t = _mk(spark, tmp_path, buckets=2)
+    for i in range(1, 4):
+        merge_into(
+            t, _b(spark, [("r1", f"f{i}", "py", str(i), "upsert", i)]),
+            batch_id=i, mode="mor",
+        )
+    ckpt = str(tmp_path / "ckcr")
+    out = str(tmp_path / "sinkcr")
+    schema = t.read_changes(0).schema
+
+    def drain(expected):
+        q = (
+            spark.readStream.format("lake_changes")
+            .option("startingVersion", 0)
+            .option("maxVersionsPerBatch", 1)
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.schema(schema).parquet(out).count() >= expected:
+                        return
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            raise AssertionError(f"sink never reached {expected} rows")
+        finally:
+            q.stop()
+
+    drain(3)
+    for i in range(4, 6):
+        merge_into(
+            t, _b(spark, [("r1", f"f{i}", "py", str(i), "upsert", i)]),
+            batch_id=i, mode="mor",
+        )
+    drain(5)
+    got = _rows(spark.read.schema(schema).parquet(out))
+    exp = set()
+    for v in range(1, 6):
+        exp |= _rows(t.read_changes(v - 1, v))
+    assert got == exp  # per-commit spans, no replay, nothing lost
+
+
 def test_stream_nested_payload_diff(spark, tmp_path):
     """Array-typed payload columns flow through the Arrow diff kernel
     (canonicalized comparison) with read_changes parity."""
