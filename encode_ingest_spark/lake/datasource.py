@@ -50,7 +50,6 @@ checkpointing.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Sequence
