@@ -62,11 +62,13 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
-from .table import DELETED_COL, SEQ_COL, LakeTable
+from .table import BUCKET_COL, DELETED_COL, SEQ_COL, DataFile, LakeTable
 
 CHANGE_COL = "_change_type"
 LAKE_FORMAT = "lake"
@@ -327,6 +329,236 @@ class LakeSnapshotReader(DataSourceReader):
         yield from tbl.to_batches()
 
 
+# --------------------------------------------------------------------
+# streaming sink: df.writeStream.format("lake")
+# --------------------------------------------------------------------
+
+@dataclass
+class LakeSinkCommitMessage(WriterCommitMessage):
+    """Per-task result: DataFile payloads for files already renamed
+    into the data directory (live only once the driver commits a
+    manifest referencing them; uncommitted ones are plain orphans)."""
+
+    files: list = field(default_factory=list)
+    rows: int = 0
+
+
+class LakeStreamWriter(DataSourceStreamArrowWriter):
+    """Native exactly-once streaming MERGE sink.
+
+    Each executor task buckets its Arrow batches with the Python
+    Murmur3 twin (``lake/hashing.py`` — bit-identical to
+    ``bucket_expr``), writes one MOR delta parquet file per touched
+    bucket (same staging-marker + rename protocol and the same
+    ``_footer_stats`` as the Spark write path), and ships the DataFile
+    payloads to the driver. ``commit(messages, batchId)`` lands ONE
+    manifest commit: Spark's monotone micro-batch id is the
+    exactly-once fence batch id, so a retried epoch fence-skips and
+    GCs its replica files, and a lost version race rebases through the
+    pure-append retry path (``merge._commit``). Deletes arrive as
+    ``op='delete'`` (merge envelope) or ``_change_type='delete'``
+    (the ``lake_changes`` source's shape — the two formats chain into
+    a mirror pipeline with zero glue) and land as tombstone rows; the
+    read path's last-writer-wins resolution needs no in-batch winners
+    shuffle, so the sink is embarrassingly parallel.
+
+    The sink never compacts: MOR delta chains are folded by the
+    maintenance job (``compact_deltas`` / the CLI ``maintain`` verb),
+    the Iceberg streaming-write + rewrite-service split.
+
+    Identity: one sink lineage per (table, ``sourceId``); concurrent
+    sinks on one table need distinct ``sourceId`` options or they
+    would fence each other's batch ids.
+    """
+
+    def __init__(self, input_schema: T.StructType, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('lake') sink requires .start(<table root>) "
+                             "or .option('path', ...)")
+        self.ref = options.get("branch")
+        self.source_id = options.get("sourceid", "lake_sink")
+        table = LakeTable(None, self.root, ref=self.ref)
+        m = table.current_manifest()
+        self.key_cols = list(m.key_cols)
+        self.num_buckets = m.num_buckets
+        self.schema_version = m.current_schema_version
+        self.file_st = m.schema  # data cols + _seq + _deleted
+        cluster = m.properties.get("write.sort_within_buckets", "")
+        self.stat_cols = [c for c in cluster.split(",") if c]
+        in_names = set(input_schema.fieldNames())
+        missing = [k for k in self.key_cols if k not in in_names]
+        if missing:
+            raise ValueError(f"sink input lacks key columns {missing}")
+        self.seq_src = next(
+            (c for c in ("event_seq", SEQ_COL) if c in in_names), None
+        )
+        if self.seq_src is None:
+            raise ValueError(
+                "sink input needs an ordering column: event_seq (merge "
+                "envelope) or _seq (lake_changes shape)"
+            )
+        self.op_src = next(
+            (c for c in ("op", CHANGE_COL) if c in in_names), None
+        )
+        envelope = {self.seq_src, self.op_src, "event_ts", "op",
+                    CHANGE_COL, "event_seq", SEQ_COL, DELETED_COL}
+        table_cols = set(self.file_st.fieldNames())
+        unknown = [
+            c for c in input_schema.fieldNames()
+            if c not in table_cols and c not in envelope
+        ]
+        if unknown:
+            # fail at STREAM START, on the driver: the sink pins its
+            # schema and never auto-evolves (a mid-stream executor
+            # cannot run ALTER); evolve first, then start the stream
+            raise ValueError(
+                f"sink input columns {unknown} not in table schema; "
+                "evolve the table first (merge_into(evolve=True) or "
+                "evolve_schema), then restart the stream"
+            )
+        self.key_types = [
+            self.file_st[k].dataType for k in self.key_cols
+        ]
+
+    def _table(self) -> LakeTable:
+        return LakeTable(None, self.root, ref=self.ref)
+
+    # ----- executor side -----
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> "LakeSinkCommitMessage":
+        import uuid as _uuid
+
+        from .hashing import bucket_of
+
+        batches = list(iterator)
+        if not batches or sum(len(b) for b in batches) == 0:
+            return LakeSinkCommitMessage(files=[], rows=0)
+        src = pa.Table.from_batches(batches)
+        n = len(src)
+        have = set(src.schema.names)
+        # align to the file schema: payload from input (cast), absent
+        # table columns null-filled, _seq from the envelope, _deleted
+        # from the op/change-type column
+        cols = []
+        target = _arrow_schema(self.file_st)
+        for f_spark, f_arrow in zip(self.file_st.fields, target):
+            name = f_spark.name
+            if name == SEQ_COL:
+                c = src.column(self.seq_src).cast(pa.int64())
+            elif name == DELETED_COL:
+                if self.op_src is None:
+                    c = pa.array(np.zeros(n, dtype=bool))
+                else:
+                    import pyarrow.compute as pc
+
+                    ops = src.column(self.op_src).cast(pa.string())
+                    c = pc.fill_null(pc.equal(ops, "delete"), False)
+            elif name in have:
+                c = src.column(name)
+                if c.type != f_arrow.type:
+                    c = c.cast(f_arrow.type)
+            else:
+                c = pa.nulls(n, f_arrow.type)
+            cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        aligned = pa.Table.from_arrays(cols, schema=target)
+        key_lists = [
+            aligned.column(k).to_pylist() for k in self.key_cols
+        ]
+        buckets = np.fromiter(
+            (
+                bucket_of(vals, self.key_types, self.num_buckets)
+                for vals in zip(*key_lists)
+            ),
+            dtype=np.int32,
+            count=n,
+        )
+        table = self._table()
+        stage = os.path.join(self.root, "_staging", f"sink_{_uuid.uuid4().hex}")
+        os.makedirs(stage, exist_ok=True)
+        marker = table._stage_marker(stage)
+        files: list[dict] = []
+        try:
+            import pyarrow.compute as pc
+
+            from .table import _footer_stats
+
+            bucket_arr = pa.array(buckets)
+            for b in sorted(set(buckets.tolist())):
+                part = aligned.filter(pc.equal(bucket_arr, int(b)))
+                if self.stat_cols:
+                    # keep the table's clustering contract (tight
+                    # col_stats) — same rule as the Spark write path
+                    part = part.sort_by([(c, "ascending") for c in self.stat_cols])
+                fname = f"{_uuid.uuid4().hex}.parquet"
+                fpath = os.path.join(stage, fname)
+                pq.write_table(part, fpath)
+                dest_dir = os.path.join(table._data_dir, f"{BUCKET_COL}={int(b)}")
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, fname)
+                stats = _footer_stats(pq.ParquetFile(fpath), value_cols=self.stat_cols)
+                os.replace(fpath, dest)
+                files.append(
+                    DataFile(
+                        path=os.path.relpath(dest, self.root),
+                        bucket=int(b),
+                        rows=len(part),
+                        bytes=os.path.getsize(dest),
+                        schema_version=self.schema_version,
+                        is_delta=True,
+                        stats=stats,
+                    ).to_json()
+                )
+        finally:
+            import shutil as _shutil
+
+            _shutil.rmtree(stage, ignore_errors=True)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+        return LakeSinkCommitMessage(files=files, rows=n)
+
+    # ----- driver side -----
+    def commit(self, messages, batchId: int) -> None:
+        from .merge import _commit
+
+        new_files = [
+            DataFile.from_json(d)
+            for msg in messages
+            if msg is not None
+            for d in msg.files
+        ]
+        table = self._table()
+        m = table.current_manifest()
+        wm = m.watermarks.get(self.source_id)
+        if wm is not None and int(wm.get("batch_id", -1)) >= int(batchId):
+            # replayed epoch (restart re-ran a committed batch): honor
+            # the exactly-once fence, GC the replica's files
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(self.root, f.path))
+                except OSError:
+                    pass
+            return
+        if not new_files:
+            return  # empty epoch: nothing to fence, no version noise
+        rows = sum(msg.rows for msg in messages if msg is not None)
+        _commit(
+            table, m, m.files, new_files, int(batchId), self.source_id,
+            None, {"appended": rows},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for d in msg.files:
+                try:
+                    os.remove(os.path.join(self.root, d["path"]))
+                except OSError:
+                    pass
+
+
 class LakeDataSource(DataSource):
     """``spark.read.format("lake").load(root)`` — snapshot scan with
     time-travel (``version``/``tag``) and branch (``branch``) options."""
@@ -357,6 +589,15 @@ class LakeDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return LakeSnapshotReader(schema, dict(self.options))
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "format('lake') sink is append-shaped (CDC semantics come "
+                "from op/_change_type, not output mode); use "
+                "outputMode('append')"
+            )
+        return LakeStreamWriter(schema, dict(self.options))
 
 
 # --------------------------------------------------------------------

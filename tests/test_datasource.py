@@ -446,6 +446,149 @@ def test_stream_capped_restart_ratchets_past_checkpoint(spark, tmp_path):
     assert got == exp  # per-commit spans, no replay, nothing lost
 
 
+# ------------------------------------------------------------ sink
+
+
+def _sink_drain(spark, reader_df, root, ckpt, **opts):
+    writer = reader_df.writeStream.format("lake").option("path", root)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    q = (
+        writer.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_sink_matches_merge_into(spark, tmp_path):
+    """The native streaming sink lands the same final state as
+    merge_into on the same envelope batches — upserts, deletes, python
+    bucket assignment (verified file-by-file against bucket_expr), and
+    the exactly-once fence on an idempotent re-drain."""
+    from encode_ingest_spark.lake.table import bucket_expr
+
+    rows1 = [
+        ("r%d" % (i % 5), "f%d.py" % i, "py", "v1-%d" % i, "upsert", 1)
+        for i in range(30)
+    ]
+    rows2 = [
+        ("r%d" % (i % 5), "f%d.py" % i, "py", "v2-%d" % i, "upsert", 2)
+        for i in range(18)
+    ] + [
+        ("r%d" % (i % 5), "f%d.py" % i, None, None, "delete", 2)
+        for i in range(18, 24)
+    ]
+    ref = LakeTable.create(
+        spark, str(tmp_path / "ref"), SCHEMA, KEYS, num_buckets=4
+    )
+    merge_into(ref, _b(spark, rows1), batch_id=1, mode="mor")
+    merge_into(ref, _b(spark, rows2), batch_id=2, mode="mor")
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "sink"), SCHEMA, KEYS, num_buckets=4
+    )
+    evdir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "cks")
+    ev_schema = (
+        "repo string, path string, lang string, content string, "
+        "op string, event_seq long"
+    )
+    _b(spark, rows1).repartition(3).write.mode("append").parquet(evdir)
+    stream = lambda: spark.readStream.schema(ev_schema).parquet(evdir)  # noqa: E731
+    _sink_drain(spark, stream(), t.root, ckpt)
+    assert t.current_version() == 1
+    _b(spark, rows2).repartition(3).write.mode("append").parquet(evdir)
+    _sink_drain(spark, stream(), t.root, ckpt)
+    assert _rows(t.read()) == _rows(ref.read())
+    # multiple tasks wrote the same buckets: delta files per bucket >= 1,
+    # and every file's rows hash to ITS bucket under the Spark expression
+    for f in t.current_manifest().files:
+        assert f.is_delta
+        n_bad = (
+            spark.read.parquet(t.root + "/" + f.path)
+            .withColumn("_b", bucket_expr(KEYS, 4))
+            .filter(F.col("_b") != f.bucket)
+            .count()
+        )
+        assert n_bad == 0, f"file {f.path} holds foreign-bucket rows"
+    # re-drain with nothing new: the fence holds, no phantom commit
+    v = t.current_version()
+    _sink_drain(spark, stream(), t.root, ckpt)
+    assert t.current_version() == v
+
+
+def test_sink_mirror_pipeline_changes_to_lake(spark, tmp_path):
+    """readStream.format('lake_changes') → writeStream.format('lake')
+    with ZERO transform code mirrors a table, deletes included — the
+    two formats' envelopes are designed to chain."""
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, KEYS, num_buckets=4
+    )
+    _seed(spark, src)
+    mir = LakeTable.create(
+        spark, str(tmp_path / "mir"), SCHEMA, KEYS, num_buckets=2
+    )
+    ckpt = str(tmp_path / "ckm")
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("startingVersion", 0)
+        .load(src.root)
+        .writeStream.format("lake")
+        .option("path", mir.root)
+        .option("sourceId", "mirror")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rows(mir.read()) == _rows(src.read())
+    # tail incremental: another commit on src, drain again
+    merge_into(
+        src, _b(spark, [("r1", "a.py", "py", "x9", "upsert", 9),
+                        ("r2", "d.go", None, None, "delete", 9)]),
+        batch_id=9, mode="mor",
+    )
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("startingVersion", 0)
+        .load(src.root)
+        .writeStream.format("lake")
+        .option("path", mir.root)
+        .option("sourceId", "mirror")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rows(mir.read()) == _rows(src.read())
+
+
+def test_sink_rejects_unknown_columns_at_start(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=2
+    )
+    evdir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [("r1", "a.py", 5, "upsert", 1)],
+        "repo string, path string, stars long, op string, event_seq long",
+    ).write.parquet(evdir)
+    with pytest.raises(Exception, match="not in table schema"):
+        q = (
+            spark.readStream.schema(
+                "repo string, path string, stars long, op string, "
+                "event_seq long"
+            )
+            .parquet(evdir)
+            .writeStream.format("lake")
+            .option("path", t.root)
+            .option("checkpointLocation", str(tmp_path / "ckx"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+
 def test_stream_nested_payload_diff(spark, tmp_path):
     """Array-typed payload columns flow through the Arrow diff kernel
     (canonicalized comparison) with read_changes parity."""
