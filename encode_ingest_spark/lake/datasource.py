@@ -148,11 +148,13 @@ def _resolve_bucket(
     files: list[dict],
     target: pa.Schema,
     key_cols: list[str],
+    keep_tombstones: bool = False,
 ) -> pd.DataFrame:
     """One bucket's LIVE state at a snapshot: read its files, align to
     the target schema, last-writer-wins MOR resolution ordered by
     ``(coalesce(_seq,-1), delta-over-base)`` (the same whole-row rule as
-    ``LakeTable.read``), drop tombstones."""
+    ``LakeTable.read``), drop tombstones (unless ``keep_tombstones`` —
+    the point-lookup inspection path)."""
     if not files:
         return target.empty_table().to_pandas()
     any_delta = any(f["is_delta"] for f in files)
@@ -174,7 +176,7 @@ def _resolve_bucket(
             .drop_duplicates(subset=key_cols, keep="last")
             .drop(columns=["_ord", _MOR_FLAG])
         )
-    if DELETED_COL in pdf.columns:
+    if not keep_tombstones and DELETED_COL in pdf.columns:
         dead = pdf[DELETED_COL].astype(object).map(lambda v: bool(v) if v is not None and v == v else False)
         pdf = pdf[~dead.astype(bool)]
     return pdf.reset_index(drop=True)

@@ -1917,6 +1917,64 @@ class LakeTable:
         self._write_manifest(nm)
         return nm
 
+    def lookup(
+        self, key: dict[str, Any], version: int | None = None,
+        include_tombstone: bool = False,
+    ) -> dict[str, Any] | None:
+        """Driver-side POINT READ — zero Spark jobs.
+
+        The Python Murmur3 twin (``lake/hashing.py``, bit-identical to
+        ``bucket_expr``) names the ONE bucket that can hold the key;
+        manifest ``col_stats`` prune that bucket's files where the key
+        columns are clustered; the surviving files MOR-resolve in the
+        same pyarrow kernel the DataSource reader uses. At 10^10 rows a
+        lookup costs one bucket's pruned file set, not a cluster job —
+        the ops tool for "what does the table say about THIS key right
+        now / at version v". Returns the resolved row as a dict
+        (internal columns included), or None; ``include_tombstone``
+        surfaces a deleted key's tombstone row instead of None."""
+        from .datasource import _arrow_schema, _resolve_bucket
+        from .hashing import bucket_of
+
+        m = self.manifest_at(
+            version if version is not None else self.current_version()
+        )
+        missing = [k for k in m.key_cols if k not in key]
+        if missing:
+            raise ValueError(f"lookup needs every key column; missing {missing}")
+        dtypes = [m.schema[k].dataType for k in m.key_cols]
+        values = [key[k] for k in m.key_cols]
+        bucket = bucket_of(values, dtypes, m.num_buckets)
+        key_set = set(m.key_cols)
+        files = []
+        for f in m.files:
+            if f.bucket != bucket:
+                continue
+            cs = ((f.stats or {}).get("col_stats") or {})
+            skip = False
+            for k, v in zip(m.key_cols, values):
+                rng = cs.get(k)
+                if rng is not None and v is not None:
+                    try:
+                        if v < rng[0] or v > rng[1]:
+                            skip = True  # key col: per-file safe prune
+                            break
+                    except TypeError:
+                        pass
+            if not skip:
+                files.append({"path": f.path, "is_delta": f.is_delta})
+        if not files:
+            return None
+        pdf = _resolve_bucket(
+            self.root, files, _arrow_schema(m.schema), m.key_cols,
+            keep_tombstones=include_tombstone,
+        )
+        for k, v in zip(m.key_cols, values):
+            pdf = pdf[pdf[k] == v] if v is not None else pdf[pdf[k].isna()]
+        if not len(pdf):
+            return None
+        return {c: pdf.iloc[0][c] for c in pdf.columns}
+
     def purge_tombstones(self, min_seq: int) -> "Manifest":
         """GC tombstone rows whose seq is below ``min_seq`` — safe once
         the source guarantees no event below that horizon can still

@@ -446,6 +446,41 @@ def test_stream_capped_restart_ratchets_past_checkpoint(spark, tmp_path):
     assert got == exp  # per-commit spans, no replay, nothing lost
 
 
+# ------------------------------------------------------------ lookup
+
+
+def test_point_lookup_zero_spark(spark, tmp_path):
+    """LakeTable.lookup: python-hash bucket targeting + arrow-kernel
+    resolution — hit, miss, tombstone, and time-travel, all matching
+    the Spark scan."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    v_before_delete = t.snapshots()[-2].version
+
+    got = t.lookup({"repo": "r1", "path": "a.py"})
+    assert got is not None and got["content"] == "x2" and got["lang"] == "py"
+    spark_row = t.read().filter(
+        (F.col("repo") == "r1") & (F.col("path") == "a.py")
+    ).collect()[0]
+    assert (got["repo"], got["path"], got["lang"], got["content"]) == tuple(
+        spark_row
+    )
+    # miss
+    assert t.lookup({"repo": "zz", "path": "nope"}) is None
+    # deleted key: None live, tombstone row on request
+    assert t.lookup({"repo": "r1", "path": "b.py"}) is None
+    tomb = t.lookup({"repo": "r1", "path": "b.py"}, include_tombstone=True)
+    assert tomb is not None and bool(tomb["_deleted"])
+    # time travel: before the delete the row was live
+    old = t.lookup(
+        {"repo": "r1", "path": "b.py"}, version=v_before_delete
+    )
+    assert old is not None and old["content"] == "y1"
+    # missing key column fails loudly
+    with pytest.raises(ValueError, match="missing"):
+        t.lookup({"repo": "r1"})
+
+
 # ------------------------------------------------------------ sink
 
 
