@@ -746,6 +746,169 @@ def run_scaling(sf_dir: str, low: int, high: int, probe: str = "cdc", pairs: int
     }
 
 
+def run_datasource_bench(sf_dir: str, cpus: int) -> dict:
+    """Native DataSource surface vs its batch twins, interleaved
+    min-of-2 (co-tenant noise discipline):
+
+    * SINK: `readStream.parquet(events) → writeStream.format("lake")`
+      (one availableNow epoch) vs `merge_into(mode="mor")` on the same
+      staged events — the sink skips the winners shuffle entirely (LWW
+      resolves at scan) but pays the streaming-query fixed cost and
+      Python-side bucketing, so the honest comparison is wall + ev/s
+      on identical inputs.
+    * SOURCE: draining a B-commit changelog via
+      `readStream.format("lake_changes")` (memory sink) vs the
+      Spark-side `read_changes(0)` collect over the same table.
+    """
+    import pyarrow  # noqa: F401  (fail fast if arrow missing)
+
+    from encode_ingest_spark.cdc import repo_file_events
+    from encode_ingest_spark.lake import (
+        LakeTable,
+        merge_into,
+        register_lake_sources,
+    )
+    from encode_ingest_spark.session import get_spark
+    from pyspark.sql import types as T
+
+    load_start = _loadavg()
+    ticks0 = _cpu_ticks()
+    spark = get_spark("bench-datasource", cores=cpus)
+    register_lake_sources(spark)
+    spark.range(1000).count()
+    n_keys = _cdc_keys_for(sf_dir)
+    total = n_keys * 3
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="bench_ds_", dir=shm)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType())
+         for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    keys = ["repo", "path", "commit"]
+    evdir = os.path.join(root, "events")
+    repo_file_events(
+        spark, n_keys=n_keys, events_per_key=3, seed=42
+    ).write.parquet(evdir)
+    ev_schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, op string, event_seq long, event_ts timestamp"
+    )
+
+    def sink_pass(idx: int) -> float:
+        t = LakeTable.create(
+            spark, os.path.join(root, f"s{idx}"), schema, keys, num_buckets=32
+        )
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(ev_schema).parquet(evdir)
+            .writeStream.format("lake")
+            .option("path", t.root)
+            .option("checkpointLocation", os.path.join(root, f"ck{idx}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        assert t.current_version() >= 1
+        return dt
+
+    def merge_pass(idx: int) -> float:
+        t = LakeTable.create(
+            spark, os.path.join(root, f"m{idx}"), schema, keys, num_buckets=32
+        )
+        batch = spark.read.schema(ev_schema).parquet(evdir)
+        t0 = time.perf_counter()
+        merge_into(t, batch, batch_id=1, mode="mor")
+        return time.perf_counter() - t0
+
+    # warm both paths (JIT + streaming machinery) on throwaway tables
+    warm_ev = os.path.join(root, "warm_ev")
+    repo_file_events(spark, n_keys=2000, events_per_key=3, seed=7).write.parquet(warm_ev)
+    wt = LakeTable.create(spark, os.path.join(root, "w"), schema, keys, num_buckets=8)
+    q = (
+        spark.readStream.schema(ev_schema).parquet(warm_ev)
+        .writeStream.format("lake").option("path", wt.root)
+        .option("checkpointLocation", os.path.join(root, "wck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    merge_into(
+        LakeTable.create(spark, os.path.join(root, "wm"), schema, keys, num_buckets=8),
+        spark.read.schema(ev_schema).parquet(warm_ev), batch_id=1, mode="mor",
+    )
+
+    sink_ts, merge_ts = [], []
+    for i in range(2):  # interleaved min-of-2
+        sink_ts.append(sink_pass(i))
+        merge_ts.append(merge_pass(i))
+    sink_dt, merge_dt = min(sink_ts), min(merge_ts)
+
+    # ---- changelog source drain vs Spark-side read_changes ----
+    src = LakeTable.create(
+        spark, os.path.join(root, "chg_src"), schema, keys, num_buckets=32
+    )
+    for i in range(4):
+        lo, hi = i * total // 4, (i + 1) * total // 4
+        merge_into(
+            src,
+            repo_file_events(spark, n_keys=n_keys, events_per_key=3,
+                             seed=42, slot_range=(lo, hi)),
+            batch_id=i + 1, mode="mor",
+        )
+
+    def source_pass(idx: int) -> float:
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("lake_changes")
+            .option("startingVersion", 0).load(src.root)
+            .writeStream.format("memory").queryName(f"ds_chg_{idx}")
+            .option("checkpointLocation", os.path.join(root, f"sck{idx}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        n = spark.table(f"ds_chg_{idx}").count()
+        dt = time.perf_counter() - t0
+        return dt, n
+
+    def spark_changes_pass() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = src.read_changes(0).count()
+        return time.perf_counter() - t0, n
+
+    src_ts, spk_ts = [], []
+    chg_rows = 0
+    for i in range(2):
+        dt, chg_rows = source_pass(i)
+        src_ts.append(dt)
+        dt2, _ = spark_changes_pass()
+        spk_ts.append(dt2)
+    src_dt, spk_dt = min(src_ts), min(spk_ts)
+
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "metric": "native DataSource surface vs batch twins",
+        "unit": "sec",
+        "sf": sf_dir,
+        "cpus": cpus,
+        "cdc_events": total,
+        "sink_stream_sec": round(sink_dt, 3),
+        "sink_stream_events_per_sec": round(total / sink_dt, 1),
+        "merge_mor_sec": round(merge_dt, 3),
+        "merge_mor_events_per_sec": round(total / merge_dt, 1),
+        "changelog_rows": chg_rows,
+        "source_drain_sec": round(src_dt, 3),
+        "source_drain_rows_per_sec": round(chg_rows / src_dt, 1),
+        "spark_read_changes_sec": round(spk_dt, 3),
+        "trials": {"sink": [round(x, 3) for x in sink_ts],
+                   "merge": [round(x, 3) for x in merge_ts],
+                   "source": [round(x, 3) for x in src_ts],
+                   "spark_changes": [round(x, 3) for x in spk_ts]},
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "steal_pct": _steal_pct(ticks0, _cpu_ticks()),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -767,6 +930,8 @@ def main() -> None:
                          "of an epoch's changed files vs even spread")
     ap.add_argument("--universe-exp", type=int, default=2000)
     ap.add_argument("--universe-epochs", type=int, default=12)
+    ap.add_argument("--datasource", action="store_true",
+                    help="native DataSource sink/source vs batch twins")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
@@ -788,6 +953,9 @@ def main() -> None:
     if args.universe:
         print(json.dumps(run_universe_bench(
             args.sf_dir, args.cores, n_exp=args.universe_exp)))
+        return
+    if args.datasource:
+        print(json.dumps(run_datasource_bench(args.sf_dir, args.cores)))
         return
     if args.scaling:
         if args.probe == "cdc-jvms":
