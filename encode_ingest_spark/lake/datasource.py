@@ -10,15 +10,31 @@ Two formats, registered via :func:`register_lake_sources`:
   Time-travel (``version`` / ``tag``), branch refs (``branch``), and
   bucket-parallel scan: one input partition per hash bucket, each task
   resolving its bucket's merge-on-read state in pure pyarrow (no
-  nested Spark job — DataSource readers cannot launch one).
+  nested Spark job — DataSource readers cannot launch one). FILTER
+  PUSHDOWN (``DataSourceReader.pushFilters``, Spark 4.1): key-column
+  equality/IN conjuncts route to their hash bucket(s) via the Python
+  Murmur3 twin (``lake/hashing.py``) — a point predicate scans ONE
+  bucket, not all of them — and manifest ``col_stats`` prune files
+  under the same key-vs-mutable safety rules as ``LakeTable.read``
+  (mutable-column conditions prune whole buckets only, never single
+  files of a delta-holding bucket, so merge-on-read resolution can
+  never resurrect a stale base row). Pruning only: every filter is
+  returned to Spark for row-level evaluation on the surviving files.
+  Requires ``spark.sql.python.filterPushdown.enabled=true`` —
+  :func:`register_lake_sources` sets it.
 
-* ``lake_changes`` — a STREAMING changelog source (the Delta CDF /
-  Iceberg incremental-scan analogue, surfaced as a native Structured
-  Streaming source rather than this repo's batch-driven
+* ``lake_changes`` — the changelog as BOTH a streaming source and a
+  batch read (the Delta CDF / Iceberg incremental-scan analogue,
+  surfaced natively rather than only through this repo's batch-driven
   ``ChangeFeedFollower``)::
 
       spark.readStream.format("lake_changes")
            .option("startingVersion", 0).load(root)
+
+      spark.read.format("lake_changes")                 # batch: the
+           .option("startingVersion", 3)                # CDF
+           .option("endingVersion", 7).load(root)       # table_changes
+                                                        # shape
 
   Offsets ARE table versions — the same strictly-monotone integers the
   exactly-once merge fences use — so a checkpointed stream resumes from
@@ -64,10 +80,17 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
+from .hashing import bucket_of
 from .table import BUCKET_COL, DELETED_COL, SEQ_COL, DataFile, LakeTable
 
 CHANGE_COL = "_change_type"
@@ -78,7 +101,13 @@ _MOR_FLAG = "_mor_delta"
 
 
 def register_lake_sources(spark) -> None:
-    """Register both formats on a SparkSession (idempotent)."""
+    """Register both formats on a SparkSession (idempotent).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled``: Spark 4.1
+    HARD-FAILS any Python reader that implements ``pushFilters`` while
+    the conf is false, and the ``lake`` reader's bucket/file pruning is
+    a pushFilters implementation."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakeDataSource)
     spark.dataSource.register(LakeChangesDataSource)
 
@@ -284,6 +313,124 @@ def _file_payload(f) -> dict:
 
 
 # --------------------------------------------------------------------
+# filter-pushdown pruning (driver-side, manifest metadata only)
+# --------------------------------------------------------------------
+
+#: candidate-set size cap for key→bucket routing (cross product of the
+#: key columns' IN lists); beyond it the hash cost stops being free
+_BUCKET_ROUTE_CAP = 256
+
+
+def _extract_constraints(filters, cols: set[str]) -> dict[str, dict]:
+    """Per-column pruning constraints from AND-composed Spark filters.
+
+    Returns {col: {"cands": set|None, "lo": (v, incl)|None,
+    "hi": (v, incl)|None}} over TOP-LEVEL columns only. ``cands`` is the
+    finite candidate set from EqualTo/In conjuncts (intersected; null
+    candidates dropped — SQL equality/IN never matches null, so a
+    pruned null can't be a match). Unknown filter shapes are simply not
+    used for pruning — they stay Spark-side like everything else."""
+    out: dict[str, dict] = {}
+
+    def slot(col: str) -> dict:
+        return out.setdefault(col, {"cands": None, "lo": None, "hi": None})
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not isinstance(attr, tuple) or len(attr) != 1 or attr[0] not in cols:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            vs = {f.value} if f.value is not None else set()
+        elif isinstance(f, In):
+            vs = {v for v in f.value if v is not None}
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            s = slot(col)
+            incl = isinstance(f, GreaterThanOrEqual)
+            if s["lo"] is None or _gt_safe(f.value, s["lo"][0]):
+                s["lo"] = (f.value, incl)
+            continue
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            s = slot(col)
+            incl = isinstance(f, LessThanOrEqual)
+            if s["hi"] is None or _gt_safe(s["hi"][0], f.value):
+                s["hi"] = (f.value, incl)
+            continue
+        else:
+            continue
+        s = slot(col)
+        s["cands"] = vs if s["cands"] is None else (s["cands"] & vs)
+    return out
+
+
+def _gt_safe(a, b) -> bool:
+    try:
+        return a > b
+    except TypeError:
+        return False
+
+
+def _stats_may_match(col_stats: dict, constraints: dict[str, dict]) -> bool:
+    """Can a file whose manifest ``col_stats`` are given hold a row
+    satisfying every constraint? Conservative: a column without stats
+    (or with un-comparable stat/value types) never prunes."""
+    for col, c in constraints.items():
+        rng = col_stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        try:
+            if c["cands"] is not None:
+                if not any(lo <= v <= hi for v in c["cands"]):
+                    return False
+            if c["lo"] is not None:
+                v, incl = c["lo"]
+                if hi < v or (not incl and hi <= v):
+                    return False
+            if c["hi"] is not None:
+                v, incl = c["hi"]
+                if lo > v or (not incl and lo >= v):
+                    return False
+        except TypeError:
+            continue  # e.g. str stats vs datetime value: keep the file
+    return True
+
+
+def _route_buckets(
+    constraints: dict[str, dict],
+    key_cols: list[str],
+    key_dtypes: list[T.DataType],
+    num_buckets: int,
+) -> set[int] | None:
+    """The only buckets that can hold a matching row, when every key
+    column is pinned to a finite candidate set — ``None`` = no routing.
+    Safe by the bucket invariant: a row's bucket is a pure function of
+    its full key, so a row matching the key conjuncts lives in the
+    bucket of one of the candidate combinations."""
+    sets = []
+    size = 1
+    for k in key_cols:
+        c = constraints.get(k)
+        if c is None or c["cands"] is None:
+            return None
+        if not c["cands"]:
+            return set()  # contradictory conjuncts: nothing can match
+        size *= len(c["cands"])
+        if size > _BUCKET_ROUTE_CAP:
+            return None
+        sets.append(sorted(c["cands"], key=repr))
+    import itertools
+
+    buckets: set[int] = set()
+    try:
+        for combo in itertools.product(*sets):
+            buckets.add(bucket_of(combo, key_dtypes, num_buckets))
+    except Exception:
+        return None  # un-hashable candidate type: skip routing
+    return buckets
+
+
+# --------------------------------------------------------------------
 # batch snapshot source: spark.read.format("lake")
 # --------------------------------------------------------------------
 
@@ -306,22 +453,87 @@ class LakeSnapshotReader(DataSourceReader):
         # pin the snapshot's file list at PLANNING time (consistent scan)
         m = table.manifest_at(v)
         self.key_cols = list(m.key_cols)
+        self._key_dtypes = [m.schema[k].dataType for k in m.key_cols]
+        self._num_buckets = m.num_buckets
         self.out_schema = schema
         self._read_schema = _read_schema_from_stream_schema(
             T.StructType([f for f in schema.fields])
         )
+        self._files = [
+            {
+                "bucket": f.bucket,
+                "payload": _file_payload(f),
+                "col_stats": (
+                    (f.stats or {}).get("col_stats") or {}
+                    if isinstance(f.stats, dict) else {}
+                ),
+                "is_delta": f.is_delta,
+            }
+            for f in m.files
+        ]
+        self._pushdown = str(options.get("pushdown", "true")).lower() != "false"
+
+    def pushFilters(self, filters):
+        """Prune buckets and files from the planned scan — see the
+        module docstring for the safety argument. PRUNING ONLY: every
+        filter is returned, so Spark still evaluates the full predicate
+        row-level on whatever survives (mirrors parquet row-group
+        pruning's contract, one level up)."""
+        if self._pushdown and filters:
+            cols = {f.name for f in self.out_schema.fields}
+            cons = _extract_constraints(filters, cols)
+            if cons:
+                key_set = set(self.key_cols)
+                key_cons = {c: v for c, v in cons.items() if c in key_set}
+                mut_cons = {c: v for c, v in cons.items() if c not in key_set}
+                buckets = _route_buckets(
+                    cons, self.key_cols, self._key_dtypes, self._num_buckets
+                )
+                if buckets is not None:
+                    self._files = [
+                        f for f in self._files if f["bucket"] in buckets
+                    ]
+                by_bucket: dict[int, list] = {}
+                for f in self._files:
+                    by_bucket.setdefault(f["bucket"], []).append(f)
+                kept: list[dict] = []
+                for fs in by_bucket.values():
+                    has_delta = any(f["is_delta"] for f in fs)
+                    if mut_cons and has_delta:
+                        # mutable-column conditions are bucket-granular
+                        # under merge-on-read: dropping only the file
+                        # carrying a key's newest version would
+                        # resurrect its stale base row
+                        if not any(
+                            _stats_may_match(f["col_stats"], mut_cons)
+                            for f in fs
+                        ):
+                            continue
+                        kept.extend(
+                            f for f in fs
+                            if _stats_may_match(f["col_stats"], key_cons)
+                        )
+                    else:
+                        kept.extend(
+                            f for f in fs
+                            if _stats_may_match(f["col_stats"], key_cons)
+                            and _stats_may_match(f["col_stats"], mut_cons)
+                        )
+                self._files = kept
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
         by_bucket: dict[int, list] = {}
-        for f in m.files:
-            by_bucket.setdefault(f.bucket, []).append(_file_payload(f))
-        self._parts = [
+        for f in self._files:
+            by_bucket.setdefault(f["bucket"], []).append(f["payload"])
+        return [
             BucketScanPartition(root=self.root, bucket=b, files=fs)
             for b, fs in sorted(by_bucket.items())
         ]
 
-    def partitions(self) -> Sequence[InputPartition]:
-        return self._parts
-
     def read(self, partition: BucketScanPartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:  # empty scan: the planner maps zero
+            return            # partitions to one None placeholder
         target = _arrow_schema(self._read_schema)
         out = _arrow_schema(self.out_schema)
         pdf = _resolve_bucket(
@@ -603,8 +815,71 @@ class LakeDataSource(DataSource):
 
 
 # --------------------------------------------------------------------
-# streaming changelog source: spark.readStream.format("lake_changes")
+# changelog source: spark.read[Stream].format("lake_changes")
 # --------------------------------------------------------------------
+
+def _plan_change_partitions(
+    table: LakeTable, root: str, from_v: int, to_v: int
+) -> list[BucketDiffPartition]:
+    """Plan a ``(from_v, to_v]`` changelog span: one partition per
+    CHANGED bucket (driver-side manifest diff, KB of JSON), each
+    carrying the bucket's old/new file lists. ``from_v = -1`` (or an
+    empty base manifest) is the bootstrap shape — the whole ``to_v``
+    snapshot as inserts. Shared by the streaming micro-batch planner
+    and the batch CDF-style reader."""
+    if to_v <= from_v:
+        return []
+    try:
+        m_to = table.manifest_at(to_v)
+        m_from = table.manifest_at(from_v) if from_v >= 0 else None
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"lake_changes span ({from_v}, {to_v}] on "
+            f"{root} references an EXPIRED snapshot ({e}); the "
+            "reader outlived the table's retention. Restart from a "
+            "fresh checkpoint / a retained version "
+            "(startingVersion=snapshot to re-bootstrap)."
+        ) from e
+    empty_base = m_from is None or not m_from.files
+    if empty_base:
+        # bootstrap: every live row at to_v is an insert
+        by_bucket: dict[int, list] = {}
+        for f in m_to.files:
+            by_bucket.setdefault(f.bucket, []).append(_file_payload(f))
+        return [
+            BucketDiffPartition(
+                root=root, bucket=b, old_files=[], new_files=fs
+            )
+            for b, fs in sorted(by_bucket.items())
+        ]
+    buckets = table.changed_buckets(from_v, to_v)
+    if buckets is None:
+        raise ValueError(
+            f"lake_changes span ({from_v}, {to_v}] on {root} "
+            "crosses a REBUCKET boundary — bucket ids are not "
+            "comparable across layouts. Restart the reader from a "
+            "fresh checkpoint / span at or after the rebucket version "
+            "(startingVersion=<int> or snapshot)."
+        )
+    want = set(buckets)
+    old_by: dict[int, list] = {}
+    new_by: dict[int, list] = {}
+    for f in m_from.files:
+        if f.bucket in want:
+            old_by.setdefault(f.bucket, []).append(_file_payload(f))
+    for f in m_to.files:
+        if f.bucket in want:
+            new_by.setdefault(f.bucket, []).append(_file_payload(f))
+    return [
+        BucketDiffPartition(
+            root=root,
+            bucket=b,
+            old_files=old_by.get(b, []),
+            new_files=new_by.get(b, []),
+        )
+        for b in sorted(want)
+    ]
+
 
 class LakeChangesStreamReader(DataSourceStreamReader):
     """Offsets = table versions. ``startingVersion`` option:
@@ -688,58 +963,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         from_v, to_v = int(start["version"]), int(end["version"])
         self._dbg(f"partitions({from_v},{to_v})")
         self._last_seen = max(self._last_seen or to_v, to_v)
-        if to_v <= from_v:
-            return []
-        table = self._table()
-        try:
-            m_to = table.manifest_at(to_v)
-            m_from = table.manifest_at(from_v) if from_v >= 0 else None
-        except FileNotFoundError as e:
-            raise ValueError(
-                f"lake_changes checkpoint span ({from_v}, {to_v}] on "
-                f"{self.root} references an EXPIRED snapshot ({e}); the "
-                "stream outlived the table's retention. Restart from a "
-                "fresh checkpoint (startingVersion=snapshot to re-bootstrap)."
-            ) from e
-        empty_base = m_from is None or not m_from.files
-        if empty_base:
-            # bootstrap: every live row at to_v is an insert
-            by_bucket: dict[int, list] = {}
-            for f in m_to.files:
-                by_bucket.setdefault(f.bucket, []).append(_file_payload(f))
-            return [
-                BucketDiffPartition(
-                    root=self.root, bucket=b, old_files=[], new_files=fs
-                )
-                for b, fs in sorted(by_bucket.items())
-            ]
-        buckets = table.changed_buckets(from_v, to_v)
-        if buckets is None:
-            raise ValueError(
-                f"lake_changes span ({from_v}, {to_v}] on {self.root} "
-                "crosses a REBUCKET boundary — bucket ids are not "
-                "comparable across layouts. Restart the stream from a "
-                "fresh checkpoint at or after the rebucket version "
-                "(startingVersion=<int> or snapshot)."
-            )
-        want = set(buckets)
-        old_by: dict[int, list] = {}
-        new_by: dict[int, list] = {}
-        for f in m_from.files:
-            if f.bucket in want:
-                old_by.setdefault(f.bucket, []).append(_file_payload(f))
-        for f in m_to.files:
-            if f.bucket in want:
-                new_by.setdefault(f.bucket, []).append(_file_payload(f))
-        return [
-            BucketDiffPartition(
-                root=self.root,
-                bucket=b,
-                old_files=old_by.get(b, []),
-                new_files=new_by.get(b, []),
-            )
-            for b in sorted(want)
-        ]
+        return _plan_change_partitions(self._table(), self.root, from_v, to_v)
 
     # ----- execution (no Spark access; pure pyarrow) -----
     def read(self, partition: BucketDiffPartition) -> Iterator[pa.RecordBatch]:
@@ -755,9 +979,79 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         yield from tbl.to_batches()
 
 
+class LakeChangesBatchReader(DataSourceReader):
+    """Batch changelog read — Delta's ``table_changes`` / Iceberg's
+    incremental-scan shape through the standard reader API::
+
+        spark.read.format("lake_changes")
+             .option("startingVersion", 3)     # exclusive, like
+             .option("endingVersion", 7)       # read_changes(3, 7]
+             .load(root)
+
+    ``startingVersion``: an integer (changes committed strictly after
+    it — the same exclusive-start contract as ``read_changes`` and the
+    streaming offsets), ``"earliest"`` (after the oldest RETAINED
+    snapshot), or ``"snapshot"`` (the whole ``endingVersion`` state as
+    inserts — the bootstrap shape). ``endingVersion`` defaults to the
+    current version, resolved at PLANNING time so concurrent commits
+    don't smear the scan. Partitions are the span's changed buckets;
+    rows/semantics are parity-pinned against ``read_changes``."""
+
+    def __init__(self, stream_schema: T.StructType, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('lake_changes') requires .load(<table root>)")
+        self.ref = options.get("branch")
+        table = LakeTable(None, self.root, ref=self.ref)
+        m = table.current_manifest()
+        self.key_cols = list(m.key_cols)
+        self.out_schema = stream_schema
+        self._read_st = _read_schema_from_stream_schema(stream_schema)
+        self.payload_cols = [
+            f.name for f in stream_schema.fields
+            if f.name not in self.key_cols
+            and f.name not in (CHANGE_COL, SEQ_COL, DELETED_COL)
+        ]
+        end = options.get("endingversion")
+        self._end = int(end) if end is not None else table.current_version()
+        start = str(options.get("startingversion", "earliest")).lower()
+        if start == "earliest":
+            self._start = min(table._all_versions())
+        elif start == "snapshot":
+            self._start = -1  # empty-base sentinel: full state as inserts
+        elif start == "latest":
+            raise ValueError(
+                "startingVersion=latest is a STREAMING tail default; a "
+                "batch lake_changes read needs an integer, 'earliest', "
+                "or 'snapshot'"
+            )
+        else:
+            self._start = int(start)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        table = LakeTable(None, self.root, ref=self.ref)
+        return _plan_change_partitions(table, self.root, self._start, self._end)
+
+    def read(self, partition: BucketDiffPartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:  # empty span: the planner maps zero
+            return            # partitions to one None placeholder
+        target = _arrow_schema(self._read_st)
+        out = _arrow_schema(self.out_schema)
+        old = _resolve_bucket(
+            partition.root, partition.old_files, target, self.key_cols
+        )
+        new = _resolve_bucket(
+            partition.root, partition.new_files, target, self.key_cols
+        )
+        tbl = _diff_bucket(old, new, self.key_cols, self.payload_cols, out)
+        yield from tbl.to_batches()
+
+
 class LakeChangesDataSource(DataSource):
     """``spark.readStream.format("lake_changes").load(root)`` — native
-    Structured Streaming tail of a lake table's changelog."""
+    Structured Streaming tail of a lake table's changelog; also
+    readable as a BATCH span (``spark.read.format("lake_changes")``,
+    see :class:`LakeChangesBatchReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -768,8 +1062,14 @@ class LakeChangesDataSource(DataSource):
         if not root:
             raise ValueError("format('lake_changes') requires .load(<table root>)")
         table = LakeTable(None, root, ref=self.options.get("branch"))
-        m = table.current_manifest()
+        ev = self.options.get("endingversion")
+        # batch spans pin the END version's schema (read_changes
+        # parity); streams pin the schema current at start
+        m = table.manifest_at(int(ev)) if ev is not None else table.current_manifest()
         return changelog_schema(m.schema, m.key_cols)
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return LakeChangesBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return LakeChangesStreamReader(schema, dict(self.options))

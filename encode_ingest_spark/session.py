@@ -90,6 +90,10 @@ def get_spark(
         # py4j round trip per expression.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4.1 HARD-FAILS a Python DataSource reader that
+        # implements pushFilters while this is false — and the native
+        # "lake" reader's bucket/file pruning is one
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # local mode = one JVM; this is the only memory knob that matters.
         # The sandbox box has 128 GiB — size the heap so 32 concurrent

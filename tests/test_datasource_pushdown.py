@@ -1,0 +1,383 @@
+"""Filter pushdown on the native ``lake`` reader and the batch
+``lake_changes`` read.
+
+Pins: key equality/IN conjuncts route the scan to their hash bucket(s)
+through the Murmur3 twin; manifest col_stats prune files under the same
+key-vs-mutable safety rules as ``LakeTable.read`` (mutable conditions
+are bucket-granular in delta-holding buckets — the merge-on-read
+resurrection guard); pruning never changes results because every filter
+is re-evaluated by Spark; and the batch ``lake_changes`` reader is
+row-for-row ``read_changes`` (Delta ``table_changes`` shape) with
+changed-bucket partition planning.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+from encode_ingest_spark.lake import LakeTable, merge_into
+from encode_ingest_spark.lake.datasource import (
+    CHANGE_COL,
+    LakeChangesBatchReader,
+    LakeSnapshotReader,
+    changelog_schema,
+    register_lake_sources,
+)
+from encode_ingest_spark.lake.hashing import bucket_of
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+KEYS = ["repo", "path"]
+KEY_DTYPES = [T.StringType(), T.StringType()]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_lake_sources(spark)
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, lang string, content string, "
+        "op string, event_seq long",
+    )
+
+
+def _mk(spark, tmp_path, buckets=4, properties=None):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, KEYS,
+        num_buckets=buckets, properties=properties,
+    )
+
+
+def _seed(spark, t):
+    merge_into(
+        t,
+        _b(spark, [
+            ("r1", "a.py", "py", "x1", "upsert", 1),
+            ("r1", "b.py", "py", "y1", "upsert", 1),
+            ("r2", "c.go", "go", "z1", "upsert", 1),
+            ("r3", "d.rs", "rs", "w1", "upsert", 1),
+        ]),
+        batch_id=1, mode="mor",
+    )
+    merge_into(
+        t,
+        _b(spark, [
+            ("r1", "a.py", "py", "x2", "upsert", 2),
+            ("r2", "c.go", "go", None, "delete", 2),
+        ]),
+        batch_id=2, mode="mor",
+    )
+
+
+def _snap_schema():
+    return T.StructType(
+        [f for f in SCHEMA.fields] )
+
+
+def _reader(t, **opts):
+    o = {"path": t.root}
+    o.update(opts)
+    return LakeSnapshotReader(_snap_schema(), o)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ------------------------------------------------- bucket routing
+
+
+def test_key_equality_routes_to_one_bucket(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    r = _reader(t)
+    assert len(r.partitions()) > 1  # multiple buckets before pruning
+    r = _reader(t)
+    r.pushFilters([EqualTo(("repo",), "r1"), EqualTo(("path",), "a.py")])
+    parts = r.partitions()
+    assert len(parts) == 1
+    assert parts[0].bucket == bucket_of(("r1", "a.py"), KEY_DTYPES, 4)
+    got = (
+        spark.read.format("lake").load(t.root)
+        .where("repo = 'r1' and path = 'a.py'")
+    )
+    exp = t.read().where("repo = 'r1' and path = 'a.py'")
+    assert _rows(got) == _rows(exp) and got.count() == 1
+
+
+def test_in_filter_routes_to_candidate_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    r = _reader(t)
+    r.pushFilters([EqualTo(("repo",), "r1"), In(("path",), ["a.py", "b.py"])])
+    want = {
+        bucket_of(("r1", "a.py"), KEY_DTYPES, 4),
+        bucket_of(("r1", "b.py"), KEY_DTYPES, 4),
+    }
+    assert {p.bucket for p in r.partitions()} <= want
+    got = (
+        spark.read.format("lake").load(t.root)
+        .where("repo = 'r1' and path in ('a.py', 'b.py')")
+    )
+    exp = t.read().where("repo = 'r1' and path in ('a.py', 'b.py')")
+    assert _rows(got) == _rows(exp)
+
+
+def test_partial_key_filters_do_not_route(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    base = len(_reader(t).partitions())
+    r = _reader(t)
+    r.pushFilters([EqualTo(("repo",), "r1")])  # path unpinned, no stats
+    assert len(r.partitions()) == base
+    got = spark.read.format("lake").load(t.root).where("repo = 'r1'")
+    assert _rows(got) == _rows(t.read().where("repo = 'r1'"))
+
+
+def test_contradictory_key_conjuncts_scan_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    r = _reader(t)
+    r.pushFilters([
+        EqualTo(("repo",), "r1"), EqualTo(("repo",), "r2"),
+        EqualTo(("path",), "a.py"),
+    ])
+    assert r.partitions() == []
+    got = (
+        spark.read.format("lake").load(t.root)
+        .where("repo = 'r1' and repo = 'r2' and path = 'a.py'")
+    )
+    assert got.count() == 0
+
+
+def test_pushdown_option_false_disables_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    r = _reader(t, pushdown="false")
+    r.pushFilters([EqualTo(("repo",), "r1"), EqualTo(("path",), "a.py")])
+    assert len(r.partitions()) == len(_reader(t).partitions())
+    got = (
+        spark.read.format("lake").option("pushdown", "false").load(t.root)
+        .where("repo = 'r1' and path = 'a.py'")
+    )
+    assert got.count() == 1
+
+
+# ------------------------------------------------- col_stats pruning
+
+
+def test_mutable_stats_prune_is_bucket_granular_and_safe(spark, tmp_path):
+    """MOR resurrection guard: base row content='aaa' superseded by a
+    delta with content='zzz'. Per-FILE pruning on the mutable column
+    would drop the delta for a content='aaa' probe and resurrect the
+    stale base row; bucket-granular pruning keeps both files (some file
+    may match) and Spark's residual filter sees only the RESOLVED row."""
+    t = _mk(
+        spark, tmp_path, buckets=1,
+        properties={"write.sort_within_buckets": "content"},
+    )
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "aaa", "upsert", 1)]),
+        batch_id=1, mode="mor",
+    )
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "zzz", "upsert", 2)]),
+        batch_id=2, mode="mor",
+    )
+    # the probe value sits inside the BASE file's stats range only:
+    # the bucket survives (bucket-granular), both files are read
+    r = _reader(t)
+    r.pushFilters([EqualTo(("content",), "aaa")])
+    parts = r.partitions()
+    assert len(parts) == 1 and len(parts[0].files) == 2
+    got = spark.read.format("lake").load(t.root).where("content = 'aaa'")
+    assert got.count() == 0  # resolved state is 'zzz'; no resurrection
+    # a value outside EVERY file's range drops the whole bucket
+    r = _reader(t)
+    r.pushFilters([EqualTo(("content",), "mmm")])
+    assert r.partitions() == []
+    assert (
+        spark.read.format("lake").load(t.root).where("content = 'mmm'")
+    ).count() == 0
+
+
+def test_mutable_stats_prune_per_file_without_deltas(spark, tmp_path):
+    """COW buckets hold fully-resolved files, so mutable-column stats
+    prune per file."""
+    t = _mk(
+        spark, tmp_path, buckets=4,
+        properties={"write.sort_within_buckets": "content"},
+    )
+    merge_into(
+        t,
+        _b(spark, [
+            ("r1", "a.py", "py", "aaa", "upsert", 1),
+            ("r2", "c.go", "go", "zzz", "upsert", 1),
+            ("r3", "d.rs", "rs", "mmm", "upsert", 1),
+        ]),
+        batch_id=1, mode="cow",
+    )
+    r = _reader(t)
+    r.pushFilters([EqualTo(("content",), "zzz")])
+    kept = r.partitions()
+    assert sum(len(p.files) for p in kept) < 3
+    got = spark.read.format("lake").load(t.root).where("content = 'zzz'")
+    assert _rows(got) == _rows(t.read().where("content = 'zzz'"))
+    assert got.count() == 1
+
+
+def test_range_filter_prunes_key_files_in_delta_bucket(spark, tmp_path):
+    """Key-column stats prune per FILE even in a delta-holding bucket —
+    a key's value never changes across its versions, so a dropped file
+    only hides keys the residual filter excludes anyway."""
+    t = _mk(
+        spark, tmp_path, buckets=1,
+        properties={"write.sort_within_buckets": "repo"},
+    )
+    merge_into(
+        t, _b(spark, [("aaa", "a.py", "py", "x", "upsert", 1)]),
+        batch_id=1, mode="mor",
+    )
+    merge_into(
+        t, _b(spark, [("zzz", "z.py", "py", "y", "upsert", 2)]),
+        batch_id=2, mode="mor",
+    )
+    r = _reader(t)
+    r.pushFilters([GreaterThan(("repo",), "mmm")])
+    parts = r.partitions()
+    assert len(parts) == 1 and len(parts[0].files) == 1
+    got = spark.read.format("lake").load(t.root).where("repo > 'mmm'")
+    assert _rows(got) == _rows(t.read().where("repo > 'mmm'"))
+    assert got.count() == 1
+
+
+# ------------------------------------------------- batch lake_changes
+
+
+def test_batch_changes_matches_read_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    cur = t.current_version()
+    for a, b in [(0, 1), (1, cur), (0, cur)]:
+        got = (
+            spark.read.format("lake_changes")
+            .option("startingVersion", a).option("endingVersion", b)
+            .load(t.root)
+        )
+        exp = t.read_changes(a, b)
+        # same columns and types; nullability may loosen through the
+        # Spark-side diff's joins
+        assert [(f.name, f.dataType) for f in got.schema.fields] == [
+            (f.name, f.dataType) for f in exp.schema.fields
+        ]
+        assert _rows(got) == _rows(exp)
+
+
+def test_batch_changes_pins_ending_version_schema(spark, tmp_path):
+    """A span ending BEFORE a schema evolution reads with the
+    end-version schema — exact ``read_changes`` parity, no phantom
+    null-filled late columns."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    pre = t.current_version()
+    evolved = _b(spark, [("r9", "e.py", "py", "q1", "upsert", 9)]).withColumn(
+        "stars", F.lit(5).cast("long")
+    )
+    merge_into(t, evolved, batch_id=3, mode="mor")
+    got = (
+        spark.read.format("lake_changes")
+        .option("startingVersion", 0).option("endingVersion", pre)
+        .load(t.root)
+    )
+    assert "stars" not in got.columns
+    assert _rows(got) == _rows(t.read_changes(0, pre))
+    # and a span past the evolution carries the new column
+    got2 = spark.read.format("lake_changes").load(t.root)
+    assert "stars" in got2.columns
+    assert _rows(got2) == _rows(t.read_changes(0))
+
+
+def test_batch_changes_defaults_to_earliest_and_current(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    got = spark.read.format("lake_changes").load(t.root)
+    exp = t.read_changes(0)
+    assert _rows(got) == _rows(exp)
+
+
+def test_batch_changes_snapshot_bootstrap(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    got = (
+        spark.read.format("lake_changes")
+        .option("startingVersion", "snapshot").load(t.root)
+    )
+    rows = got.collect()
+    assert all(r[CHANGE_COL] == "insert" for r in rows)
+    assert {(r["repo"], r["path"]) for r in rows} == {
+        (r["repo"], r["path"]) for r in t.read().collect()
+    }
+
+
+def test_batch_changes_empty_span(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    cur = t.current_version()
+    got = (
+        spark.read.format("lake_changes")
+        .option("startingVersion", cur).load(t.root)
+    )
+    assert got.count() == 0
+
+
+def test_batch_changes_rejects_latest(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    with pytest.raises(Exception, match="STREAMING tail"):
+        (
+            spark.read.format("lake_changes")
+            .option("startingVersion", "latest").load(t.root).collect()
+        )
+
+
+def test_batch_changes_refuses_rebucket_span(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    t.rebucket(8)
+    merge_into(
+        t, _b(spark, [("r9", "e.py", "py", "q1", "upsert", 9)]),
+        batch_id=3, mode="mor",
+    )
+    with pytest.raises(Exception, match="REBUCKET"):
+        (
+            spark.read.format("lake_changes")
+            .option("startingVersion", 1).load(t.root).collect()
+        )
+
+
+def test_batch_changes_plans_only_changed_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    v1 = 1
+    cur = t.current_version()
+    m = t.current_manifest()
+    schema = changelog_schema(m.schema, m.key_cols)
+    out = T.StructType(
+        [f for f in schema.fields if f.name not in ()]  # full changelog
+    )
+    r = LakeChangesBatchReader(
+        out, {"path": t.root, "startingversion": str(v1)}
+    )
+    want = set(t.changed_buckets(v1, cur))
+    assert {p.bucket for p in r.partitions()} == want
+    assert len(want) < 4  # actually pruned vs the 4-bucket layout
