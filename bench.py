@@ -759,6 +759,9 @@ def run_datasource_bench(sf_dir: str, cpus: int) -> dict:
     * SOURCE: draining a B-commit changelog via
       `readStream.format("lake_changes")` (memory sink) vs the
       Spark-side `read_changes(0)` collect over the same table.
+    * POINT QUERY: a full-key predicate through the native reader with
+      pushFilters bucket routing (scans ONE bucket) vs the same scan
+      with `pushdown=false` (all buckets) — min-of-3 interleaved.
     """
     import pyarrow  # noqa: F401  (fail fast if arrow missing)
 
@@ -884,6 +887,25 @@ def run_datasource_bench(sf_dir: str, cpus: int) -> dict:
         spk_ts.append(dt2)
     src_dt, spk_dt = min(src_ts), min(spk_ts)
 
+    # ---- pushFilters point query: routed (1 bucket) vs full scan ----
+    probe = src.read().limit(1).collect()[0]
+    pred = " and ".join(f"{k} = '{probe[k]}'" for k in keys)
+
+    def point_pass(pushdown: bool) -> float:
+        t0 = time.perf_counter()
+        df = spark.read.format("lake")
+        if not pushdown:
+            df = df.option("pushdown", "false")
+        n = df.load(src.root).where(pred).count()
+        assert n == 1
+        return time.perf_counter() - t0
+
+    pt_on, pt_off = [], []
+    point_pass(True)  # warm
+    for _ in range(3):
+        pt_on.append(point_pass(True))
+        pt_off.append(point_pass(False))
+
     shutil.rmtree(root, ignore_errors=True)
     return {
         "metric": "native DataSource surface vs batch twins",
@@ -899,10 +921,15 @@ def run_datasource_bench(sf_dir: str, cpus: int) -> dict:
         "source_drain_sec": round(src_dt, 3),
         "source_drain_rows_per_sec": round(chg_rows / src_dt, 1),
         "spark_read_changes_sec": round(spk_dt, 3),
+        "point_query_pushdown_sec": round(min(pt_on), 3),
+        "point_query_fullscan_sec": round(min(pt_off), 3),
+        "point_query_speedup": round(min(pt_off) / min(pt_on), 2),
         "trials": {"sink": [round(x, 3) for x in sink_ts],
                    "merge": [round(x, 3) for x in merge_ts],
                    "source": [round(x, 3) for x in src_ts],
-                   "spark_changes": [round(x, 3) for x in spk_ts]},
+                   "spark_changes": [round(x, 3) for x in spk_ts],
+                   "point_on": [round(x, 3) for x in pt_on],
+                   "point_off": [round(x, 3) for x in pt_off]},
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "steal_pct": _steal_pct(ticks0, _cpu_ticks()),
