@@ -294,22 +294,66 @@ def _diff_bucket(
 # --------------------------------------------------------------------
 
 @dataclass
-class BucketDiffPartition(InputPartition):
+class DiffTaskPartition(InputPartition):
+    """One changelog task: a list of whole-bucket diff groups
+    (``{"bucket", "old_files", "new_files"}``) — a bucket's diff is
+    atomic (MOR resolution is bucket-wide), but SMALL buckets pack
+    many-per-task so a trickle span over a wide table doesn't spawn
+    thousands of micro-tasks."""
+
     root: str
-    bucket: int
-    old_files: list = field(default_factory=list)
-    new_files: list = field(default_factory=list)
+    groups: list = field(default_factory=list)
 
 
 @dataclass
-class BucketScanPartition(InputPartition):
+class ScanTaskPartition(InputPartition):
+    """One snapshot-scan task: a list of scan groups
+    (``{"bucket", "files"}``). A delta-holding bucket is one atomic
+    group (resolution is bucket-wide); a bucket with no deltas splits
+    per FILE (its live files never share a key — COW rewrites are
+    whole-bucket and one commit's files are key-disjoint — and
+    resolution over such a group is a plain concat + tombstone drop),
+    so scan parallelism is bounded by files, not buckets."""
+
     root: str
-    bucket: int
-    files: list = field(default_factory=list)
+    groups: list = field(default_factory=list)
 
 
 def _file_payload(f) -> dict:
     return {"path": f.path, "is_delta": f.is_delta}
+
+
+#: floor cost per scan unit when bin-packing (Spark's
+#: spark.sql.files.openCostInBytes default) — keeps a pack of
+#: thousands of tiny units from collapsing into one task
+_OPEN_COST_BYTES = 4 << 20
+
+
+def _bin_pack(units: list[tuple[int, dict]], max_bytes: int | None) -> list[list[dict]]:
+    """First-fit-decreasing pack of ``(bytes, group)`` units into bins
+    of at most ``max_bytes`` (each unit costs at least
+    ``_OPEN_COST_BYTES``; an oversized unit gets its own bin).
+    ``max_bytes=None`` = no packing: one bin per unit (maximum
+    parallelism — the default; packing is the operator's knob for
+    wide-table trickle spans)."""
+    if max_bytes is None:
+        return [[g] for _, g in units]
+    sized = sorted(
+        ((max(b, _OPEN_COST_BYTES), g) for b, g in units),
+        key=lambda x: -x[0],
+    )
+    bins: list[list[dict]] = []
+    room: list[int] = []
+    for b, g in sized:
+        for i in range(len(bins)):
+            if room[i] >= b:
+                bins[i].append(g)
+                room[i] -= b
+                break
+        else:
+            bins.append([g])
+            room.append(max_bytes - b)
+    return bins
 
 
 # --------------------------------------------------------------------
@@ -468,10 +512,13 @@ class LakeSnapshotReader(DataSourceReader):
                     if isinstance(f.stats, dict) else {}
                 ),
                 "is_delta": f.is_delta,
+                "bytes": f.bytes,
             }
             for f in m.files
         ]
         self._pushdown = str(options.get("pushdown", "true")).lower() != "false"
+        mpb = options.get("maxpartitionbytes")
+        self._max_part_bytes = int(mpb) if mpb is not None else None
 
     def pushFilters(self, filters):
         """Prune buckets and files from the planned scan — see the
@@ -525,22 +572,36 @@ class LakeSnapshotReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         by_bucket: dict[int, list] = {}
         for f in self._files:
-            by_bucket.setdefault(f["bucket"], []).append(f["payload"])
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        units: list[tuple[int, dict]] = []
+        for b, fs in sorted(by_bucket.items()):
+            if any(f["is_delta"] for f in fs):
+                # MOR resolution is bucket-wide: one atomic unit
+                units.append((
+                    sum(f["bytes"] for f in fs),
+                    {"bucket": b, "files": [f["payload"] for f in fs]},
+                ))
+            else:
+                # no deltas: files are key-disjoint, split per file
+                units.extend(
+                    (f["bytes"], {"bucket": b, "files": [f["payload"]]})
+                    for f in fs
+                )
         return [
-            BucketScanPartition(root=self.root, bucket=b, files=fs)
-            for b, fs in sorted(by_bucket.items())
+            ScanTaskPartition(root=self.root, groups=g)
+            for g in _bin_pack(units, self._max_part_bytes)
         ]
 
-    def read(self, partition: BucketScanPartition) -> Iterator[pa.RecordBatch]:
+    def read(self, partition: ScanTaskPartition) -> Iterator[pa.RecordBatch]:
         if partition is None:  # empty scan: the planner maps zero
             return            # partitions to one None placeholder
         target = _arrow_schema(self._read_schema)
         out = _arrow_schema(self.out_schema)
-        pdf = _resolve_bucket(
-            partition.root, partition.files, target, self.key_cols
-        )
-        tbl = _to_arrow(pdf, out)
-        yield from tbl.to_batches()
+        for g in partition.groups:
+            pdf = _resolve_bucket(
+                partition.root, g["files"], target, self.key_cols
+            )
+            yield from _to_arrow(pdf, out).to_batches()
 
 
 # --------------------------------------------------------------------
@@ -819,14 +880,19 @@ class LakeDataSource(DataSource):
 # --------------------------------------------------------------------
 
 def _plan_change_partitions(
-    table: LakeTable, root: str, from_v: int, to_v: int
-) -> list[BucketDiffPartition]:
-    """Plan a ``(from_v, to_v]`` changelog span: one partition per
+    table: LakeTable,
+    root: str,
+    from_v: int,
+    to_v: int,
+    max_part_bytes: int | None = None,
+) -> list[DiffTaskPartition]:
+    """Plan a ``(from_v, to_v]`` changelog span: one diff group per
     CHANGED bucket (driver-side manifest diff, KB of JSON), each
-    carrying the bucket's old/new file lists. ``from_v = -1`` (or an
-    empty base manifest) is the bootstrap shape — the whole ``to_v``
-    snapshot as inserts. Shared by the streaming micro-batch planner
-    and the batch CDF-style reader."""
+    carrying the bucket's old/new file lists; groups pack into tasks
+    per ``max_part_bytes`` (default: one task per bucket).
+    ``from_v = -1`` (or an empty base manifest) is the bootstrap
+    shape — the whole ``to_v`` snapshot as inserts. Shared by the
+    streaming micro-batch planner and the batch CDF-style reader."""
     if to_v <= from_v:
         return []
     try:
@@ -841,44 +907,66 @@ def _plan_change_partitions(
             "(startingVersion=snapshot to re-bootstrap)."
         ) from e
     empty_base = m_from is None or not m_from.files
-    if empty_base:
-        # bootstrap: every live row at to_v is an insert
-        by_bucket: dict[int, list] = {}
-        for f in m_to.files:
-            by_bucket.setdefault(f.bucket, []).append(_file_payload(f))
-        return [
-            BucketDiffPartition(
-                root=root, bucket=b, old_files=[], new_files=fs
-            )
-            for b, fs in sorted(by_bucket.items())
-        ]
-    buckets = table.changed_buckets(from_v, to_v)
-    if buckets is None:
-        raise ValueError(
-            f"lake_changes span ({from_v}, {to_v}] on {root} "
-            "crosses a REBUCKET boundary — bucket ids are not "
-            "comparable across layouts. Restart the reader from a "
-            "fresh checkpoint / span at or after the rebucket version "
-            "(startingVersion=<int> or snapshot)."
-        )
-    want = set(buckets)
     old_by: dict[int, list] = {}
     new_by: dict[int, list] = {}
-    for f in m_from.files:
-        if f.bucket in want:
-            old_by.setdefault(f.bucket, []).append(_file_payload(f))
+    size_by: dict[int, int] = {}
+    if empty_base:
+        # bootstrap: every live row at to_v is an insert
+        want = {f.bucket for f in m_to.files}
+    else:
+        buckets = table.changed_buckets(from_v, to_v)
+        if buckets is None:
+            raise ValueError(
+                f"lake_changes span ({from_v}, {to_v}] on {root} "
+                "crosses a REBUCKET boundary — bucket ids are not "
+                "comparable across layouts. Restart the reader from a "
+                "fresh checkpoint / span at or after the rebucket version "
+                "(startingVersion=<int> or snapshot)."
+            )
+        want = set(buckets)
+        for f in m_from.files:
+            if f.bucket in want:
+                old_by.setdefault(f.bucket, []).append(_file_payload(f))
+                size_by[f.bucket] = size_by.get(f.bucket, 0) + f.bytes
     for f in m_to.files:
         if f.bucket in want:
             new_by.setdefault(f.bucket, []).append(_file_payload(f))
-    return [
-        BucketDiffPartition(
-            root=root,
-            bucket=b,
-            old_files=old_by.get(b, []),
-            new_files=new_by.get(b, []),
+            size_by[f.bucket] = size_by.get(f.bucket, 0) + f.bytes
+    units = [
+        (
+            size_by.get(b, 0),
+            {
+                "bucket": b,
+                "old_files": old_by.get(b, []),
+                "new_files": new_by.get(b, []),
+            },
         )
         for b in sorted(want)
     ]
+    return [
+        DiffTaskPartition(root=root, groups=g)
+        for g in _bin_pack(units, max_part_bytes)
+    ]
+
+
+def _read_diff_partition(
+    partition: DiffTaskPartition,
+    read_st: T.StructType,
+    out_schema: T.StructType,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> Iterator[pa.RecordBatch]:
+    """Execute one changelog task (no Spark access; pure pyarrow):
+    MOR-resolve each group's old/new bucket states and diff them."""
+    if partition is None:  # empty span: the planner maps zero
+        return             # partitions to one None placeholder
+    target = _arrow_schema(read_st)
+    out = _arrow_schema(out_schema)
+    for g in partition.groups:
+        old = _resolve_bucket(partition.root, g["old_files"], target, key_cols)
+        new = _resolve_bucket(partition.root, g["new_files"], target, key_cols)
+        tbl = _diff_bucket(old, new, key_cols, payload_cols, out)
+        yield from tbl.to_batches()
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -919,6 +1007,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             self._start = int(start)
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv is not None else None
+        mpb = options.get("maxpartitionbytes")
+        self._max_part_bytes = int(mpb) if mpb is not None else None
         #: rate-limit position. Armed at CONSTRUCTION because Spark
         #: calls latestOffset() before initialOffset() (observed call
         #: order of PythonMicroBatchStream). After a checkpoint
@@ -963,20 +1053,16 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         from_v, to_v = int(start["version"]), int(end["version"])
         self._dbg(f"partitions({from_v},{to_v})")
         self._last_seen = max(self._last_seen or to_v, to_v)
-        return _plan_change_partitions(self._table(), self.root, from_v, to_v)
+        return _plan_change_partitions(
+            self._table(), self.root, from_v, to_v, self._max_part_bytes
+        )
 
     # ----- execution (no Spark access; pure pyarrow) -----
-    def read(self, partition: BucketDiffPartition) -> Iterator[pa.RecordBatch]:
-        target = _arrow_schema(self._read_st)
-        out = _arrow_schema(self.out_schema)
-        old = _resolve_bucket(
-            partition.root, partition.old_files, target, self.key_cols
+    def read(self, partition: DiffTaskPartition) -> Iterator[pa.RecordBatch]:
+        yield from _read_diff_partition(
+            partition, self._read_st, self.out_schema,
+            self.key_cols, self.payload_cols,
         )
-        new = _resolve_bucket(
-            partition.root, partition.new_files, target, self.key_cols
-        )
-        tbl = _diff_bucket(old, new, self.key_cols, self.payload_cols, out)
-        yield from tbl.to_batches()
 
 
 class LakeChangesBatchReader(DataSourceReader):
@@ -1027,24 +1113,20 @@ class LakeChangesBatchReader(DataSourceReader):
             )
         else:
             self._start = int(start)
+        mpb = options.get("maxpartitionbytes")
+        self._max_part_bytes = int(mpb) if mpb is not None else None
 
     def partitions(self) -> Sequence[InputPartition]:
         table = LakeTable(None, self.root, ref=self.ref)
-        return _plan_change_partitions(table, self.root, self._start, self._end)
+        return _plan_change_partitions(
+            table, self.root, self._start, self._end, self._max_part_bytes
+        )
 
-    def read(self, partition: BucketDiffPartition) -> Iterator[pa.RecordBatch]:
-        if partition is None:  # empty span: the planner maps zero
-            return            # partitions to one None placeholder
-        target = _arrow_schema(self._read_st)
-        out = _arrow_schema(self.out_schema)
-        old = _resolve_bucket(
-            partition.root, partition.old_files, target, self.key_cols
+    def read(self, partition: DiffTaskPartition) -> Iterator[pa.RecordBatch]:
+        yield from _read_diff_partition(
+            partition, self._read_st, self.out_schema,
+            self.key_cols, self.payload_cols,
         )
-        new = _resolve_bucket(
-            partition.root, partition.new_files, target, self.key_cols
-        )
-        tbl = _diff_bucket(old, new, self.key_cols, self.payload_cols, out)
-        yield from tbl.to_batches()
 
 
 class LakeChangesDataSource(DataSource):

@@ -94,6 +94,18 @@ def _rows(df):
     return {tuple(r) for r in df.collect()}
 
 
+def _buckets(parts):
+    return {g["bucket"] for p in parts for g in p.groups}
+
+
+def _n_files(parts):
+    return sum(
+        len(g.get("files", [])) + len(g.get("old_files", []))
+        + len(g.get("new_files", []))
+        for p in parts for g in p.groups
+    )
+
+
 # ------------------------------------------------- bucket routing
 
 
@@ -106,7 +118,7 @@ def test_key_equality_routes_to_one_bucket(spark, tmp_path):
     r.pushFilters([EqualTo(("repo",), "r1"), EqualTo(("path",), "a.py")])
     parts = r.partitions()
     assert len(parts) == 1
-    assert parts[0].bucket == bucket_of(("r1", "a.py"), KEY_DTYPES, 4)
+    assert _buckets(parts) == {bucket_of(("r1", "a.py"), KEY_DTYPES, 4)}
     got = (
         spark.read.format("lake").load(t.root)
         .where("repo = 'r1' and path = 'a.py'")
@@ -124,7 +136,7 @@ def test_in_filter_routes_to_candidate_buckets(spark, tmp_path):
         bucket_of(("r1", "a.py"), KEY_DTYPES, 4),
         bucket_of(("r1", "b.py"), KEY_DTYPES, 4),
     }
-    assert {p.bucket for p in r.partitions()} <= want
+    assert _buckets(r.partitions()) <= want
     got = (
         spark.read.format("lake").load(t.root)
         .where("repo = 'r1' and path in ('a.py', 'b.py')")
@@ -199,7 +211,7 @@ def test_mutable_stats_prune_is_bucket_granular_and_safe(spark, tmp_path):
     r = _reader(t)
     r.pushFilters([EqualTo(("content",), "aaa")])
     parts = r.partitions()
-    assert len(parts) == 1 and len(parts[0].files) == 2
+    assert len(parts) == 1 and _n_files(parts) == 2
     got = spark.read.format("lake").load(t.root).where("content = 'aaa'")
     assert got.count() == 0  # resolved state is 'zzz'; no resurrection
     # a value outside EVERY file's range drops the whole bucket
@@ -230,7 +242,7 @@ def test_mutable_stats_prune_per_file_without_deltas(spark, tmp_path):
     r = _reader(t)
     r.pushFilters([EqualTo(("content",), "zzz")])
     kept = r.partitions()
-    assert sum(len(p.files) for p in kept) < 3
+    assert _n_files(kept) < 3
     got = spark.read.format("lake").load(t.root).where("content = 'zzz'")
     assert _rows(got) == _rows(t.read().where("content = 'zzz'"))
     assert got.count() == 1
@@ -255,7 +267,7 @@ def test_range_filter_prunes_key_files_in_delta_bucket(spark, tmp_path):
     r = _reader(t)
     r.pushFilters([GreaterThan(("repo",), "mmm")])
     parts = r.partitions()
-    assert len(parts) == 1 and len(parts[0].files) == 1
+    assert len(parts) == 1 and _n_files(parts) == 1
     got = spark.read.format("lake").load(t.root).where("repo > 'mmm'")
     assert _rows(got) == _rows(t.read().where("repo > 'mmm'"))
     assert got.count() == 1
@@ -379,5 +391,93 @@ def test_batch_changes_plans_only_changed_buckets(spark, tmp_path):
         out, {"path": t.root, "startingversion": str(v1)}
     )
     want = set(t.changed_buckets(v1, cur))
-    assert {p.bucket for p in r.partitions()} == want
+    assert _buckets(r.partitions()) == want
     assert len(want) < 4  # actually pruned vs the 4-bucket layout
+
+
+# ------------------------------------------------- task packing
+
+
+def test_scan_packing_option_groups_small_units(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    loose = _reader(t).partitions()
+    r = _reader(t, maxpartitionbytes=str(1 << 30))
+    packed = r.partitions()
+    assert len(packed) == 1 and len(packed[0].groups) == len(loose)
+    got = (
+        spark.read.format("lake")
+        .option("maxPartitionBytes", 1 << 30).load(t.root)
+    )
+    assert _rows(got) == _rows(t.read())
+
+
+def test_delta_bucket_stays_atomic_under_packing(spark, tmp_path):
+    t = _mk(spark, tmp_path, buckets=1)
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "aaa", "upsert", 1)]),
+        batch_id=1, mode="mor",
+    )
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "zzz", "upsert", 2)]),
+        batch_id=2, mode="mor",
+    )
+    parts = _reader(t).partitions()
+    assert len(parts) == 1 and len(parts[0].groups) == 1
+    assert len(parts[0].groups[0]["files"]) == 2  # base + delta together
+
+
+def test_cow_multifile_bucket_splits_per_file(spark, tmp_path):
+    """A bucket with NO deltas splits per file (its live files are
+    key-disjoint: one COW commit's output), bounding scan parallelism
+    by files rather than buckets."""
+    t = _mk(spark, tmp_path, buckets=1)
+    merge_into(
+        t, _b(spark, [("r1", "a.py", "py", "aaa", "upsert", 1)]),
+        batch_id=1, mode="cow",
+    )
+    r = _reader(t)
+    # synthesize a second resolved file in the same bucket (planning-
+    # level check; COW/compaction normally fold to one file per bucket)
+    clone = dict(r._files[0])
+    assert not clone["is_delta"]
+    r._files.append(clone)
+    parts = r.partitions()
+    assert len(parts) == 2
+    assert all(len(p.groups) == 1 and len(p.groups[0]["files"]) == 1
+               for p in parts)
+
+
+def test_changes_packing_matches_unpacked(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    base = spark.read.format("lake_changes").load(t.root)
+    packed = (
+        spark.read.format("lake_changes")
+        .option("maxPartitionBytes", 1 << 30).load(t.root)
+    )
+    assert _rows(packed) == _rows(base)
+    m = t.current_manifest()
+    r = LakeChangesBatchReader(
+        changelog_schema(m.schema, m.key_cols),
+        {"path": t.root, "maxpartitionbytes": str(1 << 30)},
+    )
+    parts = r.partitions()
+    assert len(parts) == 1 and len(parts[0].groups) >= 2
+
+
+def test_stream_packing_option_parity(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("startingVersion", 0)
+        .option("maxPartitionBytes", 1 << 30)
+        .load(t.root)
+        .writeStream.format("memory").queryName("packed_drain")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rows(spark.table("packed_drain")) == _rows(t.read_changes(0))
