@@ -66,6 +66,7 @@ checkpointing.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Sequence
@@ -385,9 +386,15 @@ def _extract_constraints(filters, cols: set[str]) -> dict[str, dict]:
             continue
         col = attr[0]
         if isinstance(f, EqualTo):
-            vs = {f.value} if f.value is not None else set()
+            try:
+                vs = {f.value} if f.value is not None else set()
+            except TypeError:
+                continue  # unhashable literal (array-typed eq): no pruning
         elif isinstance(f, In):
-            vs = {v for v in f.value if v is not None}
+            try:
+                vs = {v for v in f.value if v is not None}
+            except TypeError:
+                continue
         elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
             s = slot(col)
             incl = isinstance(f, GreaterThanOrEqual)
@@ -461,6 +468,16 @@ def _route_buckets(
             return set()  # contradictory conjuncts: nothing can match
         size *= len(c["cands"])
         if size > _BUCKET_ROUTE_CAP:
+            return None
+        if any(
+            isinstance(v, _dt.datetime) and v.tzinfo is None
+            for v in c["cands"]
+        ):
+            # a NAIVE datetime literal's instant depends on the session
+            # timezone, which this reader cannot see — hashing it under
+            # any assumed zone could route to the wrong bucket and
+            # wrongly prune matching rows. Skip routing (correctness
+            # over pruning).
             return None
         sets.append(sorted(c["cands"], key=repr))
     import itertools
@@ -805,16 +822,54 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
         ]
         table = self._table()
         m = table.current_manifest()
-        wm = m.watermarks.get(self.source_id)
-        if wm is not None and int(wm.get("batch_id", -1)) >= int(batchId):
-            # replayed epoch (restart re-ran a committed batch): honor
-            # the exactly-once fence, GC the replica's files
+
+        def _gc_replicas() -> None:
             for f in new_files:
                 try:
                     os.remove(os.path.join(self.root, f.path))
                 except OSError:
                     pass
-            return
+
+        if m.num_buckets != self.num_buckets or list(m.key_cols) != self.key_cols:
+            # the epoch's files were bucketed under the layout current
+            # at stream start; a rebucket()/key change between epochs
+            # makes those bucket ids meaningless in the new manifest —
+            # committing them would scatter keys across buckets with no
+            # error (lookup/pushdown/MOR all route by bucket). Refuse
+            # loudly; the stream must restart to pick up the layout.
+            _gc_replicas()
+            raise ValueError(
+                f"lake sink on {self.root}: table layout changed mid-"
+                f"stream (buckets {self.num_buckets}->{m.num_buckets}, "
+                f"keys {self.key_cols}->{list(m.key_cols)}); restart "
+                "the stream to re-pin the layout"
+            )
+        wm = m.watermarks.get(self.source_id)
+        if wm is not None:
+            fenced = int(wm.get("batch_id", -1))
+            if fenced == int(batchId):
+                # replayed epoch (restart re-ran the one uncommitted
+                # batch): honor the exactly-once fence, GC the replicas
+                _gc_replicas()
+                return
+            if fenced > int(batchId):
+                # Spark batch ids are monotone PER CHECKPOINT, and a
+                # restart replays at most the last batch — a strictly
+                # older id means a FRESH checkpoint (ids reset to 0) or
+                # a second sink sharing this sourceId. Silently fence-
+                # skipping here would discard every epoch while the
+                # stream reports healthy progress; fail loudly instead.
+                _gc_replicas()
+                raise ValueError(
+                    f"lake sink on {self.root}: incoming batch "
+                    f"{int(batchId)} is behind the committed watermark "
+                    f"{fenced} for sourceId={self.source_id!r}. This "
+                    "sink lineage already advanced past this batch id — "
+                    "a reset checkpoint or a second sink sharing the "
+                    "sourceId. Keep the original checkpointLocation, or "
+                    "start the new lineage with a distinct "
+                    ".option('sourceId', ...)"
+                )
         if not new_files:
             return  # empty epoch: nothing to fence, no version noise
         rows = sum(msg.rows for msg in messages if msg is not None)
@@ -969,6 +1024,31 @@ def _read_diff_partition(
         yield from tbl.to_batches()
 
 
+def _init_changes_reader(reader, stream_schema: T.StructType, options: dict) -> LakeTable:
+    """Shared constructor body of the stream/batch changelog readers:
+    root/ref resolution, key + payload column derivation from the
+    changelog schema, and the ``maxPartitionBytes`` option. Returns the
+    (spark-less) table handle so each reader can parse its own span
+    options against it."""
+    reader.root = options.get("path")
+    if not reader.root:
+        raise ValueError("format('lake_changes') requires .load(<table root>)")
+    reader.ref = options.get("branch")
+    table = LakeTable(None, reader.root, ref=reader.ref)
+    m = table.current_manifest()
+    reader.key_cols = list(m.key_cols)
+    reader.out_schema = stream_schema
+    reader._read_st = _read_schema_from_stream_schema(stream_schema)
+    reader.payload_cols = [
+        f.name for f in stream_schema.fields
+        if f.name not in reader.key_cols
+        and f.name not in (CHANGE_COL, SEQ_COL, DELETED_COL)
+    ]
+    mpb = options.get("maxpartitionbytes")
+    reader._max_part_bytes = int(mpb) if mpb is not None else None
+    return table
+
+
 class LakeChangesStreamReader(DataSourceStreamReader):
     """Offsets = table versions. ``startingVersion`` option:
 
@@ -982,20 +1062,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, stream_schema: T.StructType, options: dict):
-        self.root = options.get("path")
-        if not self.root:
-            raise ValueError("format('lake_changes') requires .load(<table root>)")
-        self.ref = options.get("branch")
-        table = self._table()
-        m = table.current_manifest()
-        self.key_cols = list(m.key_cols)
-        self.out_schema = stream_schema
-        self._read_st = _read_schema_from_stream_schema(stream_schema)
-        self.payload_cols = [
-            f.name for f in stream_schema.fields
-            if f.name not in self.key_cols
-            and f.name not in (CHANGE_COL, SEQ_COL, DELETED_COL)
-        ]
+        table = _init_changes_reader(self, stream_schema, options)
         start = str(options.get("startingversion", "latest")).lower()
         if start == "latest":
             self._start = table.current_version()
@@ -1007,8 +1074,6 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             self._start = int(start)
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv is not None else None
-        mpb = options.get("maxpartitionbytes")
-        self._max_part_bytes = int(mpb) if mpb is not None else None
         #: rate-limit position. Armed at CONSTRUCTION because Spark
         #: calls latestOffset() before initialOffset() (observed call
         #: order of PythonMicroBatchStream). After a checkpoint
@@ -1084,22 +1149,15 @@ class LakeChangesBatchReader(DataSourceReader):
     rows/semantics are parity-pinned against ``read_changes``."""
 
     def __init__(self, stream_schema: T.StructType, options: dict):
-        self.root = options.get("path")
-        if not self.root:
-            raise ValueError("format('lake_changes') requires .load(<table root>)")
-        self.ref = options.get("branch")
-        table = LakeTable(None, self.root, ref=self.ref)
-        m = table.current_manifest()
-        self.key_cols = list(m.key_cols)
-        self.out_schema = stream_schema
-        self._read_st = _read_schema_from_stream_schema(stream_schema)
-        self.payload_cols = [
-            f.name for f in stream_schema.fields
-            if f.name not in self.key_cols
-            and f.name not in (CHANGE_COL, SEQ_COL, DELETED_COL)
-        ]
+        table = _init_changes_reader(self, stream_schema, options)
+        cur = table.current_version()
         end = options.get("endingversion")
-        self._end = int(end) if end is not None else table.current_version()
+        self._end = int(end) if end is not None else cur
+        if self._end > cur or self._end < 0:
+            raise ValueError(
+                f"lake_changes endingVersion={self._end} is outside the "
+                f"table's history (current version {cur}) on {self.root}"
+            )
         start = str(options.get("startingversion", "earliest")).lower()
         if start == "earliest":
             self._start = min(table._all_versions())
@@ -1113,8 +1171,17 @@ class LakeChangesBatchReader(DataSourceReader):
             )
         else:
             self._start = int(start)
-        mpb = options.get("maxpartitionbytes")
-        self._max_part_bytes = int(mpb) if mpb is not None else None
+            if self._start > self._end:
+                # start==end is the legitimate empty span ("no changes
+                # since v"); start PAST the end is a user error (wrong
+                # table / typo'd version) — silence would read as "no
+                # changes in that span"
+                raise ValueError(
+                    f"lake_changes span ({self._start}, {self._end}] is "
+                    f"inverted on {self.root} (current version {cur}); "
+                    "startingVersion is exclusive and must be <= "
+                    "endingVersion"
+                )
 
     def partitions(self) -> Sequence[InputPartition]:
         table = LakeTable(None, self.root, ref=self.ref)
@@ -1145,9 +1212,24 @@ class LakeChangesDataSource(DataSource):
             raise ValueError("format('lake_changes') requires .load(<table root>)")
         table = LakeTable(None, root, ref=self.options.get("branch"))
         ev = self.options.get("endingversion")
+        if ev is not None and not 0 <= int(ev) <= table.current_version():
+            raise ValueError(
+                f"lake_changes endingVersion={int(ev)} is outside the "
+                f"table's history (current version "
+                f"{table.current_version()}) on {root}"
+            )
+        if ev is None:
+            # resolve the default end ONCE and pin it into the options
+            # the reader will receive — otherwise a commit landing
+            # between schema() and reader() would smear the scan past
+            # the version whose schema we are about to pin (streams
+            # ignore endingversion, so the stash is batch-only in
+            # effect)
+            ev = table.current_version()
+            self.options["endingversion"] = str(ev)
         # batch spans pin the END version's schema (read_changes
         # parity); streams pin the schema current at start
-        m = table.manifest_at(int(ev)) if ev is not None else table.current_manifest()
+        m = table.manifest_at(int(ev))
         return changelog_schema(m.schema, m.key_cols)
 
     def reader(self, schema: T.StructType) -> DataSourceReader:

@@ -129,10 +129,13 @@ def _fold_value(value: Any, dtype: T.DataType, h: int) -> int:
         return _hash_int(days, h)
     if isinstance(dtype, T.TimestampType):
         if isinstance(value, _dt.datetime):
+            # NAIVE datetimes are interpreted as UTC wall time. Rows
+            # collected via PySpark hold DRIVER-LOCAL naive values
+            # (TimestampType.fromInternal uses the process timezone),
+            # so callers must localize before hashing —
+            # LakeTable.lookup does (``_utc_key_value``).
             v = value if value.tzinfo else value.replace(tzinfo=_dt.timezone.utc)
-            micros = int((v - _EPOCH_TS).total_seconds() * 1_000_000)
-            # avoid float rounding: recompute exactly
-            delta = v - _EPOCH_TS
+            delta = v - _EPOCH_TS  # exact integer arithmetic, no float
             micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
         else:
             micros = int(value)

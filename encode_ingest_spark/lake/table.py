@@ -46,6 +46,7 @@ JSON (KBs) and file renames — never row data.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -1917,6 +1918,20 @@ class LakeTable:
         self._write_manifest(nm)
         return nm
 
+    @staticmethod
+    def _utc_key_value(v: Any) -> Any:
+        """Normalize a lookup key value for hashing/comparison: naive
+        datetimes are DRIVER-LOCAL wall time → re-express in UTC.
+
+        Driver-local (not session-timezone) because that is what
+        PySpark's Row path hands back: ``TimestampType.fromInternal``
+        converts instants with ``datetime.fromtimestamp`` (process
+        timezone), so ``lookup(row_from_collect)`` round-trips exactly.
+        ``astimezone`` on a naive value applies precisely that rule."""
+        if isinstance(v, _dt.datetime):
+            return v.astimezone(_dt.timezone.utc)
+        return v
+
     def lookup(
         self, key: dict[str, Any], version: int | None = None,
         include_tombstone: bool = False,
@@ -1932,7 +1947,13 @@ class LakeTable:
         the ops tool for "what does the table say about THIS key right
         now / at version v". Returns the resolved row as a dict
         (internal columns included), or None; ``include_tombstone``
-        surfaces a deleted key's tombstone row instead of None."""
+        surfaces a deleted key's tombstone row instead of None.
+
+        NAIVE datetime key values are interpreted as DRIVER-LOCAL wall
+        time (PySpark's ``Row``/collect rule — ``fromInternal`` uses
+        the process timezone) and normalized to UTC before hashing and
+        comparison, so ``lookup(row_from_collect)`` finds the row on
+        non-UTC drivers too."""
         from .datasource import _arrow_schema, _resolve_bucket
         from .hashing import bucket_of
 
@@ -1943,7 +1964,7 @@ class LakeTable:
         if missing:
             raise ValueError(f"lookup needs every key column; missing {missing}")
         dtypes = [m.schema[k].dataType for k in m.key_cols]
-        values = [key[k] for k in m.key_cols]
+        values = [self._utc_key_value(key[k]) for k in m.key_cols]
         bucket = bucket_of(values, dtypes, m.num_buckets)
         key_set = set(m.key_cols)
         files = []

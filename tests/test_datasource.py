@@ -680,3 +680,116 @@ def test_stream_nested_payload_diff(spark, tmp_path):
         startingVersion=1,
     ))
     assert per_span == norm(t.read_changes(1))
+
+
+# --------------------------------------------------------------------
+# sink commit guards: stale batch ids and layout changes fail LOUDLY
+# --------------------------------------------------------------------
+
+ENVELOPE_ST = T.StructType(
+    SCHEMA.fields
+    + [
+        T.StructField("op", T.StringType(), True),
+        T.StructField("event_seq", T.LongType(), True),
+    ]
+)
+
+
+def test_sink_commit_refuses_stale_batch_id(spark, tmp_path):
+    """A commit whose Spark batchId is strictly BEHIND the table's sink
+    watermark means a reset checkpoint (ids restart at 0) or a second
+    sink sharing the sourceId — silently fence-skipping would discard
+    every epoch while the stream reports progress. Equal ids stay the
+    normal exactly-once replay fence."""
+    from encode_ingest_spark.lake.datasource import (
+        LakeSinkCommitMessage,
+        LakeStreamWriter,
+    )
+    from encode_ingest_spark.lake.merge import _commit
+
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    # advance the sink lineage's watermark to batch 5
+    m = t.current_manifest()
+    _commit(t, m, m.files, [], 5, "lake_sink", None, {"appended": 0})
+
+    w = LakeStreamWriter(ENVELOPE_ST, {"path": t.root})
+    # equal id: the replay fence — silent skip
+    w.commit([LakeSinkCommitMessage(files=[], rows=0)], batchId=5)
+    # strictly older id: loud refusal naming the remedy
+    with pytest.raises(ValueError, match="behind the committed watermark"):
+        w.commit([LakeSinkCommitMessage(files=[], rows=0)], batchId=3)
+
+
+def test_sink_commit_refuses_layout_change(spark, tmp_path):
+    """The epoch's files were bucketed under the layout pinned at
+    stream start; a rebucket between epochs would scatter keys across
+    buckets if committed — the sink must refuse, not corrupt."""
+    from encode_ingest_spark.lake.datasource import (
+        LakeSinkCommitMessage,
+        LakeStreamWriter,
+    )
+
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    w = LakeStreamWriter(ENVELOPE_ST, {"path": t.root})
+    t.rebucket(8)
+    with pytest.raises(ValueError, match="layout changed mid-stream"):
+        w.commit([LakeSinkCommitMessage(files=[], rows=0)], batchId=99)
+
+
+def test_point_lookup_timestamp_key_non_utc_driver(spark, tmp_path):
+    """lookup() on a timestamp key finds rows when handed the NAIVE
+    datetimes Spark's collect() returns — which are DRIVER-LOCAL wall
+    time (``TimestampType.fromInternal`` uses the process timezone), an
+    off-by-UTC-offset bucket miss on non-UTC drivers before the
+    ``_utc_key_value`` normalization."""
+    import datetime as dt
+    import os
+    import time
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _driver_tz(name):
+        old_tz = os.environ.get("TZ")
+        os.environ["TZ"] = name
+        time.tzset()
+        try:
+            yield
+        finally:
+            if old_tz is None:
+                os.environ.pop("TZ", None)
+            else:
+                os.environ["TZ"] = old_tz
+            time.tzset()
+
+    st = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "ts_t"), st, ["id", "ts"], num_buckets=4
+    )
+    instants = {
+        "a": dt.datetime(2024, 6, 1, 12, 30, tzinfo=dt.timezone.utc),
+        "b": dt.datetime(2024, 6, 2, 3, 45, tzinfo=dt.timezone.utc),
+    }
+    batch = spark.createDataFrame(
+        [(k, v, f"v-{k}", "upsert", 1) for k, v in instants.items()],
+        "id string, ts timestamp, v string, op string, event_seq long",
+    )
+    merge_into(t, batch, batch_id=1, mode="mor")
+    with _driver_tz("America/New_York"):
+        rows = {r.id: r for r in t.read().collect()}
+        # collect hands back naive DRIVER-LOCAL values (12:30Z -> 08:30)
+        assert rows["a"].ts.tzinfo is None
+        assert rows["a"].ts.hour == 8
+        for rid in ("a", "b"):
+            got = t.lookup({"id": rid, "ts": rows[rid].ts})
+            assert got is not None and got["v"] == f"v-{rid}"
+        # aware values keep working unchanged
+        got = t.lookup({"id": "a", "ts": instants["a"]})
+        assert got is not None and got["v"] == "v-a"

@@ -481,3 +481,97 @@ def test_stream_packing_option_parity(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert _rows(spark.table("packed_drain")) == _rows(t.read_changes(0))
+
+
+# --------------------------------------------------------------------
+# constraint-extraction safety and batch-span validation
+# --------------------------------------------------------------------
+
+def test_extract_constraints_skips_unhashable_literals():
+    """Array-typed (list) literals from variant-decoded filters must
+    not crash planning — the filter is simply not used for pruning
+    (it stays Spark-side like every other filter)."""
+    from encode_ingest_spark.lake.datasource import _extract_constraints
+
+    cols = {"repo", "path", "tags"}
+    out = _extract_constraints(
+        [
+            EqualTo(attribute=("tags",), value=["a", "b"]),
+            In(attribute=("tags",), value=[["a"], ["b"]]),
+            EqualTo(attribute=("repo",), value="r1"),
+        ],
+        cols,
+    )
+    assert "tags" not in out
+    assert out["repo"]["cands"] == {"r1"}
+
+
+def test_route_buckets_refuses_naive_datetime_candidates():
+    """A naive datetime literal's instant depends on a timezone the
+    reader cannot see — routing must decline (scan every bucket)
+    rather than risk hashing the wrong instant and pruning a match."""
+    import datetime as dt
+
+    from encode_ingest_spark.lake.datasource import (
+        _extract_constraints,
+        _route_buckets,
+    )
+
+    keys = ["id", "ts"]
+    dtypes = [T.StringType(), T.TimestampType()]
+    naive = dt.datetime(2024, 6, 1, 12, 30)
+    cons = _extract_constraints(
+        [EqualTo(attribute=("id",), value="a"),
+         EqualTo(attribute=("ts",), value=naive)],
+        set(keys),
+    )
+    assert _route_buckets(cons, keys, dtypes, 8) is None
+    # the same instant tz-aware routes fine
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    cons = _extract_constraints(
+        [EqualTo(attribute=("id",), value="a"),
+         EqualTo(attribute=("ts",), value=aware)],
+        set(keys),
+    )
+    got = _route_buckets(cons, keys, dtypes, 8)
+    assert got is not None and len(got) == 1
+
+
+def test_batch_changes_invalid_span_raises(spark, tmp_path):
+    """A span beyond the table's history (typo'd version / wrong table)
+    fails loudly instead of reading as 'no changes' (current version
+    here is 3 after seeding)."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    cur = t.current_version()
+    with pytest.raises(Exception, match="inverted"):
+        (spark.read.format("lake_changes")
+         .option("startingVersion", cur + 40).load(t.root).collect())
+    with pytest.raises(Exception, match="outside the table's history"):
+        (spark.read.format("lake_changes")
+         .option("endingVersion", cur + 40).load(t.root).collect())
+    # start == end stays the legitimate empty span ("no changes since")
+    empty = (spark.read.format("lake_changes")
+             .option("startingVersion", cur).load(t.root))
+    assert empty.count() == 0
+
+
+def test_changes_schema_pins_default_ending_version(spark, tmp_path):
+    """schema() resolves the default endingVersion ONCE and pins it
+    into the reader's options, so a commit landing between schema() and
+    reader() cannot smear the batch span past the pinned schema."""
+    from encode_ingest_spark.lake.datasource import LakeChangesDataSource
+
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    pinned = t.current_version()
+    ds = LakeChangesDataSource(options={"path": t.root})
+    st = ds.schema()
+    assert ds.options["endingversion"] == str(pinned)
+    # a commit after schema(): the reader still stops at the pin
+    merge_into(
+        t, _b(spark, [("r9", "z.py", "py", "late", "upsert", 9)]),
+        batch_id=9, mode="mor",
+    )
+    r = LakeChangesBatchReader(st, dict(ds.options))
+    assert r._end == pinned
