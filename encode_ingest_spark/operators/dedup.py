@@ -420,3 +420,159 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate CLUSTERS: pairs → connected components → one survivor
+# ---------------------------------------------------------------------------
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly LARGER
+    neighbors to the minimum of its closed neighborhood. Preserves
+    connectivity and bounds high-degree blowup (the giant-component
+    hub never fans out to smaller ids)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))  # map-side combine: min is partial
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge high→low, then each node
+    connects its (all smaller) neighbors and itself to the minimum."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list →
+    ``(id, component)`` where ``component`` is the MINIMUM id in the
+    cluster (deterministic label, no ordering assumptions beyond a
+    total order on ids — longs and strings both work).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): converges in
+    O(log n) rounds — unlike naive label propagation, whose round count
+    is the graph DIAMETER (a pathological near-dup chain of 10k docs
+    would need 10k shuffles; this needs ~14). Each round is two
+    min-aggregations and two equi-joins on node id; shuffled payload is
+    one (id, id) pair per edge — never document text. The edge set
+    SHRINKS toward one star per component, so later rounds are cheap;
+    ``localCheckpoint`` after each round cuts the iterative lineage
+    (the classic iterative-plan blowup) and re-reads the shrinking
+    edge set, not the original pairs.
+
+    Only ids appearing in ``pairs`` are returned (an isolated document
+    is its own component — callers left-join and coalesce, see
+    :func:`near_dedup_keep`). Raises if not converged within
+    ``max_iterations`` (log2-ish bound: 25 rounds covers any realistic
+    edge count).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free (ANSI-safe)
+            # fingerprint of the DISTINCT edge set
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — edge set still changing (pass a larger "
+            "max_iterations; O(log n) rounds is the expected bound)"
+        )
+    # converged: e is a star forest, every edge u→root. Roots map to
+    # themselves.
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(
+            e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def near_dedup_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    prefer: Column | None = None,
+) -> DataFrame:
+    """The step after pair generation a real corpus dedup needs: group
+    near-duplicate PAIRS (from :func:`minhash_lsh_pairs`,
+    :func:`simhash_pairs`, :func:`ngram_jaccard_pairs`, or
+    ``similarity.srp_near_dup``) into clusters and keep ONE survivor
+    per cluster.
+
+    ``prefer`` ranks survivors (higher wins — e.g. a quality score or
+    ``F.length("content")``); ties and the default fall back to the
+    MINIMUM id (deterministic). Returns ``docs``' full rows for the
+    survivors plus ``component`` (cluster label) and ``cluster_size``.
+    Documents in no pair survive trivially as their own singleton.
+
+    Plan shape at scale: components over the (tiny) pair list, then ONE
+    broadcast-or-shuffle left join of docs against the component map
+    (near-dup members are a small fraction of the corpus, so Spark
+    broadcasts the map when it fits; the docs table itself is never
+    shuffled in that case), and a single ``min_by``/``max_by`` shuffle
+    on component for survivor election.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    labeled = (
+        docs.join(cc, docs[id_col] == cc["id"], "left")
+        .drop("id")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    rank = (
+        F.struct(F.col(id_col).alias("tie"))
+        if prefer is None
+        else F.struct((-prefer).alias("rank"), F.col(id_col).alias("tie"))
+    )
+    winners = labeled.groupBy("component").agg(
+        F.min_by(F.col(id_col), rank).alias("__keep"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        labeled.join(winners, "component")
+        .where(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
