@@ -906,6 +906,52 @@ def run_datasource_bench(sf_dir: str, cpus: int) -> dict:
         pt_on.append(point_pass(True))
         pt_off.append(point_pass(False))
 
+    # ---- bloom file skipping: partial-key point query (no bucket
+    # routing possible) on a bloomed vs unbloomed twin of the same
+    # 4-batch table. `commit` is a KEY column, so bloom pruning is
+    # per-FILE even in delta buckets; with no clustering configured
+    # there are no col_stats, so blooms are the ONLY pruning signal.
+    blm = LakeTable.create(
+        spark, os.path.join(root, "chg_blm"), schema, keys, num_buckets=32,
+        properties={"write.bloom_filter_columns": "commit"},
+    )
+    for i in range(4):
+        lo, hi = i * total // 4, (i + 1) * total // 4
+        merge_into(
+            blm,
+            repo_file_events(spark, n_keys=n_keys, events_per_key=3,
+                             seed=42, slot_range=(lo, hi)),
+            batch_id=i + 1, mode="mor",
+        )
+    probe_commit = probe["commit"]
+
+    def bloom_pass(table_root: str) -> float:
+        t0 = time.perf_counter()
+        df = spark.read.format("lake").load(table_root)
+        n = df.where(df.commit == probe_commit).count()
+        assert n >= 1
+        return time.perf_counter() - t0
+
+    bl_on, bl_off = [], []
+    bloom_pass(blm.root)  # warm
+    for _ in range(3):
+        bl_on.append(bloom_pass(blm.root))
+        bl_off.append(bloom_pass(src.root))
+    # structural evidence: files surviving the planner's pushFilters
+    from encode_ingest_spark.lake.datasource import LakeSnapshotReader
+    from pyspark.sql.datasource import EqualTo as _Eq
+
+    def _planned_files(table) -> int:
+        m = table.current_manifest()
+        out_schema = T.StructType(
+            [f for f in m.schema.fields if f.name not in ("_seq", "_deleted")]
+        )
+        r = LakeSnapshotReader(out_schema, {"path": table.root})
+        r.pushFilters([_Eq(attribute=("commit",), value=probe_commit)])
+        return len(r._files)
+
+    bloom_files, plain_files = _planned_files(blm), _planned_files(src)
+
     shutil.rmtree(root, ignore_errors=True)
     return {
         "metric": "native DataSource surface vs batch twins",
@@ -924,12 +970,19 @@ def run_datasource_bench(sf_dir: str, cpus: int) -> dict:
         "point_query_pushdown_sec": round(min(pt_on), 3),
         "point_query_fullscan_sec": round(min(pt_off), 3),
         "point_query_speedup": round(min(pt_off) / min(pt_on), 2),
+        "bloom_point_query_sec": round(min(bl_on), 3),
+        "plain_point_query_sec": round(min(bl_off), 3),
+        "bloom_point_query_speedup": round(min(bl_off) / min(bl_on), 2),
+        "bloom_files_planned": bloom_files,
+        "plain_files_planned": plain_files,
         "trials": {"sink": [round(x, 3) for x in sink_ts],
                    "merge": [round(x, 3) for x in merge_ts],
                    "source": [round(x, 3) for x in src_ts],
                    "spark_changes": [round(x, 3) for x in spk_ts],
                    "point_on": [round(x, 3) for x in pt_on],
-                   "point_off": [round(x, 3) for x in pt_off]},
+                   "point_off": [round(x, 3) for x in pt_off],
+                   "bloom_on": [round(x, 3) for x in bl_on],
+                   "bloom_off": [round(x, 3) for x in bl_off]},
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "steal_pct": _steal_pct(ticks0, _cpu_ticks()),

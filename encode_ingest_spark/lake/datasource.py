@@ -421,29 +421,38 @@ def _gt_safe(a, b) -> bool:
         return False
 
 
-def _stats_may_match(col_stats: dict, constraints: dict[str, dict]) -> bool:
-    """Can a file whose manifest ``col_stats`` are given hold a row
-    satisfying every constraint? Conservative: a column without stats
-    (or with un-comparable stat/value types) never prunes."""
+def _stats_may_match(
+    col_stats: dict, constraints: dict[str, dict], blooms: dict | None = None
+) -> bool:
+    """Can a file whose manifest ``col_stats``/``blooms`` are given hold
+    a row satisfying every constraint? Conservative: a column without
+    stats (or with un-comparable stat/value types) never prunes. A
+    Bloom filter prunes FINITE candidate sets (equality/IN) where
+    min/max ranges cannot — high-cardinality unclustered columns."""
+    from .bloom import bloom_may_contain
+
     for col, c in constraints.items():
         rng = col_stats.get(col)
-        if rng is None:
-            continue
-        lo, hi = rng
-        try:
-            if c["cands"] is not None:
-                if not any(lo <= v <= hi for v in c["cands"]):
-                    return False
-            if c["lo"] is not None:
-                v, incl = c["lo"]
-                if hi < v or (not incl and hi <= v):
-                    return False
-            if c["hi"] is not None:
-                v, incl = c["hi"]
-                if lo > v or (not incl and lo >= v):
-                    return False
-        except TypeError:
-            continue  # e.g. str stats vs datetime value: keep the file
+        if rng is not None:
+            lo, hi = rng
+            try:
+                if c["cands"] is not None:
+                    if not any(lo <= v <= hi for v in c["cands"]):
+                        return False
+                if c["lo"] is not None:
+                    v, incl = c["lo"]
+                    if hi < v or (not incl and hi <= v):
+                        return False
+                if c["hi"] is not None:
+                    v, incl = c["hi"]
+                    if lo > v or (not incl and lo >= v):
+                        return False
+            except TypeError:
+                pass  # e.g. str stats vs datetime value: range can't judge
+        bl = (blooms or {}).get(col)
+        if bl is not None and c["cands"]:
+            if not any(bloom_may_contain(bl, v) for v in c["cands"]):
+                return False
     return True
 
 
@@ -528,6 +537,10 @@ class LakeSnapshotReader(DataSourceReader):
                     (f.stats or {}).get("col_stats") or {}
                     if isinstance(f.stats, dict) else {}
                 ),
+                "blooms": (
+                    (f.stats or {}).get("blooms") or {}
+                    if isinstance(f.stats, dict) else {}
+                ),
                 "is_delta": f.is_delta,
                 "bytes": f.bytes,
             }
@@ -569,19 +582,27 @@ class LakeSnapshotReader(DataSourceReader):
                         # carrying a key's newest version would
                         # resurrect its stale base row
                         if not any(
-                            _stats_may_match(f["col_stats"], mut_cons)
+                            _stats_may_match(
+                                f["col_stats"], mut_cons, f.get("blooms")
+                            )
                             for f in fs
                         ):
                             continue
                         kept.extend(
                             f for f in fs
-                            if _stats_may_match(f["col_stats"], key_cons)
+                            if _stats_may_match(
+                                f["col_stats"], key_cons, f.get("blooms")
+                            )
                         )
                     else:
                         kept.extend(
                             f for f in fs
-                            if _stats_may_match(f["col_stats"], key_cons)
-                            and _stats_may_match(f["col_stats"], mut_cons)
+                            if _stats_may_match(
+                                f["col_stats"], key_cons, f.get("blooms")
+                            )
+                            and _stats_may_match(
+                                f["col_stats"], mut_cons, f.get("blooms")
+                            )
                         )
                 self._files = kept
         return filters
@@ -678,6 +699,8 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
         self.file_st = m.schema  # data cols + _seq + _deleted
         cluster = m.properties.get("write.sort_within_buckets", "")
         self.stat_cols = [c for c in cluster.split(",") if c]
+        bloom_prop = m.properties.get("write.bloom_filter_columns", "")
+        self.bloom_cols = [c for c in bloom_prop.split(",") if c]
         in_names = set(input_schema.fieldNames())
         missing = [k for k in self.key_cols if k not in in_names]
         if missing:
@@ -787,7 +810,11 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
                 dest_dir = os.path.join(table._data_dir, f"{BUCKET_COL}={int(b)}")
                 os.makedirs(dest_dir, exist_ok=True)
                 dest = os.path.join(dest_dir, fname)
-                stats = _footer_stats(pq.ParquetFile(fpath), value_cols=self.stat_cols)
+                stats = _footer_stats(
+                    pq.ParquetFile(fpath),
+                    value_cols=self.stat_cols,
+                    bloom_cols=self.bloom_cols,
+                )
                 os.replace(fpath, dest)
                 files.append(
                     DataFile(

@@ -548,6 +548,8 @@ def merge_local_delta(
     arrow_schema = to_arrow_schema(T.StructType(file_fields))
     cluster = m.properties.get("write.sort_within_buckets", "")
     stat_cols = [c for c in cluster.split(",") if c]
+    bloom_prop = m.properties.get("write.bloom_filter_columns", "")
+    bloom_cols = [c for c in bloom_prop.split(",") if c]
 
     by_bucket: dict[int, list] = {}
     for r in rows:
@@ -618,6 +620,16 @@ def merge_local_delta(
                     col_stats[c] = [min(vs), max(vs)]
             if col_stats:
                 stats["col_stats"] = col_stats
+            if bloom_cols:
+                from .bloom import build_bloom
+
+                blooms = {}
+                for c in bloom_cols:
+                    bl = build_bloom(r.get(c) for r in brows)
+                    if bl is not None:
+                        blooms[c] = bl
+                if blooms:
+                    stats["blooms"] = blooms
             new_files.append(
                 DataFile(
                     path=os.path.relpath(dest, table.root),

@@ -204,7 +204,9 @@ class Manifest:
         )
 
 
-def _footer_stats(pf, value_cols: Iterable[str] = ()) -> dict[str, Any] | None:
+def _footer_stats(
+    pf, value_cols: Iterable[str] = (), bloom_cols: Iterable[str] = ()
+) -> dict[str, Any] | None:
     """Pruning statistics from a parquet FOOTER (KB of metadata, zero
     data pages read) — collected once at write time and stored in the
     manifest, the Iceberg manifest-stats pattern. Conservative: any
@@ -294,6 +296,22 @@ def _footer_stats(pf, value_cols: Iterable[str] = ()) -> dict[str, Any] | None:
     }
     if col_stats:
         out["col_stats"] = col_stats
+    blooms: dict[str, Any] = {}
+    top_level = set(pf.schema_arrow.names)
+    for col in bloom_cols:
+        # unlike col_stats this reads the column's DATA pages (just
+        # written, page-cache warm) — the price of point-query pruning
+        # on columns min/max cannot discriminate; opt-in per table via
+        # write.bloom_filter_columns
+        if col not in top_level:
+            continue
+        from .bloom import build_bloom
+
+        bl = build_bloom(pf.read(columns=[col]).column(col).to_pylist())
+        if bl is not None:
+            blooms[col] = bl
+    if blooms:
+        out["blooms"] = blooms
     return out
 
 
@@ -632,29 +650,41 @@ class LakeTable:
         if file_value_ranges:
             key_cols = set(m.key_cols)
 
+            from .bloom import bloom_may_contain
+
             def may_contain(f: DataFile, ranges: dict) -> bool:
                 st = f.stats if isinstance(f.stats, dict) else None
                 cs = (st or {}).get("col_stats") or {}
+                blooms = (st or {}).get("blooms") or {}
                 for col, values in ranges.items():
                     rng = cs.get(col)
-                    if rng is None:
-                        continue  # no stats: conservative keep
-                    lo, hi = rng
-                    try:
-                        ok = False
-                        for v in values:
-                            if isinstance(v, (tuple, list)):
-                                vlo, vhi = v
-                                if not (hi < vlo or lo > vhi):
+                    if rng is not None:
+                        lo, hi = rng
+                        try:
+                            ok = False
+                            for v in values:
+                                if isinstance(v, (tuple, list)):
+                                    vlo, vhi = v
+                                    if not (hi < vlo or lo > vhi):
+                                        ok = True
+                                        break
+                                elif lo <= v <= hi:
                                     ok = True
                                     break
-                            elif lo <= v <= hi:
-                                ok = True
-                                break
-                        if not ok:
+                            if not ok:
+                                return False
+                        except TypeError:
+                            pass
+                    bl = blooms.get(col)
+                    # bloom: point probes only (intervals can't probe a
+                    # membership sketch); kept iff SOME sought value may
+                    # be present — prunes where min/max can't (high-
+                    # cardinality unclustered columns)
+                    if bl is not None and values and not any(
+                        isinstance(v, (tuple, list)) for v in values
+                    ):
+                        if not any(bloom_may_contain(bl, v) for v in values):
                             return False
-                    except TypeError:
-                        continue
                 return True
 
             key_rng = {c: v for c, v in file_value_ranges.items()
@@ -1048,6 +1078,8 @@ class LakeTable:
         # and prune nothing. Also improves RLE/dict compression.
         cluster = m_cur.properties.get("write.sort_within_buckets", "")
         sort_cols = [c for c in cluster.split(",") if c and c in df.columns]
+        bloom_prop = m_cur.properties.get("write.bloom_filter_columns", "")
+        bloom_cols = [c for c in bloom_prop.split(",") if c and c in df.columns]
         if sort_cols:
             # BUCKET_COL leads so the dynamic-partition write's required
             # ordering (sort by partition cols) is already satisfied and
@@ -1075,7 +1107,9 @@ class LakeTable:
                 rows = pf.metadata.num_rows
                 if rows == 0:
                     continue
-                stats = _footer_stats(pf, value_cols=sort_cols)
+                stats = _footer_stats(
+                    pf, value_cols=sort_cols, bloom_cols=bloom_cols
+                )
                 dest_name = f"{uuid.uuid4().hex}.parquet"
                 dest = os.path.join(dest_dir, dest_name)
                 os.replace(src, dest)
@@ -1968,10 +2002,13 @@ class LakeTable:
         bucket = bucket_of(values, dtypes, m.num_buckets)
         key_set = set(m.key_cols)
         files = []
+        from .bloom import bloom_may_contain
+
         for f in m.files:
             if f.bucket != bucket:
                 continue
             cs = ((f.stats or {}).get("col_stats") or {})
+            blooms = ((f.stats or {}).get("blooms") or {})
             skip = False
             for k, v in zip(m.key_cols, values):
                 rng = cs.get(k)
@@ -1982,6 +2019,9 @@ class LakeTable:
                             break
                     except TypeError:
                         pass
+                if v is not None and not bloom_may_contain(blooms.get(k), v):
+                    skip = True  # bloom says the key is definitely absent
+                    break
             if not skip:
                 files.append({"path": f.path, "is_delta": f.is_delta})
         if not files:
