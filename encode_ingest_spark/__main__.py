@@ -294,6 +294,7 @@ def cmd_universe_maintain(spark: SparkSession, args) -> int:
             tombstone_horizon_seq=args.tombstone_horizon_seq,
             max_files_per_bucket=args.max_files_per_bucket,
             keep_snapshots=args.keep_snapshots,
+            snapshot_age_sec=args.snapshot_age_sec,
             remove_orphan_files=not args.no_orphan_gc,
         )
         for k, v in rep.items():
@@ -316,6 +317,7 @@ def cmd_maintain(spark: SparkSession, args) -> int:
         tombstone_horizon_seq=args.tombstone_horizon_seq,
         max_files_per_bucket=args.max_files_per_bucket,
         keep_snapshots=args.keep_snapshots,
+        snapshot_age_sec=args.snapshot_age_sec,
         remove_orphan_files=not args.no_orphan_gc,
     )
     _emit(
@@ -574,6 +576,7 @@ def build_parser() -> argparse.ArgumentParser:
     um.add_argument("--root", required=True)
     um.add_argument("--keep-group-versions", type=int, default=None)
     um.add_argument("--keep-snapshots", type=int, default=None)
+    um.add_argument("--snapshot-age-sec", type=float, default=None)
     um.add_argument("--tombstone-horizon-seq", type=int, default=None)
     um.add_argument("--max-files-per-bucket", type=int, default=None)
     um.add_argument("--no-orphan-gc", action="store_true")
@@ -588,6 +591,7 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--tombstone-horizon-seq", type=int, default=None)
     mt.add_argument("--max-files-per-bucket", type=int, default=None)
     mt.add_argument("--keep-snapshots", type=int, default=None)
+    mt.add_argument("--snapshot-age-sec", type=float, default=None)
     mt.add_argument("--no-orphan-gc", action="store_true")
     mt.set_defaults(fn=cmd_maintain)
 

@@ -1012,6 +1012,86 @@ class LakeTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    # ---------- metadata inspection (Iceberg metadata-tables shape) ----------
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The snapshot's data files as a DataFrame — Iceberg's
+        ``<table>.files`` metadata table: one row per live file with
+        its bucket, size, row count, MOR form, and the manifest stats
+        the planner prunes with (seq range, tombstone flag, per-column
+        min/max, which columns carry Bloom filters). Driver-side KB of
+        manifest JSON; no data files are opened."""
+        m = self.manifest_at(
+            version if version is not None else self.current_version()
+        )
+        rows = []
+        for f in m.files:
+            st = f.stats if isinstance(f.stats, dict) else {}
+            cs = st.get("col_stats") or {}
+            rows.append(
+                (
+                    f.path, f.bucket, f.rows, f.bytes, f.schema_version,
+                    f.is_delta,
+                    None if st.get("min_seq") is None else int(st["min_seq"]),
+                    None if st.get("max_seq") is None else int(st["max_seq"]),
+                    bool(st.get("has_tombstones", True)),
+                    {c: [str(v[0]), str(v[1])] for c, v in cs.items()},
+                    sorted((st.get("blooms") or {}).keys()),
+                )
+            )
+        schema = (
+            "path string, bucket int, rows long, bytes long, "
+            "schema_version int, is_delta boolean, min_seq long, "
+            "max_seq long, has_tombstones boolean, "
+            "col_stats map<string,array<string>>, bloom_columns array<string>"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots_df(self) -> DataFrame:
+        """Retained snapshots as a DataFrame — Iceberg's
+        ``<table>.snapshots`` / Delta's ``DESCRIBE HISTORY`` shape: one
+        row per live version with commit time, exactly-once watermarks'
+        span, file/row/byte totals, and layout (bucket count, schema
+        version, key columns). Walks only RETAINED manifests (expired
+        history lives in ``lineage_df``'s archive)."""
+        rows = []
+        for m in self.snapshots():
+            rows.append(
+                (
+                    m.version, int(m.snapshot_id), float(m.committed_at),
+                    m.parent_version, len(m.files),
+                    sum(f.rows for f in m.files),
+                    sum(f.bytes for f in m.files),
+                    sum(1 for f in m.files if f.is_delta),
+                    m.num_buckets, m.current_schema_version,
+                    list(m.key_cols),
+                    {
+                        s: int(w.get("batch_id", -1))
+                        for s, w in (m.watermarks or {}).items()
+                    },
+                )
+            )
+        schema = (
+            "version int, snapshot_id long, committed_at double, "
+            "parent_version int, n_files int, total_rows long, "
+            "total_bytes long, n_delta_files int, num_buckets int, "
+            "schema_version int, key_cols array<string>, "
+            "watermarks map<string,long>"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def refs_df(self) -> DataFrame:
+        """Named refs as a DataFrame — Iceberg's ``<table>.refs``: the
+        main head, every tag (immutable, retention-pinning), and every
+        branch (WAP staging chain) with its head and fork point."""
+        rows = [("main", "branch", self.current_version(), None)]
+        for name, v in sorted(self.tags().items()):
+            rows.append((name, "tag", v, None))
+        for name, head in sorted(self.branches().items()):
+            rows.append((name, "branch", head, self.branch_fork_version(name)))
+        return self.spark.createDataFrame(
+            rows, "name string, type string, version int, fork_version int"
+        )
+
     # ---------- write ----------
     _token_cache: dict[int, list[int]] = {}
 
@@ -1573,7 +1653,9 @@ class LakeTable:
                 )
         return referenced
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_sec: float | None = None
+    ) -> int:
         """Drop manifests older than the last ``keep_last`` and delete data
         files only they referenced. Time travel to expired versions stops
         working (same contract as Iceberg's expire_snapshots). Lineage
@@ -1585,6 +1667,12 @@ class LakeTable:
         ``keep_last``; pinned delta-form manifests are materialized to
         full first so they stay loadable after their parents expire.
 
+        ``older_than_sec`` adds Iceberg's age guard: a version expires
+        only when it is BOTH beyond the last ``keep_last`` AND committed
+        more than that many seconds ago — "expire snapshots older than
+        T, retaining at least N" — so an aggressive keep_last cannot
+        eat the time-travel window a reader SLA depends on.
+
         Main-ref only: a branch shares the data directory, and a
         branch-local expiry could delete files the main chain still
         references — branches are short-lived staging refs (WAP), drop
@@ -1594,6 +1682,19 @@ class LakeTable:
         if len(versions) <= keep_last:
             return 0
         keep = set(versions[-keep_last:])
+        if older_than_sec is not None:
+            cutoff = time.time() - older_than_sec
+            for v in versions:
+                if v in keep:
+                    continue
+                # raw JSON read: committed_at is never behind delta
+                # resolution, so this stays O(versions) metadata reads
+                try:
+                    with open(self._manifest_path(v)) as fh:
+                        if float(json.load(fh).get("committed_at", 0.0)) > cutoff:
+                            keep.add(v)
+                except (OSError, ValueError):
+                    continue  # unreadable manifest: let the normal path decide
         # pinned versions (TableGroup snapshots etc.) are retention
         # roots — the re-root loop below materializes any of them whose
         # parent chain is expiring
@@ -1703,6 +1804,7 @@ class LakeTable:
         tombstone_horizon_seq: int | None = None,
         max_files_per_bucket: int | None = None,
         keep_snapshots: int | None = None,
+        snapshot_age_sec: float | None = None,
         remove_orphan_files: bool = True,
     ) -> dict[str, int]:
         """One-call housekeeping — the maintenance pass an operator (or
@@ -1716,7 +1818,8 @@ class LakeTable:
            when None — the horizon is the SOURCE's watermark contract,
            the engine cannot guess it);
         3. expire snapshots beyond ``keep_snapshots`` (skipped when
-           None; lineage is archived first);
+           None; lineage is archived first; ``snapshot_age_sec`` adds
+           the expire-older-than age guard);
         4. GC unreferenced data files and dead staging dirs (age- and
            liveness-guarded).
 
@@ -1745,7 +1848,7 @@ class LakeTable:
             )
         if keep_snapshots is not None:
             report["expired_data_files"] = self.expire_snapshots(
-                keep_last=keep_snapshots
+                keep_last=keep_snapshots, older_than_sec=snapshot_age_sec
             )
         if remove_orphan_files:
             report["orphans_removed"] = self.remove_orphans()
