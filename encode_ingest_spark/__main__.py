@@ -154,6 +154,64 @@ def cmd_merge(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_delete(spark: SparkSession, args) -> int:
+    from .lake.dml import delete_where
+
+    table = _load(spark, args.root, ref=getattr(args, "ref", None))
+    res = delete_where(
+        table,
+        args.where,
+        source_id=args.source_id,
+        batch_id=args.batch_id,
+        mode=args.mode,
+    )
+    _emit(
+        {
+            "cmd": "delete",
+            "root": args.root,
+            "where": args.where,
+            "rows_matched": res.rows_matched,
+            "skipped": bool(res.merge and res.merge.skipped),
+            "version": res.version if res.version is not None
+            else table.current_version(),
+        }
+    )
+    return 0
+
+
+def cmd_update(spark: SparkSession, args) -> int:
+    from .lake.dml import update_where
+
+    table = _load(spark, args.root, ref=getattr(args, "ref", None))
+    assignments: dict[str, str] = {}
+    for item in args.set or []:
+        col, eq, expr = item.partition("=")
+        if not eq or not col:
+            raise SystemExit(f"--set expects col=expr, got {item!r}")
+        assignments[col.strip()] = expr
+    res = update_where(
+        table,
+        args.where,
+        assignments,
+        source_id=args.source_id,
+        batch_id=args.batch_id,
+        mode=args.mode,
+    )
+    _emit(
+        {
+            "cmd": "update",
+            "root": args.root,
+            "where": args.where,
+            "set": sorted(assignments),
+            "rows_matched": res.rows_matched,
+            "skipped": bool(res.merge and res.merge.skipped),
+            "version": res.version if res.version is not None
+            else table.current_version(),
+        }
+    )
+    return 0
+
+
 def cmd_ingest(spark: SparkSession, args) -> int:
     from .streaming.pipeline import CdcStreamPipeline
 
@@ -527,6 +585,27 @@ def build_parser() -> argparse.ArgumentParser:
         "publish: audit with status --ref, then branch publish)",
     )
     m.set_defaults(fn=cmd_merge)
+
+    dl = sub.add_parser("delete", help="tombstone rows matching a predicate")
+    dl.add_argument("--root", required=True)
+    dl.add_argument("--where", required=True, help="SQL boolean predicate")
+    dl.add_argument("--source-id", default="dml")
+    dl.add_argument("--batch-id", type=int, default=None,
+                    help="optional statement fence for retrying orchestrators")
+    dl.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    dl.add_argument("--ref", default=None, help="apply on this branch (WAP)")
+    dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update", help="rewrite columns of rows matching a predicate")
+    up.add_argument("--root", required=True)
+    up.add_argument("--where", required=True, help="SQL boolean predicate")
+    up.add_argument("--set", action="append", required=True, metavar="COL=EXPR",
+                    help="assignment, repeatable; RHS sees the OLD row")
+    up.add_argument("--source-id", default="dml")
+    up.add_argument("--batch-id", type=int, default=None)
+    up.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    up.add_argument("--ref", default=None, help="apply on this branch (WAP)")
+    up.set_defaults(fn=cmd_update)
 
     i = sub.add_parser("ingest", help="drain an event directory into the table")
     i.add_argument("--root", required=True)

@@ -8,6 +8,7 @@ from .datasource import (
     LakeDataSource,
     register_lake_sources,
 )
+from .dml import DmlResult, delete_where, update_where
 from .evolution import SchemaEvolutionError, align_to_schema, merge_schemas
 from .follow import ChangeFeedFollower, FollowResult
 from .merge import (
@@ -40,6 +41,9 @@ __all__ = [
     "CommitConflictError",
     "SchemaEvolutionError",
     "MergeResult",
+    "delete_where",
+    "update_where",
+    "DmlResult",
     "merge_into",
     "merge_local_delta",
     "merge_small_batch",

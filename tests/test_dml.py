@@ -1,0 +1,209 @@
+"""Predicate DML (lake/dml.py): DELETE WHERE / UPDATE WHERE SET.
+
+Pins: tombstone semantics + resurrection safety under late events, ANSI
+old-row UPDATE semantics (swap test), validation, the empty-match
+no-commit guard, the exactly-once statement fence, COW/MOR parity, and
+the physical-erasure contract (delete → compact → expire leaves no live
+file containing the deleted content).
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from encode_ingest_spark.lake import LakeTable, delete_where, merge_into, update_where
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("x", T.StringType(), True),
+        T.StructField("y", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp_path, name, rows):
+    t = LakeTable.create(spark, str(tmp_path / name), SCHEMA, ["id"], num_buckets=4)
+    batch = spark.createDataFrame(
+        [(*r, "insert", 1) for r in rows],
+        "id string, x string, y string, n long, op string, event_seq long",
+    )
+    merge_into(t, batch, batch_id=1)
+    return t
+
+
+ROWS = [
+    ("a", "ax", "ay", 1),
+    ("b", "bx", "by", 2),
+    ("c", "cx", "cy", 3),
+    ("d", "dx", "dy", 4),
+    ("e", "ex", "ey", 5),
+]
+
+
+def test_delete_where_tombstones_matching_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, "del", ROWS)
+    v0 = t.current_version()
+    res = delete_where(t, "n >= 4")
+    assert res.rows_matched == 2
+    assert res.merge is not None and not res.merge.skipped
+    assert t.current_version() > v0
+    live = {r["id"] for r in t.read().collect()}
+    assert live == {"a", "b", "c"}
+    dead = {
+        r["id"]
+        for r in t.read(include_tombstones=True, include_internal=True)
+        .filter("_deleted")
+        .collect()
+    }
+    assert dead == {"d", "e"}
+
+
+def test_delete_where_no_match_is_no_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path, "nomatch", ROWS)
+    v0 = t.current_version()
+    res = delete_where(t, F.col("n") > 100)
+    assert res.rows_matched == 0
+    assert res.merge is None and res.version is None
+    assert t.current_version() == v0
+
+
+def test_late_lower_seq_event_cannot_resurrect_dml_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, "resurrect", ROWS)
+    delete_where(t, "id = 'a'")
+    # replay of the original insert (seq 1 < tombstone's seq 2) loses
+    late = spark.createDataFrame(
+        [("a", "ax", "ay", 1, "update", 1)],
+        "id string, x string, y string, n long, op string, event_seq long",
+    )
+    merge_into(t, late, batch_id=None)
+    assert t.read().filter("id = 'a'").count() == 0
+    # a genuinely newer event (higher seq) supersedes the tombstone
+    fresh = spark.createDataFrame(
+        [("a", "ax2", "ay2", 10, "update", 99)],
+        "id string, x string, y string, n long, op string, event_seq long",
+    )
+    merge_into(t, fresh, batch_id=None)
+    row = t.read().filter("id = 'a'").collect()
+    assert len(row) == 1 and row[0]["x"] == "ax2"
+
+
+def test_update_where_old_row_semantics_and_carryover(spark, tmp_path):
+    t = _mk(spark, tmp_path, "swap", ROWS)
+    res = update_where(t, "n <= 2", {"x": "y", "y": "x", "n": F.col("n") + 100})
+    assert res.rows_matched == 2
+    got = {r["id"]: (r["x"], r["y"], r["n"]) for r in t.read().collect()}
+    # RHS evaluated against the OLD row: x/y swap cleanly
+    assert got["a"] == ("ay", "ax", 101)
+    assert got["b"] == ("by", "bx", 102)
+    # unmatched rows untouched; unassigned columns carried
+    assert got["c"] == ("cx", "cy", 3)
+
+
+def test_update_where_validations(spark, tmp_path):
+    t = _mk(spark, tmp_path, "valid", ROWS)
+    with pytest.raises(ValueError, match="key column"):
+        update_where(t, "n = 1", {"id": "'z'"})
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where(t, "n = 1", {"nope": "'z'"})
+    with pytest.raises(ValueError, match="at least one"):
+        update_where(t, "n = 1", {})
+
+
+def test_dml_statement_fence_is_exactly_once(spark, tmp_path):
+    t = _mk(spark, tmp_path, "fence", ROWS)
+    r1 = update_where(t, "id = 'a'", {"n": "n + 1"}, source_id="job7", batch_id=7)
+    assert not r1.merge.skipped
+    # an orchestrator retry of the same statement id matches rows (the
+    # predicate still holds) but the merge fence refuses the re-land
+    r2 = update_where(t, "id = 'a'", {"n": "n + 1"}, source_id="job7", batch_id=7)
+    assert r2.merge is not None and r2.merge.skipped
+    assert t.read().filter("id = 'a'").collect()[0]["n"] == 2
+
+
+def test_update_where_cow_matches_mor(spark, tmp_path):
+    t_mor = _mk(spark, tmp_path, "mor", ROWS)
+    t_cow = _mk(spark, tmp_path, "cow", ROWS)
+    update_where(t_mor, "n % 2 = 1", {"x": "upper(x)"}, mode="mor")
+    update_where(t_cow, "n % 2 = 1", {"x": "upper(x)"}, mode="cow")
+    a = sorted(tuple(r) for r in t_mor.read().collect())
+    b = sorted(tuple(r) for r in t_cow.read().collect())
+    assert a == b
+
+
+def test_cli_delete_and_update_verbs(spark, tmp_path, capsys):
+    import json
+
+    from encode_ingest_spark.__main__ import main
+
+    t = _mk(spark, tmp_path, "cli", ROWS)
+
+    def run(*argv):
+        assert main(list(argv), spark=spark) == 0
+        lines = [
+            l for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ]
+        return json.loads(lines[-1])
+
+    out = run(
+        "update", "--root", t.root, "--where", "n <= 2",
+        "--set", "x=upper(x)", "--set", "n=n + 10",
+    )
+    assert out["rows_matched"] == 2 and not out["skipped"]
+    got = {r["id"]: (r["x"], r["n"]) for r in t.read().collect()}
+    assert got["a"] == ("AX", 11) and got["b"] == ("BX", 12)
+
+    out = run("delete", "--root", t.root, "--where", "n > 10")
+    assert out["rows_matched"] == 2
+    assert {r["id"] for r in t.read().collect()} == {"c", "d", "e"}
+
+    # fenced retry of the same statement id
+    out = run(
+        "delete", "--root", t.root, "--where", "id = 'c'",
+        "--source-id", "job1", "--batch-id", "3",
+    )
+    assert out["rows_matched"] == 1 and not out["skipped"]
+    out = run(
+        "delete", "--root", t.root, "--where", "id = 'd'",
+        "--source-id", "job1", "--batch-id", "3",
+    )
+    assert out["skipped"] and t.read().filter("id = 'd'").count() == 1
+
+
+def test_delete_then_maintain_erases_content(spark, tmp_path):
+    secret = "SECRET-PAYLOAD-c1b2a3"
+    t = _mk(
+        spark,
+        tmp_path,
+        "gdpr",
+        ROWS + [("z", secret, secret, 999)],
+    )
+    res = delete_where(t, F.col("x") == secret)
+    assert res.rows_matched == 1
+    # tombstone lands immediately with NULL payload...
+    ts = (
+        t.read(include_tombstones=True, include_internal=True)
+        .filter("id = 'z'")
+        .collect()
+    )
+    assert len(ts) == 1 and ts[0]["_deleted"] and ts[0]["x"] is None
+    # ...and the compact-then-expire cycle physically removes the bytes
+    t.compact_deltas()
+    t.expire_snapshots(keep_last=1)
+    for dirpath, _dirs, files in os.walk(t.root):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(dirpath, fn))
+            blob = str(tbl.to_pydict())
+            assert secret not in blob, f"deleted content survives in {fn}"
+    # the tombstone itself is retained (resurrection guard)
+    assert t.read().filter("id = 'z'").count() == 0
+    assert (
+        t.read(include_tombstones=True).filter("id = 'z'").count() == 1
+    )
