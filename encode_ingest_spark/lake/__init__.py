@@ -8,7 +8,7 @@ from .datasource import (
     LakeDataSource,
     register_lake_sources,
 )
-from .dml import DmlResult, delete_where, update_where
+from .dml import DmlResult, MergeApplyResult, delete_where, merge_apply, update_where
 from .evolution import SchemaEvolutionError, align_to_schema, merge_schemas
 from .follow import ChangeFeedFollower, FollowResult
 from .merge import (
@@ -43,7 +43,9 @@ __all__ = [
     "MergeResult",
     "delete_where",
     "update_where",
+    "merge_apply",
     "DmlResult",
+    "MergeApplyResult",
     "merge_into",
     "merge_local_delta",
     "merge_small_batch",

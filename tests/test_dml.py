@@ -207,3 +207,179 @@ def test_delete_then_maintain_erases_content(spark, tmp_path):
     assert (
         t.read(include_tombstones=True).filter("id = 'z'").count() == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_apply — SQL MERGE INTO semantics
+# ---------------------------------------------------------------------------
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "id string, x string, y string, n long")
+
+
+def test_merge_apply_upsert_and_insert(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_upsert", ROWS)
+    res = merge_apply(
+        t,
+        _src(spark, [("a", "AX", "AY", 100), ("f", "fx", "fy", 6)]),
+        when_matched="update",
+        when_not_matched="insert",
+    )
+    assert res.counts == {"inserted": 1, "updated": 1, "deleted": 0}
+    got = {r["id"]: (r["x"], r["n"]) for r in t.read().collect()}
+    assert got["a"] == ("AX", 100)       # matched: source overwrote
+    assert got["f"] == ("fx", 6)         # not matched: inserted
+    assert got["b"] == ("bx", 2)         # untouched
+
+
+def test_merge_apply_clause_order_and_conditions(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_clauses", ROWS)
+    # first holding clause wins: n<=2 rows delete, the rest update one col
+    res = merge_apply(
+        t,
+        _src(spark, [("a", "_", "_", 0), ("c", "CX", "_", 0), ("zz", "z", "z", 9)]),
+        when_matched=[
+            ("target.n <= 2", "delete"),
+            (None, {"x": "source.x"}),
+        ],
+        when_not_matched=("source.n > 5", "insert"),
+    )
+    assert res.counts == {"inserted": 1, "updated": 1, "deleted": 1}
+    got = {r["id"]: (r["x"], r["y"], r["n"]) for r in t.read().collect()}
+    assert "a" not in got                     # clause 1: deleted
+    assert got["c"] == ("CX", "cy", 3)        # clause 2: x assigned, y/n carry
+    assert got["zz"] == ("z", "z", 9)         # conditional insert held
+    # an unmatched-source row whose insert condition fails is a no-op
+    res2 = merge_apply(
+        t,
+        _src(spark, [("yy", "y", "y", 1)]),
+        when_matched="update",
+        when_not_matched=("source.n > 5", "insert"),
+    )
+    assert res2.merge is None and res2.counts["inserted"] == 0
+
+
+def test_merge_apply_insert_resurrects_tombstoned_key(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_resurrect", ROWS)
+    delete_where(t, "id = 'b'")
+    assert t.read().filter("id = 'b'").count() == 0
+    # SQL sees no row for b -> NOT matched -> insert, and the minted seq
+    # must supersede the tombstone
+    res = merge_apply(
+        t,
+        _src(spark, [("b", "b2", "b2", 22)]),
+        when_matched="update",
+        when_not_matched="insert",
+    )
+    assert res.counts["inserted"] == 1
+    row = t.read().filter("id = 'b'").collect()
+    assert len(row) == 1 and row[0]["x"] == "b2" and row[0]["n"] == 22
+
+
+def test_merge_apply_not_matched_by_source_sync(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    # the reference's staged-dataset sync: upsert staged rows, soft-delete
+    # live rows missing from staging
+    t = _mk(spark, tmp_path, "ma_sync", ROWS)
+    staged = _src(spark, [("a", "a2", "ay", 1), ("b", "bx", "by", 2)])
+    res = merge_apply(
+        t,
+        staged,
+        when_matched="update",
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+    )
+    assert res.counts == {"inserted": 0, "updated": 2, "deleted": 3}
+    assert {r["id"] for r in t.read().collect()} == {"a", "b"}
+    dead = {
+        r["id"]
+        for r in t.read(include_tombstones=True, include_internal=True)
+        .filter("_deleted").collect()
+    }
+    assert dead == {"c", "d", "e"}
+    # conditional by-source UPDATE variant (flag instead of delete)
+    t2 = _mk(spark, tmp_path, "ma_sync2", ROWS)
+    res2 = merge_apply(
+        t2,
+        _src(spark, [("a", "ax", "ay", 1)]),
+        when_not_matched_by_source=[("n >= 4", {"y": "'stale'"})],
+    )
+    assert res2.counts == {"inserted": 0, "updated": 2, "deleted": 0}
+    got = {r["id"]: r["y"] for r in t2.read().collect()}
+    assert got["d"] == "stale" and got["e"] == "stale" and got["b"] == "by"
+
+
+def test_merge_apply_cardinality_violation(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_card", ROWS)
+    dup = _src(spark, [("a", "1", "1", 1), ("a", "2", "2", 2)])
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_apply(t, dup, when_matched="update")
+    # opt-out lands an arbitrary-but-atomic winner (CDC replay-tie rule)
+    res = merge_apply(t, dup, when_matched="update", check_cardinality=False)
+    assert res.counts["updated"] == 2  # both rows routed; LWW resolves at read
+    assert t.read().filter("id = 'a'").count() == 1
+
+
+def test_merge_apply_validations_and_fence(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_valid", ROWS)
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        merge_apply(t, _src(spark, []))
+    with pytest.raises(ValueError, match="key column"):
+        merge_apply(t, _src(spark, []), when_matched={"id": "'z'"})
+    with pytest.raises(ValueError, match="unknown column"):
+        merge_apply(t, _src(spark, []), when_matched={"nope": "1"})
+    with pytest.raises(ValueError, match="lacks key"):
+        merge_apply(
+            t, spark.createDataFrame([("q",)], "q string"), when_matched="update"
+        )
+    with pytest.raises(ValueError, match="not in"):
+        merge_apply(t, _src(spark, []), when_not_matched="delete")
+    # exactly-once statement fence
+    s = _src(spark, [("a", "A1", "A1", 11)])
+    r1 = merge_apply(t, s, when_matched="update", source_id="j", batch_id=5)
+    assert not r1.merge.skipped
+    r2 = merge_apply(
+        t, _src(spark, [("a", "A2", "A2", 12)]),
+        when_matched="update", source_id="j", batch_id=5,
+    )
+    assert r2.merge is not None and r2.merge.skipped
+    assert t.read().filter("id = 'a'").collect()[0]["x"] == "A1"
+
+
+def test_merge_apply_cow_matches_mor_and_pushdown_cap(spark, tmp_path):
+    from encode_ingest_spark.lake import dml
+    from encode_ingest_spark.lake import merge_apply
+
+    t_mor = _mk(spark, tmp_path, "ma_mor", ROWS)
+    t_cow = _mk(spark, tmp_path, "ma_cow", ROWS)
+    s = [("a", "Z", "Z", 0), ("q", "Q", "Q", 9)]
+    merge_apply(t_mor, _src(spark, s), when_matched="update",
+                when_not_matched="insert", mode="mor")
+    merge_apply(t_cow, _src(spark, s), when_matched="update",
+                when_not_matched="insert", mode="cow")
+    a = sorted(tuple(r) for r in t_mor.read().collect())
+    b = sorted(tuple(r) for r in t_cow.read().collect())
+    assert a == b
+    # over-cap source takes the un-pruned join path, same result
+    t2 = _mk(spark, tmp_path, "ma_cap", ROWS)
+    old = dml.MERGE_PUSHDOWN_CAP
+    dml.MERGE_PUSHDOWN_CAP = 1
+    try:
+        res = merge_apply(t2, _src(spark, s), when_matched="update",
+                          when_not_matched="insert")
+    finally:
+        dml.MERGE_PUSHDOWN_CAP = old
+    assert res.counts == {"inserted": 1, "updated": 1, "deleted": 0}
+    got = {r["id"]: r["x"] for r in t2.read().collect()}
+    assert got["a"] == "Z" and got["q"] == "Q"
