@@ -212,6 +212,41 @@ def cmd_update(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_sync(spark: SparkSession, args) -> int:
+    """MERGE a staged parquet dataset into the table: upsert staged rows
+    and (with --prune-missing) soft-delete live rows absent from staging
+    — the reference's staged-dataset sync
+    (orchestration/templates/ingest-processed-data.yaml:86-172) as one
+    idempotent CLI statement over ``merge_apply``."""
+    from .lake.dml import merge_apply
+
+    table = _load(spark, args.root, ref=getattr(args, "ref", None))
+    source = spark.read.parquet(args.source)
+    res = merge_apply(
+        table,
+        source,
+        when_matched="update",
+        when_not_matched="insert",
+        when_not_matched_by_source="delete" if args.prune_missing else None,
+        source_id=args.source_id,
+        batch_id=args.batch_id,
+        mode=args.mode,
+    )
+    _emit(
+        {
+            "cmd": "sync",
+            "root": args.root,
+            "source": args.source,
+            "prune_missing": bool(args.prune_missing),
+            "counts": res.counts,
+            "skipped": bool(res.merge and res.merge.skipped),
+            "version": res.version if res.version is not None
+            else table.current_version(),
+        }
+    )
+    return 0
+
+
 def cmd_ingest(spark: SparkSession, args) -> int:
     from .streaming.pipeline import CdcStreamPipeline
 
@@ -606,6 +641,20 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--mode", choices=["mor", "cow"], default="mor")
     up.add_argument("--ref", default=None, help="apply on this branch (WAP)")
     up.set_defaults(fn=cmd_update)
+
+    sy = sub.add_parser(
+        "sync", help="MERGE a staged parquet dataset into the table"
+    )
+    sy.add_argument("--root", required=True)
+    sy.add_argument("--source", required=True, help="staged parquet path")
+    sy.add_argument("--prune-missing", action="store_true",
+                    help="soft-delete live rows absent from the source")
+    sy.add_argument("--source-id", default="sync")
+    sy.add_argument("--batch-id", type=int, default=None,
+                    help="optional statement fence for retrying orchestrators")
+    sy.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    sy.add_argument("--ref", default=None, help="apply on this branch (WAP)")
+    sy.set_defaults(fn=cmd_sync)
 
     i = sub.add_parser("ingest", help="drain an event directory into the table")
     i.add_argument("--root", required=True)

@@ -110,6 +110,86 @@ def test_cli_merge_fence(spark, capsys, roots, tmp_path):
     assert out["skipped"] and out["version"] == v
 
 
+def test_cli_dml_delete_update_sync(spark, capsys, roots, tmp_path):
+    """The three DML verbs as an orchestrator would chain them: seed via
+    merge, predicate delete + update, then `sync` (MERGE a staged parquet
+    dataset, pruning live rows missing from staging — the reference's
+    ingest-processed-data staged-sync shape)."""
+    lake, _, _ = roots
+    run_cli(spark, capsys, "create", "--root", lake, "--buckets", "4")
+
+    from encode_ingest_spark.cdc.generator import repo_file_events
+
+    batch_path = str(tmp_path / "seed")
+    repo_file_events(
+        spark, n_keys=30, events_per_key=1, seed=3, delete_pct=0
+    ).write.parquet(batch_path)
+    run_cli(
+        spark, capsys, "merge", "--root", lake, "--batch", batch_path,
+        "--batch-id", "1",
+    )
+    table = LakeTable.load(spark, lake)
+    n0 = table.read().count()
+    assert n0 == 30
+
+    langs = [
+        r["lang"]
+        for r in table.read().groupBy("lang").count()
+        .orderBy(F.desc("count"), "lang").limit(2).collect()
+    ]
+    out = run_cli(
+        spark, capsys, "delete", "--root", lake,
+        "--where", f"lang = '{langs[0]}'",
+    )
+    gone = out["rows_matched"]
+    assert gone >= 1 and table.read().count() == n0 - gone
+
+    out = run_cli(
+        spark, capsys, "update", "--root", lake,
+        "--where", f"lang = '{langs[1]}'", "--set", "content=upper(content)",
+    )
+    assert out["rows_matched"] >= 1
+    assert (
+        table.read()
+        .filter(f"lang = '{langs[1]}' AND content != upper(content)")
+        .count() == 0
+    )
+
+    # staged sync: keep 5 live keys (content rewritten), add 2 new keys,
+    # prune everything else
+    staged = (
+        table.read()
+        .limit(5)
+        .select("repo", "path", "commit", "lang")
+        .withColumn("content", F.lit("staged"))
+    )
+    staged = staged.unionByName(
+        spark.createDataFrame(
+            [("rnew", f"p{i}", "c0", "py", "fresh") for i in range(2)],
+            staged.schema,
+        )
+    )
+    staged_path = str(tmp_path / "staged")
+    staged.write.parquet(staged_path)
+    out = run_cli(
+        spark, capsys, "sync", "--root", lake, "--source", staged_path,
+        "--prune-missing", "--batch-id", "1",
+    )
+    assert out["counts"]["updated"] == 5 and out["counts"]["inserted"] == 2
+    assert out["counts"]["deleted"] == n0 - gone - 5
+    live = table.read()
+    assert live.count() == 7
+    assert live.filter("content IN ('staged', 'fresh')").count() == 7
+
+    # retried sync under the same fence is a no-op
+    v = out["version"]
+    out = run_cli(
+        spark, capsys, "sync", "--root", lake, "--source", staged_path,
+        "--prune-missing", "--batch-id", "1",
+    )
+    assert out["skipped"] and out["version"] == v
+
+
 def test_cli_universe_roundtrip(spark, capsys, tmp_path):
     """The universe verbs drive the reference's whole extract->transform
     DAG as a job: create the layout, drain a multiplexed changelog, and
