@@ -269,6 +269,7 @@ def merge_apply(
     mode: str = "mor",
     expected_watermark: int | None = None,
     check_cardinality: bool = True,
+    evolve_schema: bool = False,
 ) -> MergeApplyResult:
     """``MERGE INTO table USING source ON keys`` — the ANSI / Delta /
     Iceberg conditional upsert, compiled to ONE CDC batch landed through
@@ -307,6 +308,12 @@ def merge_apply(
       anti-join (inherently corpus-sized; omit it and the statement's
       cost stays source-sized).
 
+    ``evolve_schema`` (Delta's ``withSchemaEvolution()``): source columns
+    beyond the table schema are appended through the engine's merge-time
+    auto-evolution — ``update``/``insert`` actions write them, rows other
+    clauses touch read null, and assignment dicts may target them. Off
+    (default) they are ignored and assigning one raises.
+
     Scale shape: one eager checkpoint of the (change-set-sized) source;
     matched+insert branches compile to ONE select over a single
     left join (clause routing is a fused CASE — whole-stage codegen, no
@@ -334,6 +341,13 @@ def merge_apply(
         f.name for f in m.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
     ]
     known = set(data_cols)
+    reserved = {OP_COL, EVENT_SEQ_COL, SEQ_COL, DELETED_COL}
+    extra = (
+        [c for c in source.columns if c not in known and c not in reserved]
+        if evolve_schema
+        else []
+    )
+    assignable = known | set(extra)
     for cond, action in wm_clauses + wnm_clauses + wnmbs_clauses:
         if isinstance(action, dict):
             for c in action:
@@ -341,10 +355,10 @@ def merge_apply(
                     raise ValueError(
                         f"cannot assign key column {c!r} in a MERGE clause"
                     )
-                if c not in known:
+                if c not in assignable:
                     raise ValueError(
-                        f"unknown column {c!r}; add columns via schema "
-                        "evolution, not MERGE"
+                        f"unknown column {c!r}; pass evolve_schema=True to "
+                        "add source columns, or evolve the schema first"
                     )
 
     src = source.localCheckpoint(eager=True)
@@ -430,12 +444,30 @@ def merge_apply(
         all_clauses = [(a, True) for _c, a in wm_clauses] + [
             (a, False) for _c, a in wnm_clauses
         ]
+        def _branch_val_extra(action, col: str) -> Column:
+            # evolving column: the target has no value yet, so carry-over
+            # is null in every branch
+            if isinstance(action, dict):
+                return (
+                    _as_column(action[col]) if col in action
+                    else F.lit(None).cast(src.schema[col].dataType)
+                )
+            if action == "delete":
+                return F.lit(None).cast(src.schema[col].dataType)
+            return F.col(f"source.`{col}`")
+
         out_cols: list[Column] = [F.col(f"source.`{k}`").alias(k) for k in keys]
         for c in non_key_data:
             v = F.lit(None)
             for i in reversed(range(len(all_clauses))):
                 action, matched = all_clauses[i]
                 v = F.when(routed == i, _branch_val(action, c, matched)).otherwise(v)
+            out_cols.append(v.alias(c))
+        for c in extra:
+            v = F.lit(None).cast(src.schema[c].dataType)
+            for i in reversed(range(len(all_clauses))):
+                action, _matched = all_clauses[i]
+                v = F.when(routed == i, _branch_val_extra(action, c)).otherwise(v)
             out_cols.append(v.alias(c))
         op = F.lit(None).cast("string")
         for i in reversed(range(len(all_clauses))):
@@ -476,6 +508,15 @@ def merge_apply(
                     else (F.col(f"`{c}`") if isinstance(action, dict) else F.lit(None))
                 )
                 v = F.when(route == i, bv).otherwise(v)
+            out_cols.append(v.alias(c))
+        for c in extra:
+            # target rows never carry an evolving column; only an explicit
+            # assignment can set it here
+            v = F.lit(None).cast(src.schema[c].dataType)
+            for i in reversed(range(len(wnmbs_clauses))):
+                action = wnmbs_clauses[i][1]
+                if isinstance(action, dict) and c in action:
+                    v = F.when(route == i, _as_column(action[c])).otherwise(v)
             out_cols.append(v.alias(c))
         op = F.lit(None).cast("string")
         for i in reversed(range(len(wnmbs_clauses))):

@@ -357,6 +357,48 @@ def test_merge_apply_validations_and_fence(spark, tmp_path):
     assert t.read().filter("id = 'a'").collect()[0]["x"] == "A1"
 
 
+def test_merge_apply_schema_evolution(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_evolve", ROWS)
+    src = spark.createDataFrame(
+        [("a", "A2", 7), ("f", "F1", 8)], "id string, x string, stars long"
+    )
+    # off by default: extra source columns are ignored, assigning raises
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_apply(t, src, when_matched={"stars": "source.stars"})
+    res = merge_apply(t, src, when_matched="update", when_not_matched="insert")
+    assert "stars" not in t.read().columns
+    assert res.counts == {"inserted": 1, "updated": 1, "deleted": 0}
+
+    # on: update/insert write the new column, untouched rows read null
+    t2 = _mk(spark, tmp_path, "ma_evolve2", ROWS)
+    res = merge_apply(
+        t2, src, when_matched="update", when_not_matched="insert",
+        evolve_schema=True,
+    )
+    assert res.counts == {"inserted": 1, "updated": 1, "deleted": 0}
+    got = {r["id"]: (r["x"], r["stars"]) for r in t2.read().collect()}
+    assert got["a"] == ("A2", 7) and got["f"] == ("F1", 8)
+    assert got["b"][1] is None  # untouched row reads null
+    # assignment dicts may target the evolving column; unassigned
+    # branches (incl. by-source) leave it null
+    src2 = spark.createDataFrame(
+        [("b", "B", 1)], "id string, x string, stars long"
+    )
+    res = merge_apply(
+        t2, src2,
+        when_matched={"stars": "source.stars * 10"},
+        when_not_matched_by_source=[("id = 'c'", {"y": "'flagged'"})],
+        evolve_schema=True,
+    )
+    assert res.counts["updated"] == 2
+    got = {r["id"]: (r["y"], r["stars"]) for r in t2.read().collect()}
+    assert got["b"][1] == 10
+    assert got["c"] == ("flagged", None)
+    assert got["a"][1] == 7  # prior epoch's value untouched
+
+
 def test_merge_apply_cow_matches_mor_and_pushdown_cap(spark, tmp_path):
     from encode_ingest_spark.lake import dml
     from encode_ingest_spark.lake import merge_apply
