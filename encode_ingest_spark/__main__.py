@@ -222,6 +222,16 @@ def cmd_sync(spark: SparkSession, args) -> int:
 
     table = _load(spark, args.root, ref=getattr(args, "ref", None))
     source = spark.read.parquet(args.source)
+    if (
+        args.prune_missing
+        and not args.force_empty_source
+        and not source.limit(1).take(1)
+    ):
+        raise SystemExit(
+            "sync --prune-missing with an EMPTY source would soft-delete "
+            "every live row (a failed upstream extract looks exactly like "
+            "this); pass --force-empty-source if the wipe is intended"
+        )
     res = merge_apply(
         table,
         source,
@@ -240,6 +250,7 @@ def cmd_sync(spark: SparkSession, args) -> int:
             "prune_missing": bool(args.prune_missing),
             "counts": res.counts,
             "skipped": bool(res.merge and res.merge.skipped),
+            "stale": bool(res.merge and res.merge.stale),
             "version": res.version if res.version is not None
             else table.current_version(),
         }
@@ -649,6 +660,9 @@ def build_parser() -> argparse.ArgumentParser:
     sy.add_argument("--source", required=True, help="staged parquet path")
     sy.add_argument("--prune-missing", action="store_true",
                     help="soft-delete live rows absent from the source")
+    sy.add_argument("--force-empty-source", action="store_true",
+                    help="allow --prune-missing to wipe the table when the "
+                         "source is empty")
     sy.add_argument("--source-id", default="sync")
     sy.add_argument("--batch-id", type=int, default=None,
                     help="optional statement fence for retrying orchestrators")

@@ -52,7 +52,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .merge import EVENT_SEQ_COL, OP_COL, MergeResult, merge_into
+from .merge import (
+    EVENT_SEQ_COL,
+    OP_COL,
+    MergeResult,
+    _watermark_stale,
+    merge_into,
+)
 from .table import DELETED_COL, SEQ_COL, LakeTable
 
 #: source key sets at or below this collect into manifest-level file
@@ -90,10 +96,11 @@ def _matched(table: LakeTable, condition: Column | str) -> DataFrame:
     return df.filter(_as_column(condition))
 
 
-def _next_seq() -> Column:
+def _next_seq(qualifier: str | None = None) -> Column:
     """Per-key monotone successor of the matched row's current ``_seq``
     (built lazily — Column construction needs a live gateway)."""
-    return (F.coalesce(F.col(SEQ_COL), F.lit(-1)) + F.lit(1)).cast("long")
+    col = F.col(f"{qualifier}.`{SEQ_COL}`") if qualifier else F.col(SEQ_COL)
+    return (F.coalesce(col, F.lit(-1)) + F.lit(1)).cast("long")
 
 
 def _land(
@@ -236,7 +243,18 @@ def _clause_list(clauses) -> list[tuple[Column | str | None, object]]:
         clauses[0] is None or isinstance(clauses[0], (str, Column))
     ) and isinstance(clauses[1], (str, dict)):
         return [clauses]
-    return list(clauses)
+    out: list[tuple[Column | str | None, object]] = []
+    for el in clauses:
+        if isinstance(el, (str, dict)):
+            out.append((None, el))
+        elif isinstance(el, (tuple, list)) and len(el) == 2:
+            out.append((el[0], el[1]))
+        else:
+            raise ValueError(
+                "each clause must be an action or a (condition, action) "
+                f"pair, got {el!r}"
+            )
+    return out
 
 
 def _validate_clauses(clauses, allowed: set[str], where: str):
@@ -333,6 +351,26 @@ def merge_apply(
     )
 
     m = table.current_manifest()
+
+    # statement-level fence pre-check: a retried statement must not pay
+    # the full MERGE compute (checkpoint, cardinality agg, target join)
+    # just to have merge_into skip it at the end; the fence is re-checked
+    # at commit so a race here only costs the recompute, never a double
+    # apply. Skipped statements report ZERO counts — the clause-match
+    # counts describe rows that never landed.
+    _zero = {"inserted": 0, "updated": 0, "deleted": 0}
+    if batch_id is not None:
+        wm = m.watermarks.get(source_id)
+        if wm is not None and wm.get("batch_id", -1) >= batch_id:
+            return MergeApplyResult(
+                dict(_zero), MergeResult(m, dict(_zero), skipped=True)
+            )
+    if _watermark_stale(m, source_id, expected_watermark):
+        return MergeApplyResult(
+            dict(_zero),
+            MergeResult(m, dict(_zero), skipped=True, stale=True),
+        )
+
     keys = list(m.key_cols)
     missing = [k for k in keys if k not in source.columns]
     if missing:
@@ -458,7 +496,10 @@ def merge_apply(
 
         out_cols: list[Column] = [F.col(f"source.`{k}`").alias(k) for k in keys]
         for c in non_key_data:
-            v = F.lit(None)
+            # typed seed: an all-delete statement would otherwise compile
+            # every payload column to an untyped (void) NULL and trip
+            # schema evolution
+            v = F.lit(None).cast(m.schema[c].dataType)
             for i in reversed(range(len(all_clauses))):
                 action, matched = all_clauses[i]
                 v = F.when(routed == i, _branch_val(action, c, matched)).otherwise(v)
@@ -477,10 +518,7 @@ def merge_apply(
                 else ("update" if matched else "insert")
             )
             op = F.when(routed == i, F.lit(o)).otherwise(op)
-        out_cols.append(
-            (F.coalesce(F.col(f"target.`{SEQ_COL}`"), F.lit(-1)) + F.lit(1))
-            .cast("long").alias(EVENT_SEQ_COL)
-        )
+        out_cols.append(_next_seq(qualifier="target").alias(EVENT_SEQ_COL))
         out_cols.append(op.alias(OP_COL))
         batches.append(j.filter(routed.isNotNull()).select(*out_cols))
 
@@ -500,7 +538,7 @@ def merge_apply(
             route = F.when(_cond(wnmbs_clauses[i][0]), F.lit(i)).otherwise(route)
         out_cols = [F.col(f"`{k}`").alias(k) for k in keys]
         for c in non_key_data:
-            v = F.lit(None)
+            v = F.lit(None).cast(m.schema[c].dataType)
             for i in reversed(range(len(wnmbs_clauses))):
                 action = wnmbs_clauses[i][1]
                 bv = (
@@ -549,4 +587,8 @@ def merge_apply(
         batch_unique=True,
         expected_watermark=expected_watermark,
     )
+    if res.skipped:
+        # a concurrent writer won the fence/CAS between the pre-check and
+        # the commit: nothing landed, so report nothing
+        counts = dict(_zero)
     return MergeApplyResult(counts, res)

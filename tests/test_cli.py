@@ -181,13 +181,23 @@ def test_cli_dml_delete_update_sync(spark, capsys, roots, tmp_path):
     assert live.count() == 7
     assert live.filter("content IN ('staged', 'fresh')").count() == 7
 
-    # retried sync under the same fence is a no-op
+    # retried sync under the same fence is a no-op reporting zero counts
     v = out["version"]
     out = run_cli(
         spark, capsys, "sync", "--root", lake, "--source", staged_path,
         "--prune-missing", "--batch-id", "1",
     )
     assert out["skipped"] and out["version"] == v
+    assert out["counts"] == {"inserted": 0, "updated": 0, "deleted": 0}
+
+    # an EMPTY staged source + --prune-missing is a refused full wipe
+    empty_path = str(tmp_path / "staged_empty")
+    staged.limit(0).write.parquet(empty_path)
+    with pytest.raises(SystemExit, match="force-empty-source"):
+        main(["sync", "--root", lake, "--source", empty_path,
+              "--prune-missing"], spark=spark)
+    capsys.readouterr()
+    assert table.read().count() == 7  # untouched
 
 
 def test_cli_universe_roundtrip(spark, capsys, tmp_path):

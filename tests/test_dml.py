@@ -357,6 +357,83 @@ def test_merge_apply_validations_and_fence(spark, tmp_path):
     assert t.read().filter("id = 'a'").collect()[0]["x"] == "A1"
 
 
+def test_merge_apply_delete_only_statements(spark, tmp_path):
+    """All-delete statements compile every payload column to NULL — the
+    CASE seeds must stay typed or schema evolution sees void columns."""
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_delonly", ROWS)
+    res = merge_apply(
+        t, _src(spark, [("a", "_", "_", 0), ("zz", "_", "_", 0)]),
+        when_matched="delete",
+    )
+    assert res.counts == {"inserted": 0, "updated": 0, "deleted": 1}
+    assert t.read().filter("id = 'a'").count() == 0
+    # prune-only statement: by-source delete with no other clause
+    t2 = _mk(spark, tmp_path, "ma_prune", ROWS)
+    res = merge_apply(
+        t2, _src(spark, [("a", "ax", "ay", 1)]),
+        when_not_matched_by_source="delete",
+    )
+    assert res.counts["deleted"] == 4
+    assert {r["id"] for r in t2.read().collect()} == {"a"}
+
+
+def test_merge_apply_fence_precheck_and_zero_counts(spark, tmp_path):
+    """A retried statement skips BEFORE the merge compute and reports
+    zero counts (nothing landed)."""
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_fence0", ROWS)
+    r1 = merge_apply(
+        t, _src(spark, [("a", "A", "A", 1)]),
+        when_matched="update", source_id="s", batch_id=3,
+    )
+    assert r1.counts["updated"] == 1 and not r1.merge.skipped
+    calls = {"n": 0}
+    orig = t.read
+    t.read = lambda *a, **k: calls.__setitem__("n", calls["n"] + 1) or orig(*a, **k)
+    try:
+        r2 = merge_apply(
+            t, _src(spark, [("b", "B", "B", 2)]),
+            when_matched="update", source_id="s", batch_id=3,
+        )
+    finally:
+        del t.read
+    assert r2.merge.skipped and r2.counts == {
+        "inserted": 0, "updated": 0, "deleted": 0,
+    }
+    assert calls["n"] == 0  # no target scan, no join, no compute
+    # stale CAS skip is also free and zero-counted
+    r3 = merge_apply(
+        t, _src(spark, [("b", "B", "B", 2)]),
+        when_matched="update", source_id="s", expected_watermark=999,
+    )
+    assert r3.merge.skipped and r3.merge.stale
+    assert r3.counts == {"inserted": 0, "updated": 0, "deleted": 0}
+
+
+def test_merge_apply_clause_shape_errors(spark, tmp_path):
+    from encode_ingest_spark.lake import merge_apply
+
+    t = _mk(spark, tmp_path, "ma_shape", ROWS)
+    # a list holding one bare action is a natural call — normalize it
+    res = merge_apply(
+        t, _src(spark, [("a", "A9", "A9", 9)]), when_matched=["update"],
+    )
+    assert res.counts["updated"] == 1
+    # a two-key dict is one ASSIGNMENT clause, not a (cond, action) pair
+    res = merge_apply(
+        t, _src(spark, [("b", "_", "_", 0)]),
+        when_matched=[{"x": "'X1'", "y": "'Y1'"}],
+    )
+    assert res.counts["updated"] == 1
+    row = t.read().filter("id = 'b'").collect()[0]
+    assert (row["x"], row["y"]) == ("X1", "Y1")
+    with pytest.raises(ValueError, match="condition, action"):
+        merge_apply(t, _src(spark, []), when_matched=[("a", "update", "x")])
+
+
 def test_merge_apply_schema_evolution(spark, tmp_path):
     from encode_ingest_spark.lake import merge_apply
 
