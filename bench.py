@@ -562,10 +562,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             k: min(v, timings.get(k, v)) for k, v in t.items()
         }
 
-    merge_sec, n_events = bench_cdc_merge(spark, sf_dir)
+    # Merge benches get the same min-of-N self-defense as the headline
+    # queries: the first pass pays JIT/plan-cache warm-up on the merge
+    # path (measured 5.9 s cold vs 3.0 s warm on identical code — a
+    # single-pass capture once read as a phantom 47% regression).
+    merge_trials: list[float] = []
+    n_events = 0
+    for _ in range(n_passes):
+        sec, n_events = bench_cdc_merge(spark, sf_dir)
+        merge_trials.append(round(sec, 3))
+    merge_sec = min(merge_trials)
     timings["cdc_merge_e2e"] = round(merge_sec, 3)
     events_per_sec = round(n_events / merge_sec, 1)
-    mor_sec, _ = bench_cdc_merge(spark, sf_dir, mode="mor")
+    mor_trials: list[float] = []
+    for _ in range(n_passes):
+        sec, _ = bench_cdc_merge(spark, sf_dir, mode="mor")
+        mor_trials.append(round(sec, 3))
+    mor_sec = min(mor_trials)
     timings["cdc_merge_mor"] = round(mor_sec, 3)
 
     narrow = bench_narrow_batch(spark, sf_dir)
@@ -605,6 +618,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cdc_events": n_events,
         "events_per_sec": events_per_sec,
         "events_per_sec_mor": round(n_events / mor_sec, 1),
+        "merge_trial_secs": merge_trials,
+        "mor_trial_secs": mor_trials,
         **narrow,
         **chlog,
         **stream,
@@ -1076,6 +1091,16 @@ def main() -> None:
 
         spark = get_spark("bench-cdc", cores=args.cores)
         spark.range(1000).count()
+        # Warm the merge path (JIT + plan cache) at the smallest SF so
+        # the timed pass measures steady state, not first-call cost —
+        # same rationale as run_bench's warm-up (5.9 s cold vs 3.0 s
+        # warm measured on identical code).
+        warm_sf = "/root/testdata/sf0.001"
+        if os.path.isdir(warm_sf) and warm_sf != args.sf_dir:
+            try:
+                bench_cdc_merge(spark, warm_sf, n_batches=2, mode=args.mode)
+            except Exception:
+                pass
         sec, n = bench_cdc_merge(spark, args.sf_dir, n_batches=args.batches,
                                  mode=args.mode, flood_key_pct=args.flood_pct)
         print(
