@@ -14,10 +14,12 @@ from .follow import ChangeFeedFollower, FollowResult
 from .merge import (
     EVENT_SEQ_COL,
     OP_COL,
+    ConstraintViolationError,
     MergeResult,
     merge_into,
     merge_local_delta,
     merge_small_batch,
+    table_constraints,
 )
 from .table import (
     BUCKET_COL,
@@ -49,6 +51,8 @@ __all__ = [
     "merge_into",
     "merge_local_delta",
     "merge_small_batch",
+    "ConstraintViolationError",
+    "table_constraints",
     "merge_schemas",
     "align_to_schema",
     "bucket_expr",

@@ -7,7 +7,8 @@ Two formats, registered via :func:`register_lake_sources`:
 
       spark.read.format("lake").option("version", 7).load(root)
 
-  Time-travel (``version`` / ``tag``), branch refs (``branch``), and
+  Time-travel (``version`` / ``tag`` / ``timestampAsOf`` — epoch
+  seconds or ISO-8601, Delta's option name), branch refs (``branch``), and
   bucket-parallel scan: one input partition per hash bucket, each task
   resolving its bucket's merge-on-read state in pure pyarrow (no
   nested Spark job — DataSource readers cannot launch one). FILTER
@@ -512,12 +513,22 @@ class LakeSnapshotReader(DataSourceReader):
         table = LakeTable(None, self.root, ref=options.get("branch"))
         tag = options.get("tag")
         version = options.get("version")
-        if tag is not None and version is not None:
-            raise ValueError("pass either version or tag, not both")
+        # Spark lowercases DataSource option keys
+        as_of = options.get("timestampasof")
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError(
+                "pass at most one of version, tag, timestampAsOf"
+            )
         if tag is not None:
             v = table._resolve_tag(tag)
         elif version is not None:
             v = int(version)
+        elif as_of is not None:
+            try:
+                as_of = float(as_of)  # epoch seconds as a string option
+            except ValueError:
+                pass  # ISO-8601 string — version_as_of parses it
+            v = table.version_as_of(as_of)
         else:
             v = table.current_version()
         # pin the snapshot's file list at PLANNING time (consistent scan)
@@ -931,10 +942,17 @@ class LakeDataSource(DataSource):
         table = LakeTable(None, root, ref=self.options.get("branch"))
         version = self.options.get("version")
         tag = self.options.get("tag")
+        as_of = self.options.get("timestampasof")
         if tag is not None:
             m = table.manifest_at(table._resolve_tag(tag))
         elif version is not None:
             m = table.manifest_at(int(version))
+        elif as_of is not None:
+            try:
+                as_of = float(as_of)
+            except ValueError:
+                pass
+            m = table.manifest_at(table.version_as_of(as_of))
         else:
             m = table.current_manifest()
         keep = [

@@ -131,6 +131,81 @@ def normalize_batch(batch: DataFrame, schema, keys) -> DataFrame:
     return batch.selectExpr(*exprs)
 
 
+class ConstraintViolationError(ValueError):
+    """A CDC batch violates a table constraint. Raised BEFORE anything
+    lands — table state is untouched, the offending batch is the
+    caller's to fix or quarantine (Delta's constraint contract).
+
+    Constraints live as table properties (set at ``create`` or via
+    ``set_properties`` — the ``ALTER TABLE ADD CONSTRAINT`` analogue):
+
+    * ``constraints.not_null`` = ``"col1,col2"`` — the named columns
+      must be non-null on every LIVE (non-delete) row.
+    * ``constraints.check.<name>`` = ``<ANSI boolean expr>`` — every
+      live row must NOT make the expression FALSE (a NULL result
+      passes, the SQL CHECK rule).
+
+    Delete events are exempt: CDC tombstones carry nulled payloads by
+    construction (normalize_batch), which is content, not corruption.
+    Enforcement costs one bounded validation pass over the batch
+    winners and only runs when constraints are configured."""
+
+
+def table_constraints(m) -> tuple[list[str], dict[str, str]]:
+    """(not_null columns, {name: check expr}) from manifest properties."""
+    nn = [
+        c for c in m.properties.get("constraints.not_null", "").split(",")
+        if c
+    ]
+    checks = {
+        k[len("constraints.check."):]: v
+        for k, v in m.properties.items()
+        if k.startswith("constraints.check.") and v
+    }
+    return nn, checks
+
+
+def _enforce_constraints(winners: DataFrame, m) -> None:
+    """Validate normalized batch winners against the table's declared
+    constraints — ONE bounded action (``limit(4).collect()``), skipped
+    entirely when the table declares none. Runs on the WINNERS (the
+    rows that will actually land), not the raw batch: a violating row
+    superseded in-batch by a clean one is not an error."""
+    nn, checks = table_constraints(m)
+    if not nn and not checks:
+        return
+    conds: list[tuple[str, str]] = []
+    for c in nn:
+        conds.append((f"not_null:{c}", f"`{c}` IS NULL"))
+    for name, expr in checks.items():
+        # NULL result passes (SQL CHECK rule) — only FALSE violates
+        conds.append((f"check:{name}", f"NOT COALESCE(({expr}), TRUE)"))
+    any_viol = " OR ".join(f"({e})" for _, e in conds)
+    flags = [
+        f"({e}) AS `__viol_{i}`" for i, (_, e) in enumerate(conds)
+    ]
+    sample = (
+        winners.where(f"(NOT `{DELETED_COL}`) AND ({any_viol})")
+        .selectExpr(*[f"`{k}`" for k in m.key_cols], *flags)
+        .limit(4)
+        .collect()
+    )
+    if not sample:
+        return
+    lines = []
+    for r in sample:
+        d = r.asDict()
+        broken = [
+            conds[i][0] for i in range(len(conds)) if d.get(f"__viol_{i}")
+        ]
+        keys = {k: d[k] for k in m.key_cols}
+        lines.append(f"{keys} -> {broken}")
+    raise ConstraintViolationError(
+        f"batch violates table constraints (first {len(sample)} shown): "
+        + "; ".join(lines)
+    )
+
+
 class MergeResult:
     def __init__(
         self,
@@ -269,6 +344,8 @@ def merge_into(
             .select(*keys, "_w.*")
             .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
         )
+
+    _enforce_constraints(winners, m)
 
     if mode == "mor":
         # append winners as delta files — no target read, no rewrite
@@ -545,6 +622,54 @@ def merge_local_delta(
                 f"{sorted(allowed)}; evolve the schema first or use "
                 "merge_into/merge_small_batch"
             )
+    nn_cols, check_exprs = table_constraints(m)
+    if nn_cols or check_exprs:
+        # same contract as the Spark path's _enforce_constraints, kept
+        # zero-Spark: not-null checks are pure Python; CHECK exprs
+        # evaluate via DuckDB over the live rows (ANSI SQL, no Spark
+        # job). Validation runs BEFORE any file is staged so a refusal
+        # leaves no orphans.
+        live = [r for r in rows if not r.get(DELETED_COL)]
+        for c in nn_cols:
+            bad = [r for r in live if r.get(c) is None]
+            if bad:
+                keys = {k: bad[0].get(k) for k in m.key_cols}
+                raise ConstraintViolationError(
+                    f"batch violates not_null:{c} on {len(bad)} row(s) "
+                    f"(first key: {keys})"
+                )
+        if check_exprs and live:
+            import duckdb
+            import pyarrow as pa
+
+            try:
+                live_at = pa.Table.from_pylist(
+                    [{k: v for k, v in r.items() if k != BUCKET_COL}
+                     for r in live]
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+                raise ValueError(
+                    "cannot evaluate CHECK constraints on the driver-"
+                    f"local path for this batch ({e}); use merge_into"
+                ) from e
+            for name, expr in check_exprs.items():
+                try:
+                    n_bad = duckdb.sql(
+                        "SELECT count(*) FROM live_at WHERE NOT "
+                        f"COALESCE(({expr}), TRUE)"
+                    ).fetchone()[0]
+                except duckdb.Error as e:
+                    raise ValueError(
+                        f"CHECK constraint {name!r} ({expr!r}) is not "
+                        "evaluable on the driver-local path "
+                        f"({e}); use merge_into"
+                    ) from e
+                if n_bad:
+                    raise ConstraintViolationError(
+                        f"batch violates check:{name} ({expr!r}) on "
+                        f"{n_bad} row(s)"
+                    )
+
     arrow_schema = to_arrow_schema(T.StructType(file_fields))
     cluster = m.properties.get("write.sort_within_buckets", "")
     stat_cols = [c for c in cluster.split(",") if c]

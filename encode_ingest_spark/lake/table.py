@@ -77,6 +77,26 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the same version first (optimistic CC)."""
 
 
+def _ts_to_epoch(ts) -> float:
+    """Normalize a time-travel timestamp to epoch seconds. Accepts
+    epoch int/float, ``datetime`` (naive = UTC — manifests stamp
+    ``committed_at`` with ``time.time()``, which is UTC-epoch), or an
+    ISO-8601 string (``'2026-08-20T12:00:00'`` / ``'... +00:00'``)."""
+    if isinstance(ts, bool):
+        raise TypeError("as_of timestamp must be epoch/datetime/ISO string")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(
+        f"as_of timestamp must be epoch/datetime/ISO string, got {type(ts)}"
+    )
+
+
 def _contains_map(dt: T.DataType) -> bool:
     if isinstance(dt, T.MapType):
         return True
@@ -598,12 +618,19 @@ class LakeTable:
         include_internal: bool = False,
         file_value_ranges: dict[str, list] | None = None,
         tag: str | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Scan the table at a snapshot (default: current).
 
         ``tag`` reads at a NAMED snapshot (``tag()``; Iceberg tag
         semantics — an immutable, retention-protected ref), mutually
         exclusive with ``version``.
+
+        ``as_of`` reads at the latest snapshot committed at or before
+        the given timestamp (epoch seconds / ``datetime`` / ISO string)
+        — Delta ``timestampAsOf`` / Iceberg ``as-of-timestamp``
+        semantics via :meth:`version_as_of`; mutually exclusive with
+        both ``version`` and ``tag``.
 
         ``buckets`` restricts the scan to the named hash buckets —
         manifest-level partition pruning: files for other buckets are never
@@ -640,10 +667,12 @@ class LakeTable:
           range (base AND delta, unioned driver-side from the manifest)
           excludes the sought values. Resurrection guard test-pinned.
         """
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of version, tag, as_of")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass either version or tag, not both")
             version = self._resolve_tag(tag)
+        elif as_of is not None:
+            version = self.version_as_of(as_of)
         m = self.manifest_at(version if version is not None else self.current_version())
         want = set(buckets) if buckets is not None else None
         files = [f for f in m.files if want is None or f.bucket in want]
@@ -899,6 +928,38 @@ class LakeTable:
             out.append(m)
             v = m.parent_version
         return list(reversed(out))
+
+    def version_as_of(self, ts) -> int:
+        """Latest RETAINED snapshot committed at or before ``ts`` —
+        Delta's ``timestampAsOf`` / Iceberg's ``as-of-timestamp``
+        resolution rule. ``ts`` accepts epoch seconds (int/float), a
+        ``datetime`` (naive = UTC), or an ISO-8601 string.
+
+        Raises ``ValueError`` when ``ts`` predates the oldest retained
+        snapshot (its manifest may have been expired — the answer would
+        silently be a NEWER state than asked for, so refuse instead)."""
+        epoch = _ts_to_epoch(ts)
+        best: Manifest | None = None
+        oldest: Manifest | None = None
+        for m in self.snapshots():
+            if oldest is None or m.version < oldest.version:
+                oldest = m
+            if m.committed_at <= epoch and (
+                best is None or m.version > best.version
+            ):
+                best = m
+        if best is None:
+            detail = (
+                f"oldest retained snapshot v{oldest.version} was committed "
+                f"at {oldest.committed_at:.3f}" if oldest is not None
+                else "table has no snapshots"
+            )
+            raise ValueError(
+                f"no snapshot of {self.root} exists at or before "
+                f"{epoch:.3f} — {detail}; earlier history has been "
+                "expired by snapshot retention"
+            )
+        return best.version
 
     def _lineage_roots(self) -> list[int]:
         """Roots of every reachable manifest chain: CURRENT plus any
@@ -1285,6 +1346,39 @@ class LakeTable:
             lineage=[],
             parent_version=m.version,
             properties=m.properties,
+        )
+        self._write_manifest(nm)
+        return nm
+
+    def set_properties(self, props: dict[str, str | None]) -> Manifest:
+        """``ALTER TABLE SET/UNSET TBLPROPERTIES`` — a metadata-only
+        commit updating table properties (operational knobs AND the
+        ``constraints.*`` contract keys; see lake/merge.py). A value of
+        ``None`` UNSETs the key. No data files are touched; readers of
+        older snapshots see the older properties. Raises
+        ``CommitConflictError`` if a concurrent writer wins the version
+        race — metadata-only, so simply re-examine and re-call."""
+        m = self.current_manifest()
+        merged = dict(m.properties)
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = str(v)
+        if merged == m.properties:
+            return m  # no-op
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=m.snapshot_id + 1,
+            schemas=m.schemas,
+            current_schema_version=m.current_schema_version,
+            key_cols=m.key_cols,
+            num_buckets=m.num_buckets,
+            files=m.files,
+            watermarks=m.watermarks,
+            lineage=[],
+            parent_version=m.version,
+            properties=merged,
         )
         self._write_manifest(nm)
         return nm
