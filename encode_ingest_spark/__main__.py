@@ -417,6 +417,22 @@ def cmd_universe_maintain(spark: SparkSession, args) -> int:
 
 def cmd_maintain(spark: SparkSession, args) -> int:
     table = _load(spark, args.root)
+    recluster: dict = {}
+    if getattr(args, "zorder", None) or getattr(args, "cluster_sort", None):
+        from .lake import rewrite_clustered
+
+        if args.zorder and args.cluster_sort:
+            raise SystemExit("pass --zorder or --cluster-sort, not both")
+        spec = args.zorder or args.cluster_sort
+        cols = [c for c in spec.split(",") if c]
+        m = rewrite_clustered(
+            table, cols, strategy="zorder" if args.zorder else "sort"
+        )
+        recluster = {
+            "reclustered": cols,
+            "strategy": "zorder" if args.zorder else "sort",
+            "recluster_version": m.version,
+        }
     report = table.maintain(
         tombstone_horizon_seq=args.tombstone_horizon_seq,
         max_files_per_bucket=args.max_files_per_bucket,
@@ -429,6 +445,7 @@ def cmd_maintain(spark: SparkSession, args) -> int:
             "cmd": "maintain",
             "root": args.root,
             "version": table.current_version(),
+            **recluster,
             **report,
         }
     )
@@ -735,6 +752,21 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--keep-snapshots", type=int, default=None)
     mt.add_argument("--snapshot-age-sec", type=float, default=None)
     mt.add_argument("--no-orphan-gc", action="store_true")
+    mt.add_argument(
+        "--zorder",
+        default=None,
+        metavar="COLS",
+        help="re-cluster data files multi-dimensionally on the comma-"
+        "separated columns (OPTIMIZE ZORDER BY analogue; persists as "
+        "the table's write clustering, so future merges stay clustered)",
+    )
+    mt.add_argument(
+        "--cluster-sort",
+        default=None,
+        metavar="COLS",
+        help="re-cluster with a plain lexicographic within-bucket sort "
+        "on the comma-separated columns",
+    )
     mt.set_defaults(fn=cmd_maintain)
 
     rb = sub.add_parser(

@@ -8,6 +8,7 @@ from .datasource import (
     LakeDataSource,
     register_lake_sources,
 )
+from .cluster import parse_cluster_spec, rewrite_clustered
 from .dml import DmlResult, MergeApplyResult, delete_where, merge_apply, update_where
 from .evolution import SchemaEvolutionError, align_to_schema, merge_schemas
 from .follow import ChangeFeedFollower, FollowResult
@@ -53,6 +54,8 @@ __all__ = [
     "merge_small_batch",
     "ConstraintViolationError",
     "table_constraints",
+    "rewrite_clustered",
+    "parse_cluster_spec",
     "merge_schemas",
     "align_to_schema",
     "bucket_expr",

@@ -708,8 +708,13 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
         self.num_buckets = m.num_buckets
         self.schema_version = m.current_schema_version
         self.file_st = m.schema  # data cols + _seq + _deleted
-        cluster = m.properties.get("write.sort_within_buckets", "")
-        self.stat_cols = [c for c in cluster.split(",") if c]
+        from .cluster import parse_cluster_spec
+
+        # zorder spec degrades to lexicographic constituent-column sort
+        # here (Arrow sort_by; clustering is layout-only, and the sink's
+        # micro-batch files are compaction-bound anyway) — col_stats
+        # still collect per constituent column either way
+        self.stat_cols, _ = parse_cluster_spec(m.properties)
         bloom_prop = m.properties.get("write.bloom_filter_columns", "")
         self.bloom_cols = [c for c in bloom_prop.split(",") if c]
         in_names = set(input_schema.fieldNames())

@@ -670,9 +670,11 @@ def merge_local_delta(
                         f"{n_bad} row(s)"
                     )
 
+    from .cluster import load_boundaries, parse_cluster_spec, zorder_value_py
+
     arrow_schema = to_arrow_schema(T.StructType(file_fields))
-    cluster = m.properties.get("write.sort_within_buckets", "")
-    stat_cols = [c for c in cluster.split(",") if c]
+    stat_cols, _is_zorder = parse_cluster_spec(m.properties)
+    _zbnd, _zbits = load_boundaries(m.properties) if _is_zorder else ({}, 0)
     bloom_prop = m.properties.get("write.bloom_filter_columns", "")
     bloom_cols = [c for c in bloom_prop.split(",") if c]
 
@@ -689,12 +691,20 @@ def merge_local_delta(
             if stat_cols:
                 # keep the table's clustering contract: tight col_stats
                 # need the same within-file ordering the Spark path has
-                brows = sorted(
-                    brows,
-                    key=lambda r: tuple(
-                        (r.get(c) is None, r.get(c)) for c in stat_cols
-                    ),
-                )
+                if _is_zorder and _zbnd:
+                    brows = sorted(
+                        brows,
+                        key=lambda r: zorder_value_py(
+                            r.get, stat_cols, _zbnd, _zbits
+                        ),
+                    )
+                else:
+                    brows = sorted(
+                        brows,
+                        key=lambda r: tuple(
+                            (r.get(c) is None, r.get(c)) for c in stat_cols
+                        ),
+                    )
             cols = []
             for f, af in zip(file_fields, arrow_schema):
                 vals = [r.get(f.name) for r in brows]

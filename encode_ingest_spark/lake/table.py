@@ -1217,15 +1217,26 @@ class LakeTable:
         # bucket — the key-composite bucketing spreads every repo across
         # all buckets, so WITHOUT clustering those stats span everything
         # and prune nothing. Also improves RLE/dict compression.
-        cluster = m_cur.properties.get("write.sort_within_buckets", "")
-        sort_cols = [c for c in cluster.split(",") if c and c in df.columns]
+        from .cluster import load_boundaries, parse_cluster_spec, zorder_value
+
+        ccols, is_zorder = parse_cluster_spec(m_cur.properties)
+        sort_cols = [c for c in ccols if c in df.columns]
         bloom_prop = m_cur.properties.get("write.bloom_filter_columns", "")
         bloom_cols = [c for c in bloom_prop.split(",") if c and c in df.columns]
         if sort_cols:
             # BUCKET_COL leads so the dynamic-partition write's required
             # ordering (sort by partition cols) is already satisfied and
             # Spark does not insert its own (clustering-destroying) sort
-            df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
+            sort_exprs: list = list(sort_cols)
+            if is_zorder:
+                bnd, zbits = load_boundaries(m_cur.properties)
+                if bnd and all(c in bnd for c in sort_cols):
+                    # multi-dimensional clustering: one interleaved-rank
+                    # LONG (lake/cluster.py) — col_stats still collect on
+                    # the constituent columns, so pruning works on every
+                    # z dimension
+                    sort_exprs = [zorder_value(sort_cols, bnd, zbits)]
+            df = df.sortWithinPartitions(BUCKET_COL, *sort_exprs)
         (
             df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)

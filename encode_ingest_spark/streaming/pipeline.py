@@ -291,20 +291,29 @@ class CdcStreamPipeline:
                 if query.isActive:  # pragma: no cover - timeout safety
                     query.stop()
                 if listener is not None:
-                    # events arrive on a separate delivery thread — drain
-                    # until the stream of updates goes quiet
+                    # events arrive on a separate delivery thread — wait
+                    # for OUR query's first event (under host contention
+                    # delivery can lag termination by seconds; zero-then-
+                    # quiet must not read as done), then drain until the
+                    # stream of updates goes quiet
                     import time as _time
+
+                    qid = str(query.id)
+
+                    def _mine() -> list[dict]:
+                        return [p for p in raw if p["query_id"] == qid]
 
                     deadline = _time.time() + 10
                     last = -1
-                    while _time.time() < deadline and len(raw) != last:
-                        last = len(raw)
+                    while _time.time() < deadline:
+                        cur = len(_mine())
+                        if cur > 0 and cur == last:
+                            break
+                        last = cur
                         _time.sleep(0.3)
-                    qid = str(query.id)
                     self.progress = [
                         {k: v for k, v in p.items() if k != "query_id"}
-                        for p in raw
-                        if p["query_id"] == qid
+                        for p in _mine()
                     ]
         finally:
             if listener is not None:

@@ -431,3 +431,33 @@ def test_cli_tag_and_branch_wap(spark, capsys, roots, tmp_path):
     assert t.read(tag="rel").count() == 40
     run_cli(spark, capsys, "tag", "delete", "--root", lake, "--name", "rel")
     assert run_cli(spark, capsys, "tag", "list", "--root", lake)["tags"] == {}
+
+
+def test_cli_maintain_zorder_recluster(spark, capsys, tmp_path):
+    """maintain --zorder re-clusters through the CLI: properties set,
+    rows identical, report carries the recluster fields."""
+    lake = str(tmp_path / "zlake")
+    events = str(tmp_path / "zevents")
+    run_cli(spark, capsys, "create", "--root", lake, "--buckets", "2")
+    run_cli(
+        spark, capsys, "generate", "--out", events,
+        "--n-keys", "50", "--events-per-key", "2", "--files", "1",
+    )
+    run_cli(
+        spark, capsys, "merge", "--root", lake, "--batch", events,
+        "--batch-id", "1",
+    )
+    t = LakeTable.load(spark, lake)
+    before = t.read().count()
+    out = run_cli(
+        spark, capsys, "maintain", "--root", lake,
+        "--zorder", "repo,lang",
+    )
+    assert out["reclustered"] == ["repo", "lang"]
+    assert out["strategy"] == "zorder"
+    t = LakeTable.load(spark, lake)
+    assert t.read().count() == before
+    from encode_ingest_spark.lake import parse_cluster_spec
+
+    cols, is_z = parse_cluster_spec(t.current_manifest().properties)
+    assert (cols, is_z) == (["repo", "lang"], True)
