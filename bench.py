@@ -1004,6 +1004,96 @@ def run_datasource_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def run_zorder_bench(sf_dir: str, cpus: int) -> dict:
+    """Z-order clustering payoff, measured: an id-keyed table with two
+    INDEPENDENT value dimensions (x row-correlated, y anti-correlated —
+    the shape where a lexicographic sort can only serve one of them),
+    sf-scaled rows split across many files. For a point predicate on
+    each dimension: files scanned + min-of-3 filtered-scan wall,
+    BEFORE (unclustered) vs AFTER ``rewrite_clustered(zorder)``.
+
+    The files-scanned ratio is the cluster-scale story (manifest-level
+    pruning is what survives a 100× scale-up); wall at sandbox scale is
+    fixed-cost-bound and reported for honesty."""
+    from encode_ingest_spark.lake import LakeTable, merge_into, rewrite_clustered
+    from encode_ingest_spark.session import get_spark
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    load_start = _loadavg()
+    ticks0 = _cpu_ticks()
+    spark = get_spark("bench-zorder", cores=cpus)
+    spark.range(1000).count()
+    n = _cdc_keys_for(sf_dir) * 3  # same row scale as the CDC benches
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="bench_z_", dir=shm)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("x", T.LongType(), True),
+            T.StructField("y", T.LongType(), True),
+            T.StructField("payload", T.StringType(), True),
+        ]
+    )
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema, ["id"], num_buckets=4
+        )
+        df = spark.range(n).select(
+            "id",
+            (F.col("id") / 500).cast("long").alias("x"),
+            ((n - 1 - F.col("id")) / 500).cast("long").alias("y"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            F.lit("insert").alias("op"),
+            F.lit(1).alias("event_seq"),
+        )
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+        merge_into(t, df, batch_id=1)
+        xmid, ymid = (n // 2) // 500, (n // 2) // 500
+
+        def probe() -> dict:
+            m = t.current_manifest()
+            out = {"n_files": len(m.files)}
+            for col, v in (("x", xmid), ("y", ymid)):
+                kept = t.read(file_value_ranges={col: [v]})
+                out[f"files_{col}"] = len(kept.inputFiles())
+                walls = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    kept.where(F.col(col) == v).count()
+                    walls.append(time.perf_counter() - t0)
+                out[f"wall_{col}_sec"] = round(min(walls), 3)
+            return out
+
+        before = probe()
+        t0 = time.perf_counter()
+        rewrite_clustered(t, ["x", "y"], strategy="zorder", bits=4)
+        rewrite_sec = time.perf_counter() - t0
+        after = probe()
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "metric": "zorder rewrite payoff (files scanned for a point "
+        "predicate per dimension)",
+        "rows": n,
+        "before": before,
+        "after": after,
+        "rewrite_sec": round(rewrite_sec, 3),
+        "files_scanned_ratio_x": round(
+            before["files_x"] / max(after["files_x"], 1), 1
+        ),
+        "files_scanned_ratio_y": round(
+            before["files_y"] / max(after["files_y"], 1), 1
+        ),
+        "sf": sf_dir,
+        "cpus": cpus,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "steal_pct": _steal_pct(ticks0, _cpu_ticks()),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -1027,6 +1117,9 @@ def main() -> None:
     ap.add_argument("--universe-epochs", type=int, default=12)
     ap.add_argument("--datasource", action="store_true",
                     help="native DataSource sink/source vs batch twins")
+    ap.add_argument("--zorder", action="store_true",
+                    help="zorder rewrite payoff: files pruned for point "
+                         "predicates on two independent dimensions")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
@@ -1051,6 +1144,9 @@ def main() -> None:
         return
     if args.datasource:
         print(json.dumps(run_datasource_bench(args.sf_dir, args.cores)))
+        return
+    if args.zorder:
+        print(json.dumps(run_zorder_bench(args.sf_dir, args.cores)))
         return
     if args.scaling:
         if args.probe == "cdc-jvms":
