@@ -1074,6 +1074,15 @@ def _read_diff_partition(
         yield from tbl.to_batches()
 
 
+def _parse_ts_option(raw) -> object:
+    """A timestamp option value: epoch seconds as a string, or ISO-8601
+    (``version_as_of`` parses the latter)."""
+    try:
+        return float(raw)
+    except (TypeError, ValueError):
+        return raw
+
+
 def _init_changes_reader(reader, stream_schema: T.StructType, options: dict) -> LakeTable:
     """Shared constructor body of the stream/batch changelog readers:
     root/ref resolution, key + payload column derivation from the
@@ -1109,19 +1118,37 @@ class LakeChangesStreamReader(DataSourceStreamReader):
     * ``"snapshot"`` — bootstrap: first batch emits the whole current
       table as inserts (Delta's initial-snapshot behavior), then tails;
     * an integer N — changes committed strictly after version N.
+
+    ``startingTimestamp`` (mutually exclusive): changes committed
+    strictly after the latest snapshot at or before the given time
+    (epoch seconds or ISO-8601 — Delta CDF's option); older than
+    retained history raises rather than silently replaying less.
     """
 
     def __init__(self, stream_schema: T.StructType, options: dict):
         table = _init_changes_reader(self, stream_schema, options)
-        start = str(options.get("startingversion", "latest")).lower()
-        if start == "latest":
-            self._start = table.current_version()
-        elif start == "earliest":
-            self._start = min(table._all_versions())
-        elif start == "snapshot":
-            self._start = -1  # empty-base sentinel: full table as inserts
+        st_ts = options.get("startingtimestamp")
+        if st_ts is not None and options.get("startingversion") is not None:
+            raise ValueError(
+                "pass startingVersion or startingTimestamp, not both"
+            )
+        if st_ts is not None:
+            # changes committed strictly AFTER the latest snapshot at or
+            # before the timestamp (Delta CDF's startingTimestamp
+            # shape); a ts older than retained history raises —
+            # replaying from earliest would silently MISS the expired
+            # changes a since-ts consumer asked for
+            self._start = table.version_as_of(_parse_ts_option(st_ts))
         else:
-            self._start = int(start)
+            start = str(options.get("startingversion", "latest")).lower()
+            if start == "latest":
+                self._start = table.current_version()
+            elif start == "earliest":
+                self._start = min(table._all_versions())
+            elif start == "snapshot":
+                self._start = -1  # empty-base sentinel: full table as inserts
+            else:
+                self._start = int(start)
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv is not None else None
         #: rate-limit position. Armed at CONSTRUCTION because Spark
@@ -1195,19 +1222,44 @@ class LakeChangesBatchReader(DataSourceReader):
     snapshot), or ``"snapshot"`` (the whole ``endingVersion`` state as
     inserts — the bootstrap shape). ``endingVersion`` defaults to the
     current version, resolved at PLANNING time so concurrent commits
-    don't smear the scan. Partitions are the span's changed buckets;
+    don't smear the scan. ``startingTimestamp`` / ``endingTimestamp``
+    are the time-domain equivalents (epoch seconds or ISO-8601,
+    resolved via ``version_as_of``), mutually exclusive with their
+    version twins. Partitions are the span's changed buckets;
     rows/semantics are parity-pinned against ``read_changes``."""
 
     def __init__(self, stream_schema: T.StructType, options: dict):
         table = _init_changes_reader(self, stream_schema, options)
         cur = table.current_version()
         end = options.get("endingversion")
-        self._end = int(end) if end is not None else cur
+        end_ts = options.get("endingtimestamp")
+        if end is not None and end_ts is not None:
+            raise ValueError(
+                "pass endingVersion or endingTimestamp, not both"
+            )
+        if end_ts is not None:
+            self._end = table.version_as_of(_parse_ts_option(end_ts))
+        else:
+            self._end = int(end) if end is not None else cur
         if self._end > cur or self._end < 0:
             raise ValueError(
                 f"lake_changes endingVersion={self._end} is outside the "
                 f"table's history (current version {cur}) on {self.root}"
             )
+        st_ts = options.get("startingtimestamp")
+        if st_ts is not None and options.get("startingversion") is not None:
+            raise ValueError(
+                "pass startingVersion or startingTimestamp, not both"
+            )
+        if st_ts is not None:
+            self._start = table.version_as_of(_parse_ts_option(st_ts))
+            if self._start > self._end:
+                raise ValueError(
+                    f"lake_changes span ({self._start}, {self._end}] is "
+                    f"inverted on {self.root}: startingTimestamp resolves "
+                    "past the ending bound"
+                )
+            return
         start = str(options.get("startingversion", "earliest")).lower()
         if start == "earliest":
             self._start = min(table._all_versions())
@@ -1262,6 +1314,18 @@ class LakeChangesDataSource(DataSource):
             raise ValueError("format('lake_changes') requires .load(<table root>)")
         table = LakeTable(None, root, ref=self.options.get("branch"))
         ev = self.options.get("endingversion")
+        end_ts = self.options.get("endingtimestamp")
+        if ev is not None and end_ts is not None:
+            raise ValueError(
+                "pass endingVersion or endingTimestamp, not both"
+            )
+        if end_ts is not None:
+            # resolve the time-domain bound to a version HERE and hand
+            # the reader the version form — same once-only pinning as
+            # the default-end stash below
+            ev = table.version_as_of(_parse_ts_option(end_ts))
+            self.options["endingversion"] = str(ev)
+            del self.options["endingtimestamp"]
         if ev is not None and not 0 <= int(ev) <= table.current_version():
             raise ValueError(
                 f"lake_changes endingVersion={int(ev)} is outside the "

@@ -10,6 +10,7 @@ and the explicit rebucket-boundary refusal.
 """
 
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -793,3 +794,65 @@ def test_point_lookup_timestamp_key_non_utc_driver(spark, tmp_path):
         # aware values keep working unchanged
         got = t.lookup({"id": "a", "ts": instants["a"]})
         assert got is not None and got["v"] == "v-a"
+
+
+# --------------------------------------------------- timestamp options
+
+
+def test_batch_changes_timestamp_span(spark, tmp_path):
+    """startingTimestamp/endingTimestamp resolve through version_as_of
+    and match the version-addressed read of the same span."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    snaps = t.snapshots()
+    v1 = snaps[1].version
+    ts1 = snaps[1].committed_at
+    cur = t.current_version()
+    ts_now = time.time() + 60
+
+    by_ver = spark.read.format("lake_changes").option(
+        "startingVersion", v1
+    ).load(t.root)
+    by_ts = (
+        spark.read.format("lake_changes")
+        .option("startingTimestamp", repr(ts1))
+        .option("endingTimestamp", repr(ts_now))
+        .load(t.root)
+    )
+    assert _rows(by_ts) == _rows(by_ver)
+    # endingTimestamp at v1's commit time bounds the span to nothing
+    empty = (
+        spark.read.format("lake_changes")
+        .option("startingTimestamp", repr(ts1))
+        .option("endingTimestamp", repr(ts1))
+        .load(t.root)
+    )
+    assert empty.count() == 0
+    # mutual exclusivity + pre-history refusal
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("lake_changes").option(
+            "startingVersion", v1
+        ).option("startingTimestamp", repr(ts1)).load(t.root).collect()
+    with pytest.raises(Exception, match="no snapshot"):
+        spark.read.format("lake_changes").option(
+            "startingTimestamp", repr(ts1 - 1e6)
+        ).load(t.root).collect()
+    assert cur == t.current_version()  # reads moved nothing
+
+
+def test_stream_changes_starting_timestamp(spark, tmp_path):
+    """A startingTimestamp stream tails changes committed strictly
+    after the latest snapshot at or before ts — matching the
+    version-addressed drain."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    snaps = t.snapshots()
+    v1, ts1 = snaps[1].version, snaps[1].committed_at
+    got = _drain_stream(
+        spark, t.root, "ts_tail", str(tmp_path / "ck_ts"),
+        startingTimestamp=repr(ts1),
+    )
+    want = spark.read.format("lake_changes").option(
+        "startingVersion", v1
+    ).load(t.root)
+    assert _rows(got) == _rows(want)
