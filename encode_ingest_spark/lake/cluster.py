@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import json
 import re
-from bisect import bisect_right
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame
@@ -103,7 +102,10 @@ def zorder_value_py(row_get, cols: list[str], boundaries: dict[str, list], bits:
         v = row_get(c)
         b = boundaries.get(c) or []
         try:
-            r = 0 if v is None else bisect_right(sorted(b), v)
+            # count-of-boundaries-≤-value, ORDER-INDEPENDENT — the exact
+            # rule the Spark expression uses (so no per-row sort, and no
+            # reliance on the frozen property's ordering)
+            r = 0 if v is None else sum(1 for x in b if x <= v)
         except TypeError:
             r = 0
         for i in range(bits):
@@ -122,15 +124,19 @@ def load_boundaries(properties: dict) -> tuple[dict[str, list], int]:
 
 
 def compute_boundaries(
-    df: DataFrame, cols: list[str], bits: int = 4
+    df: DataFrame, cols: list[str], bits: int = 4,
+    total_rows: int | None = None,
 ) -> dict[str, list]:
     """Estimate ``2^bits - 1`` quantile boundaries per column from a
     bounded deterministic sample — one small job per call (rewrite-time
     only; merges reuse the frozen property). Works for any orderable
-    type (numeric, string, date): the sample sorts driver-side."""
+    type (numeric, string, date): the sample sorts driver-side.
+    ``total_rows`` sizes the sample fraction without a count() job —
+    ``rewrite_clustered`` derives it from manifest file stats for
+    free; callers without one pay the extra count."""
     n_bounds = (1 << bits) - 1
     out: dict[str, list] = {}
-    total = df.count()
+    total = df.count() if total_rows is None else total_rows
     frac = min(1.0, (_SAMPLE_CAP * 1.0) / max(total, 1))
     sample = df.select(*cols).sample(fraction=frac, seed=7).collect()
     for c in cols:
@@ -183,7 +189,10 @@ def rewrite_clustered(
             {SORT_PROP: ",".join(cols), BOUNDARIES_PROP: None}
         )
     else:
-        b = compute_boundaries(table.read(include_tombstones=True), cols, bits)
+        b = compute_boundaries(
+            table.read(include_tombstones=True), cols, bits,
+            total_rows=sum(f.rows for f in m.files),
+        )
         table.set_properties(
             {
                 SORT_PROP: f"zorder({','.join(cols)})",

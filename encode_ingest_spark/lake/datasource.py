@@ -524,11 +524,7 @@ class LakeSnapshotReader(DataSourceReader):
         elif version is not None:
             v = int(version)
         elif as_of is not None:
-            try:
-                as_of = float(as_of)  # epoch seconds as a string option
-            except ValueError:
-                pass  # ISO-8601 string — version_as_of parses it
-            v = table.version_as_of(as_of)
+            v = table.version_as_of(_parse_ts_option(as_of))
         else:
             v = table.current_version()
         # pin the snapshot's file list at PLANNING time (consistent scan)
@@ -709,12 +705,16 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
         self.schema_version = m.current_schema_version
         self.file_st = m.schema  # data cols + _seq + _deleted
         from .cluster import parse_cluster_spec
+        from .merge import table_constraints
 
         # zorder spec degrades to lexicographic constituent-column sort
         # here (Arrow sort_by; clustering is layout-only, and the sink's
         # micro-batch files are compaction-bound anyway) — col_stats
         # still collect per constituent column either way
         self.stat_cols, _ = parse_cluster_spec(m.properties)
+        # constraint config rides to the executor tasks so the sink
+        # enforces the same contract as the merge paths
+        self.nn_cols, self.check_exprs = table_constraints(m)
         bloom_prop = m.properties.get("write.bloom_filter_columns", "")
         self.bloom_cols = [c for c in bloom_prop.split(",") if c]
         in_names = set(input_schema.fieldNames())
@@ -792,6 +792,50 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
                 c = pa.nulls(n, f_arrow.type)
             cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
         aligned = pa.Table.from_arrays(cols, schema=target)
+        if self.nn_cols or self.check_exprs:
+            # enforce table constraints BEFORE any file is staged — the
+            # same contract as merge_into/merge_local_delta (a raise
+            # fails the epoch; abort() GCs nothing because nothing was
+            # written). Arrow/DuckDB evaluation, executor-side.
+            import pyarrow.compute as pc
+
+            from .merge import ConstraintViolationError
+
+            live_mask = pc.invert(
+                pc.fill_null(aligned.column(DELETED_COL), False)
+            )
+            live_t = aligned.filter(live_mask)
+            if len(live_t):
+                for c in self.nn_cols:
+                    n_bad = pc.sum(
+                        pc.is_null(live_t.column(c))
+                    ).as_py() or 0
+                    if n_bad:
+                        raise ConstraintViolationError(
+                            f"sink batch violates not_null:{c} on "
+                            f"{n_bad} row(s)"
+                        )
+                if self.check_exprs:
+                    import duckdb
+
+                    for name, expr in self.check_exprs.items():
+                        try:
+                            n_bad = duckdb.sql(
+                                "SELECT count(*) FROM live_t WHERE NOT "
+                                f"COALESCE(({expr}), TRUE)"
+                            ).fetchone()[0]
+                        except duckdb.Error as e:
+                            raise ValueError(
+                                f"CHECK constraint {name!r} ({expr!r}) "
+                                "is not evaluable on the native sink "
+                                f"path ({e}); drive this table through "
+                                "merge_into instead"
+                            ) from e
+                        if n_bad:
+                            raise ConstraintViolationError(
+                                f"sink batch violates check:{name} "
+                                f"({expr!r}) on {n_bad} row(s)"
+                            )
         key_lists = [
             aligned.column(k).to_pylist() for k in self.key_cols
         ]
@@ -948,16 +992,22 @@ class LakeDataSource(DataSource):
         version = self.options.get("version")
         tag = self.options.get("tag")
         as_of = self.options.get("timestampasof")
+        if as_of is not None and (version is not None or tag is not None):
+            raise ValueError(
+                "pass at most one of version, tag, timestampAsOf"
+            )
+        if as_of is not None:
+            # resolve the timestamp to a version ONCE and hand the
+            # reader the version form — a commit landing between
+            # schema() and reader() (possible when ts is in the future)
+            # must not smear the scan off the schema's snapshot
+            version = table.version_as_of(_parse_ts_option(as_of))
+            self.options["version"] = str(version)
+            del self.options["timestampasof"]
         if tag is not None:
             m = table.manifest_at(table._resolve_tag(tag))
         elif version is not None:
             m = table.manifest_at(int(version))
-        elif as_of is not None:
-            try:
-                as_of = float(as_of)
-            except ValueError:
-                pass
-            m = table.manifest_at(table.version_as_of(as_of))
         else:
             m = table.current_manifest()
         keep = [
@@ -1133,12 +1183,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 "pass startingVersion or startingTimestamp, not both"
             )
         if st_ts is not None:
-            # changes committed strictly AFTER the latest snapshot at or
-            # before the timestamp (Delta CDF's startingTimestamp
-            # shape); a ts older than retained history raises —
-            # replaying from earliest would silently MISS the expired
-            # changes a since-ts consumer asked for
-            self._start = table.version_as_of(_parse_ts_option(st_ts))
+            # changes committed at or after the timestamp (Delta CDF's
+            # startingTimestamp rule — a commit landing at exactly ts IS
+            # delivered, hence version_before, not version_as_of); a ts
+            # older than retained history raises — replaying from
+            # earliest would silently MISS the expired changes a
+            # since-ts consumer asked for
+            self._start = table.version_before(_parse_ts_option(st_ts))
         else:
             start = str(options.get("startingversion", "latest")).lower()
             if start == "latest":
@@ -1252,7 +1303,8 @@ class LakeChangesBatchReader(DataSourceReader):
                 "pass startingVersion or startingTimestamp, not both"
             )
         if st_ts is not None:
-            self._start = table.version_as_of(_parse_ts_option(st_ts))
+            # at-or-after delivery, matching the streaming reader
+            self._start = table.version_before(_parse_ts_option(st_ts))
             if self._start > self._end:
                 raise ValueError(
                     f"lake_changes span ({self._start}, {self._end}] is "

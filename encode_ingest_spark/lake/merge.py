@@ -131,6 +131,14 @@ def normalize_batch(batch: DataFrame, schema, keys) -> DataFrame:
     return batch.selectExpr(*exprs)
 
 
+class LocalPathUnsupportedError(ValueError):
+    """The driver-local delta path cannot process this batch (e.g. a
+    CHECK constraint whose expression only Spark can evaluate) — the
+    DATA may be perfectly valid. Callers with a distributed fallback
+    (``merge_small_batch``) catch this and re-route to ``merge_into``;
+    direct ``merge_local_delta`` callers see the actionable message."""
+
+
 class ConstraintViolationError(ValueError):
     """A CDC batch violates a table constraint. Raised BEFORE anything
     lands — table state is untouched, the offending batch is the
@@ -345,13 +353,27 @@ def merge_into(
             .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
         )
 
-    _enforce_constraints(winners, m)
+    # Constraint enforcement is PER PATH so the validation action never
+    # doubles the batch pipeline: MOR persists the winners across the
+    # check + write, the staged COW path validates the already-staged
+    # parquet (a free re-read), and the direct COW path validates the
+    # winners subtree (its write consumes `payload`, not `winners`, so
+    # there is nothing to share).
+    nn_cols, check_exprs = table_constraints(m)
+    constrained = bool(nn_cols or check_exprs)
 
     if mode == "mor":
         # append winners as delta files — no target read, no rewrite
-        obs = Observation()
-        observed = winners.observe(obs, F.count(F.lit(1)).alias("n"))
-        new_files = table._stage_write(observed, m.current_schema_version, is_delta=True)
+        if constrained:
+            winners = winners.persist()
+        try:
+            _enforce_constraints(winners, m)
+            obs = Observation()
+            observed = winners.observe(obs, F.count(F.lit(1)).alias("n"))
+            new_files = table._stage_write(observed, m.current_schema_version, is_delta=True)
+        finally:
+            if constrained:
+                winners.unpersist()
         counts = {"appended": int(obs.get["n"] or 0)}
         res = _commit(
             table, m, m.files, new_files, batch_id, source_id, offset_range,
@@ -396,6 +418,8 @@ def merge_into(
                 "probing an unstaged batch would re-execute its source"
             )
         touched = list(range(m.num_buckets))
+        if constrained:
+            _enforce_constraints(winners, m)
         src = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
         return _merge_cow_write(
             table, m, src, touched, [], [f for f in m.files], data_cols, keys,
@@ -413,6 +437,10 @@ def merge_into(
     try:
         winners.write.mode("overwrite").parquet(stage_dir)
         staged = table.spark.read.schema(winners.schema).parquet(stage_dir)
+        if constrained:
+            # a violation aborts here: the staging dir is cleaned by the
+            # finally below and nothing has committed
+            _enforce_constraints(staged, m)
         if prune_buckets is None:
             prune_buckets = True
         # one tiny probe job over the staged ints: touched buckets AND
@@ -648,7 +676,7 @@ def merge_local_delta(
                      for r in live]
                 )
             except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
-                raise ValueError(
+                raise LocalPathUnsupportedError(
                     "cannot evaluate CHECK constraints on the driver-"
                     f"local path for this batch ({e}); use merge_into"
                 ) from e
@@ -659,7 +687,7 @@ def merge_local_delta(
                         f"COALESCE(({expr}), TRUE)"
                     ).fetchone()[0]
                 except duckdb.Error as e:
-                    raise ValueError(
+                    raise LocalPathUnsupportedError(
                         f"CHECK constraint {name!r} ({expr!r}) is not "
                         "evaluable on the driver-local path "
                         f"({e}); use merge_into"
@@ -846,11 +874,22 @@ def merge_small_batch(
             mor_compact_threshold=mor_compact_threshold,
         )
     rows = [r.asDict(recursive=True) for r in head]
-    return merge_local_delta(
-        table, rows, source_id=source_id, batch_id=batch_id,
-        offset_range=offset_range,
-        mor_compact_threshold=mor_compact_threshold,
-    )
+    try:
+        return merge_local_delta(
+            table, rows, source_id=source_id, batch_id=batch_id,
+            offset_range=offset_range,
+            mor_compact_threshold=mor_compact_threshold,
+        )
+    except LocalPathUnsupportedError:
+        # e.g. a CHECK constraint only Spark can evaluate — the data may
+        # be valid; re-route through the distributed merge (which
+        # enforces the same constraints Spark-side) instead of failing a
+        # trickle pipeline on an engine limitation
+        return merge_into(
+            table, batch, source_id=source_id, batch_id=batch_id,
+            offset_range=offset_range, evolve=False, mode="mor",
+            mor_compact_threshold=mor_compact_threshold,
+        )
 
 
 def _staged_row_count(stage_dir: str) -> int:

@@ -961,6 +961,30 @@ class LakeTable:
             )
         return best.version
 
+    def version_before(self, ts) -> int:
+        """Latest RETAINED snapshot committed STRICTLY before ``ts`` —
+        the change-feed start bound: "changes since time T" = changes
+        committed strictly after this version, which INCLUDES a commit
+        landing at exactly T (Delta CDF's startingTimestamp rule; the
+        at-or-before :meth:`version_as_of` would exclude it). Raises
+        ``ValueError`` when no retained snapshot predates ``ts`` — the
+        span would start inside expired history and silently under-
+        deliver."""
+        epoch = _ts_to_epoch(ts)
+        best: Manifest | None = None
+        for m in self.snapshots():
+            if m.committed_at < epoch and (
+                best is None or m.version > best.version
+            ):
+                best = m
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {self.root} was committed before "
+                f"{epoch:.3f} — the requested change span starts inside "
+                "expired (or not-yet-written) history"
+            )
+        return best.version
+
     def _lineage_roots(self) -> list[int]:
         """Roots of every reachable manifest chain: CURRENT plus any
         pinned versions (retention pins survive expiry DISCONNECTED from

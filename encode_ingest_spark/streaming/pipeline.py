@@ -303,11 +303,16 @@ class CdcStreamPipeline:
                     def _mine() -> list[dict]:
                         return [p for p in raw if p["query_id"] == qid]
 
+                    # insist on at least one event only when a batch
+                    # actually ran (progress is then guaranteed to be
+                    # in flight); a query that processed nothing may
+                    # legitimately emit none — don't stall 10 s on it
+                    expect_events = bool(self.batch_results)
                     deadline = _time.time() + 10
                     last = -1
                     while _time.time() < deadline:
                         cur = len(_mine())
-                        if cur > 0 and cur == last:
+                        if cur == last and (cur > 0 or not expect_events):
                             break
                         last = cur
                         _time.sleep(0.3)

@@ -218,3 +218,72 @@ def test_datasource_timestamp_as_of(spark, tmp_path):
         spark.read.format("lake").option("timestampAsOf", repr(ts1)).option(
             "version", 1
         ).load(t.root).collect()
+
+
+def test_small_batch_falls_back_on_spark_only_check(spark, tmp_path):
+    """A CHECK expr only Spark can evaluate must not fail the trickle
+    path: merge_small_batch re-routes to the distributed merge, which
+    enforces the same constraint Spark-side."""
+    from encode_ingest_spark.lake import merge_small_batch
+
+    t = _table(
+        spark, tmp_path, "c_fb",
+        {"constraints.check.hashed": "xxhash64(x) IS NOT NULL OR x IS NULL"},
+    )
+    rows = [("a", "ax", 1, "insert", 1)]
+    res = merge_small_batch(
+        t, spark.createDataFrame(rows, BATCH_DDL), batch_id=1
+    )
+    assert not res.skipped
+    assert {r["id"] for r in t.read().collect()} == {"a"}
+    # direct merge_local_delta callers still get the actionable error
+    from encode_ingest_spark.lake.merge import LocalPathUnsupportedError
+
+    lr = _local_rows(spark, t, [("b", "bx", 2, 2, False)])
+    with pytest.raises(LocalPathUnsupportedError, match="use merge_into"):
+        merge_local_delta(t, lr, batch_id=2)
+
+
+def test_native_sink_enforces_constraints(spark, tmp_path):
+    """df.writeStream.format('lake') refuses a violating epoch — same
+    contract as the merge paths; a clean epoch lands."""
+    from encode_ingest_spark.lake import register_lake_sources
+
+    register_lake_sources(spark)
+    t = _table(spark, tmp_path, "c_sink", CONSTRAINED)
+    src_dir = str(tmp_path / "sink_src")
+    ck = str(tmp_path / "sink_ck")
+
+    def run_epoch(rows):
+        spark.createDataFrame(rows, BATCH_DDL).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        q = (
+            spark.readStream.schema(BATCH_DDL.replace(", ", ",")).parquet(src_dir)
+            .writeStream.format("lake")
+            .option("path", t.root)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_epoch([("a", "ax", 1, "insert", 1)])
+    assert {r["id"] for r in t.read().collect()} == {"a"}
+    with pytest.raises(Exception, match="violates"):
+        run_epoch([("b", None, 2, "insert", 2)])
+    assert {r["id"] for r in t.read().collect()} == {"a"}
+    assert t.orphan_files() == []  # refusal staged nothing
+
+
+def test_version_before_boundary(spark, tmp_path):
+    """version_before: strictly-before resolution (the change-feed
+    start bound) vs version_as_of's at-or-before."""
+    t = _table(spark, tmp_path, "vb")
+    _merge(spark, t, [("a", "a1", 1, "insert", 1)], 1)
+    ts1 = t.current_manifest().committed_at
+    v1 = t.current_version()
+    assert t.version_as_of(ts1) == v1
+    assert t.version_before(ts1) == v1 - 1
+    with pytest.raises(ValueError, match="committed before"):
+        t.version_before(0.0)

@@ -800,18 +800,20 @@ def test_point_lookup_timestamp_key_non_utc_driver(spark, tmp_path):
 
 
 def test_batch_changes_timestamp_span(spark, tmp_path):
-    """startingTimestamp/endingTimestamp resolve through version_as_of
-    and match the version-addressed read of the same span."""
+    """startingTimestamp delivers changes committed AT or after ts
+    (Delta CDF's rule — a commit landing at exactly ts is included,
+    via version_before); endingTimestamp resolves via version_as_of."""
     t = _mk(spark, tmp_path)
     _seed(spark, t)
     snaps = t.snapshots()
-    v1 = snaps[1].version
+    v0, v1 = snaps[0].version, snaps[1].version
     ts1 = snaps[1].committed_at
     cur = t.current_version()
     ts_now = time.time() + 60
 
+    # starting at v1's own commit time INCLUDES v1's changes
     by_ver = spark.read.format("lake_changes").option(
-        "startingVersion", v1
+        "startingVersion", v0
     ).load(t.root)
     by_ts = (
         spark.read.format("lake_changes")
@@ -820,14 +822,17 @@ def test_batch_changes_timestamp_span(spark, tmp_path):
         .load(t.root)
     )
     assert _rows(by_ts) == _rows(by_ver)
-    # endingTimestamp at v1's commit time bounds the span to nothing
-    empty = (
+    # [ts1, ts1] bounds the span to exactly v1's commit
+    exact = (
         spark.read.format("lake_changes")
         .option("startingTimestamp", repr(ts1))
         .option("endingTimestamp", repr(ts1))
         .load(t.root)
     )
-    assert empty.count() == 0
+    want_v1 = spark.read.format("lake_changes").option(
+        "startingVersion", v0
+    ).option("endingVersion", v1).load(t.root)
+    assert _rows(exact) == _rows(want_v1)
     # mutual exclusivity + pre-history refusal
     with pytest.raises(Exception, match="not both"):
         spark.read.format("lake_changes").option(
@@ -841,18 +846,18 @@ def test_batch_changes_timestamp_span(spark, tmp_path):
 
 
 def test_stream_changes_starting_timestamp(spark, tmp_path):
-    """A startingTimestamp stream tails changes committed strictly
-    after the latest snapshot at or before ts — matching the
-    version-addressed drain."""
+    """A startingTimestamp stream tails changes committed at or after
+    ts — matching the version-addressed drain from the version BEFORE
+    the commit at ts."""
     t = _mk(spark, tmp_path)
     _seed(spark, t)
     snaps = t.snapshots()
-    v1, ts1 = snaps[1].version, snaps[1].committed_at
+    v0, ts1 = snaps[0].version, snaps[1].committed_at
     got = _drain_stream(
         spark, t.root, "ts_tail", str(tmp_path / "ck_ts"),
         startingTimestamp=repr(ts1),
     )
     want = spark.read.format("lake_changes").option(
-        "startingVersion", v1
+        "startingVersion", v0
     ).load(t.root)
     assert _rows(got) == _rows(want)
