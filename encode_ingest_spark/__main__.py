@@ -592,9 +592,36 @@ def cmd_status(spark: SparkSession, args) -> int:
             "delta_files": len(deltas),
             "rows_upper_bound": sum(f.rows for f in m.files),
             "watermarks": m.watermarks,
+            "properties": m.properties,
             "lineage_tail": (
                 m.lineage[-args.lineage_tail:] if args.lineage_tail else []
             ),
+        }
+    )
+    return 0
+
+
+def cmd_properties(spark: SparkSession, args) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES — the operator's path to
+    constraints (``constraints.not_null`` / ``constraints.check.*``),
+    clustering, compaction thresholds, and retention knobs without
+    writing Python."""
+    table = _load(spark, args.root)
+    props: dict = {}
+    for kv in args.set or []:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        k, v = kv.split("=", 1)
+        props[k] = v
+    for k in args.unset or []:
+        props[k] = None
+    m = table.set_properties(props)
+    _emit(
+        {
+            "cmd": "properties",
+            "root": args.root,
+            "version": m.version,
+            "properties": m.properties,
         }
     )
     return 0
@@ -768,6 +795,22 @@ def build_parser() -> argparse.ArgumentParser:
         "on the comma-separated columns",
     )
     mt.set_defaults(fn=cmd_maintain)
+
+    pr = sub.add_parser(
+        "properties",
+        help="ALTER TABLE SET/UNSET TBLPROPERTIES: constraints, "
+        "clustering, compaction/retention knobs (metadata-only commit)",
+    )
+    pr.add_argument("--root", required=True)
+    pr.add_argument(
+        "--set", action="append", metavar="K=V",
+        help="set a property (repeatable)",
+    )
+    pr.add_argument(
+        "--unset", action="append", metavar="K",
+        help="unset a property (repeatable)",
+    )
+    pr.set_defaults(fn=cmd_properties)
 
     rb = sub.add_parser(
         "rollback",

@@ -461,3 +461,41 @@ def test_cli_maintain_zorder_recluster(spark, capsys, tmp_path):
 
     cols, is_z = parse_cluster_spec(t.current_manifest().properties)
     assert (cols, is_z) == (["repo", "lang"], True)
+
+
+def test_cli_properties_set_unset(spark, capsys, tmp_path):
+    """properties --set/--unset: metadata-only ALTER, and the newly-set
+    constraint enforces on the next CLI merge."""
+    lake = str(tmp_path / "plake")
+    events = str(tmp_path / "pevents")
+    run_cli(spark, capsys, "create", "--root", lake, "--buckets", "2")
+    out = run_cli(
+        spark, capsys, "properties", "--root", lake,
+        "--set", "constraints.not_null=content", "--set", "owner=ops",
+    )
+    assert out["properties"]["constraints.not_null"] == "content"
+    st = run_cli(spark, capsys, "status", "--root", lake)
+    assert st["properties"]["owner"] == "ops"
+    out = run_cli(
+        spark, capsys, "properties", "--root", lake, "--unset", "owner",
+    )
+    assert "owner" not in out["properties"]
+    # the constraint now gates the merge verb
+    run_cli(
+        spark, capsys, "generate", "--out", events,
+        "--n-keys", "10", "--events-per-key", "1", "--files", "1",
+    )
+    import pyspark.sql.functions as F
+
+    bad_dir = str(tmp_path / "bad_events")
+    spark.read.parquet(events).withColumn(
+        "content", F.lit(None).cast("string")
+    ).write.parquet(bad_dir)
+    from encode_ingest_spark.lake import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        main(
+            ["merge", "--root", lake, "--batch", bad_dir, "--batch-id", "1"],
+            spark=spark,
+        )
+    assert run_cli(spark, capsys, "status", "--root", lake)["version"] == 2
