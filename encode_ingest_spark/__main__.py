@@ -601,6 +601,30 @@ def cmd_status(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_clone(spark: SparkSession, args) -> int:
+    """CREATE TABLE ... CLONE: fork at a snapshot. Shallow (default)
+    is metadata-only — instant at any size, shared files pinned on the
+    source and exempt from clone-side GC by construction."""
+    table = _load(spark, args.root)
+    clone = table.clone_to(
+        args.dest, version=args.version, tag=args.tag,
+        shallow=not args.deep,
+    )
+    m = clone.current_manifest()
+    _emit(
+        {
+            "cmd": "clone",
+            "root": args.root,
+            "dest": args.dest,
+            "mode": "deep" if args.deep else "shallow",
+            "cloned_version": m.lineage[0]["batch_id"],
+            "files": len(m.files),
+            "rows_upper_bound": sum(f.rows for f in m.files),
+        }
+    )
+    return 0
+
+
 def cmd_properties(spark: SparkSession, args) -> int:
     """ALTER TABLE SET/UNSET TBLPROPERTIES — the operator's path to
     constraints (``constraints.not_null`` / ``constraints.check.*``),
@@ -795,6 +819,19 @@ def build_parser() -> argparse.ArgumentParser:
         "on the comma-separated columns",
     )
     mt.set_defaults(fn=cmd_maintain)
+
+    cl = sub.add_parser(
+        "clone",
+        help="fork the table at a snapshot into a new table: shallow "
+        "(metadata-only, source files pinned + never GC'd from the "
+        "clone side) or --deep (copy files)",
+    )
+    cl.add_argument("--root", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--version", type=int, default=None)
+    cl.add_argument("--tag", default=None)
+    cl.add_argument("--deep", action="store_true")
+    cl.set_defaults(fn=cmd_clone)
 
     pr = sub.add_parser(
         "properties",

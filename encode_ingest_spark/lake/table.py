@@ -1385,6 +1385,101 @@ class LakeTable:
         self._write_manifest(nm)
         return nm
 
+    def clone_to(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        tag: str | None = None,
+        shallow: bool = True,
+    ) -> "LakeTable":
+        """``CREATE TABLE ... CLONE`` — fork this table's state at a
+        snapshot into a NEW independent table at ``dest_root``.
+
+        ``shallow=True`` (default, the dev/test fork): the clone's v0
+        manifest references the source's data files via relative
+        ``../`` paths — ZERO data copied, metadata-only, instant at any
+        size. Two mechanisms close the sharp edge Delta documents
+        (VACUUM on either side deleting shared files):
+
+        * the source records a retention pin ``clone.<dest name>`` at
+          the cloned version, so SOURCE expiry keeps the shared files
+          until ``unpin_version`` releases it;
+        * CLONE-side expiry never deletes a path outside its own root
+          (guard in ``expire_snapshots``), so rewriting/compacting the
+          clone can only reclaim the clone's OWN files.
+
+        ``shallow=False`` copies the data files (deep clone) — no pin,
+        no shared fate, cost proportional to data size.
+
+        The clone carries the full schema set, key/bucket layout,
+        properties, AND the exactly-once watermarks: re-driving the
+        source's ingest against the clone fence-skips the already-
+        cloned span and replays only what follows — the CDC-correct
+        fork semantics (a clone without watermarks would re-ingest and
+        double-apply). Branches/tags/pins of the source do NOT clone
+        (refs are per-table); lineage starts with one ``clone`` record.
+        """
+        if LakeTable.exists(dest_root):
+            raise FileExistsError(f"clone destination {dest_root} already exists")
+        if tag is not None and version is not None:
+            raise ValueError("pass either version or tag, not both")
+        if tag is not None:
+            version = self._resolve_tag(tag)
+        v = version if version is not None else self.current_version()
+        m = self.manifest_at(v)
+        clone = LakeTable(self.spark, dest_root)
+        os.makedirs(clone._meta_dir, exist_ok=True)
+        os.makedirs(clone._data_dir, exist_ok=True)
+        clone_name = os.path.basename(os.path.normpath(dest_root))
+        new_files: list[DataFile] = []
+        for f in m.files:
+            src_abs = os.path.join(self.root, f.path)
+            if shallow:
+                path = os.path.relpath(src_abs, dest_root)
+            else:
+                path = f.path
+                dest_abs = os.path.join(dest_root, path)
+                os.makedirs(os.path.dirname(dest_abs), exist_ok=True)
+                shutil.copy2(src_abs, dest_abs)
+            new_files.append(
+                DataFile(
+                    path=path,
+                    bucket=f.bucket,
+                    rows=f.rows,
+                    bytes=f.bytes,
+                    schema_version=f.schema_version,
+                    is_delta=f.is_delta,
+                    stats=f.stats,
+                )
+            )
+        if shallow:
+            # source-side retention root: shared files survive source
+            # expiry for the clone's lifetime
+            self.pin_version(f"clone.{clone_name}", v)
+        nm = Manifest(
+            version=0,
+            snapshot_id=0,
+            schemas=dict(m.schemas),
+            current_schema_version=m.current_schema_version,
+            key_cols=list(m.key_cols),
+            num_buckets=m.num_buckets,
+            files=new_files,
+            watermarks={k: dict(w) for k, w in (m.watermarks or {}).items()},
+            lineage=[
+                {
+                    "source_id": "clone",
+                    "batch_id": v,
+                    "rows": sum(f.rows for f in new_files),
+                    "note": f"{'shallow' if shallow else 'deep'} clone of "
+                    f"{self.root} @ v{v}",
+                }
+            ],
+            parent_version=None,
+            properties=dict(m.properties),
+        )
+        clone._write_manifest(nm)
+        return clone
+
     def set_properties(self, props: dict[str, str | None]) -> Manifest:
         """``ALTER TABLE SET/UNSET TBLPROPERTIES`` — a metadata-only
         commit updating table properties (operational knobs AND the
@@ -1920,6 +2015,17 @@ class LakeTable:
             for f in files:
                 if f.path not in keep_files:
                     p = os.path.join(self.root, f.path)
+                    # NEVER delete outside the table root: a shallow
+                    # clone references its source's data files via
+                    # `../` paths — those belong to the SOURCE table's
+                    # retention (held there by the clone's pin), and a
+                    # clone-side expiry deleting them would corrupt the
+                    # source (the Delta shallow-clone VACUUM hazard,
+                    # closed by construction here)
+                    if not os.path.abspath(p).startswith(
+                        os.path.abspath(self.root) + os.sep
+                    ):
+                        continue
                     if os.path.exists(p):
                         os.remove(p)
                         removed += 1

@@ -499,3 +499,22 @@ def test_cli_properties_set_unset(spark, capsys, tmp_path):
             spark=spark,
         )
     assert run_cli(spark, capsys, "status", "--root", lake)["version"] == 2
+
+
+def test_cli_clone_shallow(spark, capsys, tmp_path):
+    lake = str(tmp_path / "clake")
+    events = str(tmp_path / "cevents")
+    run_cli(spark, capsys, "create", "--root", lake, "--buckets", "2")
+    run_cli(
+        spark, capsys, "generate", "--out", events,
+        "--n-keys", "20", "--events-per-key", "1", "--files", "1",
+    )
+    run_cli(
+        spark, capsys, "merge", "--root", lake, "--batch", events,
+        "--batch-id", "1",
+    )
+    dest = str(tmp_path / "clake_fork")
+    out = run_cli(spark, capsys, "clone", "--root", lake, "--dest", dest)
+    assert out["mode"] == "shallow" and out["files"] > 0
+    src_rows = LakeTable.load(spark, lake).read().count()
+    assert LakeTable.load(spark, dest).read().count() == src_rows
