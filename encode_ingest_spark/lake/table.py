@@ -1421,6 +1421,19 @@ class LakeTable:
         """
         if LakeTable.exists(dest_root):
             raise FileExistsError(f"clone destination {dest_root} already exists")
+        src_abs_root = os.path.abspath(self.root)
+        dest_abs_root = os.path.abspath(dest_root)
+        if (
+            dest_abs_root == src_abs_root
+            or dest_abs_root.startswith(src_abs_root + os.sep)
+            or src_abs_root.startswith(dest_abs_root + os.sep)
+        ):
+            # a nested clone's own files would be flagged (and deleted)
+            # as the outer table's orphans by its maintain/GC disk scan
+            raise ValueError(
+                "clone destination must not nest inside the source "
+                f"table root (or vice versa): {dest_root} vs {self.root}"
+            )
         if tag is not None and version is not None:
             raise ValueError("pass either version or tag, not both")
         if tag is not None:
@@ -1433,9 +1446,9 @@ class LakeTable:
         clone_name = os.path.basename(os.path.normpath(dest_root))
         new_files: list[DataFile] = []
         for f in m.files:
-            src_abs = os.path.join(self.root, f.path)
+            src_abs = os.path.join(src_abs_root, f.path)
             if shallow:
-                path = os.path.relpath(src_abs, dest_root)
+                path = os.path.relpath(src_abs, dest_abs_root)
             else:
                 path = f.path
                 dest_abs = os.path.join(dest_root, path)

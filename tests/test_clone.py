@@ -172,3 +172,9 @@ def test_clone_at_version_and_tag(spark, tmp_path):
     assert {r["x"] for r in c2.read().collect()} == {"a1", "b1"}
     with pytest.raises(ValueError, match="not both"):
         t.clone_to(str(tmp_path / "bad"), version=v1, tag="rel")
+
+
+def test_clone_refuses_nested_destination(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="nest"):
+        t.clone_to(os.path.join(t.root, "fork"))
