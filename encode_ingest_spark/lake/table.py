@@ -77,6 +77,12 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the same version first (optimistic CC)."""
 
 
+def _sha1_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha1(s.encode("utf-8")).hexdigest()
+
+
 def _ts_to_epoch(ts) -> float:
     """Normalize a time-travel timestamp to epoch seconds. Accepts
     epoch int/float, ``datetime`` (naive = UTC — manifests stamp
@@ -1401,15 +1407,30 @@ class LakeTable:
         size. Two mechanisms close the sharp edge Delta documents
         (VACUUM on either side deleting shared files):
 
-        * the source records a retention pin ``clone.<dest name>`` at
-          the cloned version, so SOURCE expiry keeps the shared files
-          until ``unpin_version`` releases it;
+        * the source records a retention pin (unique per destination —
+          ``clone.<name>.<hash of dest path>``, also recorded in the
+          clone's ``clone.pin`` property for mechanical release) at the
+          cloned version, PINNED BEFORE the manifest is read so a
+          concurrent source expiry cannot race the clone into
+          referencing deleted files; release with
+          ``source.unpin_version(clone_props["clone.pin"])`` once the
+          fork has compacted to fully-local files;
         * CLONE-side expiry never deletes a path outside its own root
           (guard in ``expire_snapshots``), so rewriting/compacting the
           clone can only reclaim the clone's OWN files.
 
+        A shallow clone OF a shallow clone is refused while the
+        intermediate still references its own source's files (the
+        grandparent's retention would have no record of the grandchild)
+        — deep-clone instead, or re-clone from the original; once the
+        intermediate has compacted to local files, shallow re-cloning
+        works. Main ref only (a WAP branch is short-lived staging whose
+        drop would GC the pin with it).
+
         ``shallow=False`` copies the data files (deep clone) — no pin,
-        no shared fate, cost proportional to data size.
+        no shared fate, cost proportional to data size; escaping
+        ``../`` references of a shallow-clone source are normalized to
+        clone-local paths during the copy.
 
         The clone carries the full schema set, key/bucket layout,
         properties, AND the exactly-once watermarks: re-driving the
@@ -1419,6 +1440,7 @@ class LakeTable:
         double-apply). Branches/tags/pins of the source do NOT clone
         (refs are per-table); lineage starts with one ``clone`` record.
         """
+        self._require_main("clone_to")
         if LakeTable.exists(dest_root):
             raise FileExistsError(f"clone destination {dest_root} already exists")
         src_abs_root = os.path.abspath(self.root)
@@ -1439,11 +1461,57 @@ class LakeTable:
         if tag is not None:
             version = self._resolve_tag(tag)
         v = version if version is not None else self.current_version()
-        m = self.manifest_at(v)
+        clone_name = os.path.basename(os.path.normpath(dest_root))
+        pin_name = (
+            "clone."
+            + clone_name
+            + "."
+            + _sha1_hex(dest_abs_root)[:8]  # unique per DESTINATION —
+            # basename-only keys would let a second clone named alike
+            # silently replace this pin and expose the files to expiry
+        )
+        if shallow:
+            # PIN FIRST, then load+verify: pinning after the manifest
+            # read races a concurrent source expiry (the cloned
+            # version's files could be deleted in the window); pinning
+            # a version that turns out expired is cleaned up below
+            self.pin_version(pin_name, v)
+        try:
+            m = self.manifest_at(v)
+            missing = [
+                f.path
+                for f in m.files
+                if not os.path.exists(os.path.join(src_abs_root, f.path))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot clone {self.root} @ v{v}: {len(missing)} "
+                    f"data file(s) already reclaimed by expiry "
+                    f"(first: {missing[0]})"
+                )
+            escaping = [
+                f.path
+                for f in m.files
+                if not os.path.abspath(
+                    os.path.join(src_abs_root, f.path)
+                ).startswith(src_abs_root + os.sep)
+            ]
+            if shallow and escaping:
+                raise ValueError(
+                    "shallow clone of a shallow clone: this table still "
+                    f"references {len(escaping)} file(s) of ITS source "
+                    f"(first: {escaping[0]}), whose retention would have "
+                    "no record of the new clone — deep-clone instead, "
+                    "re-clone from the original table, or compact this "
+                    "table to local files first"
+                )
+        except BaseException:
+            if shallow:
+                self.unpin_version(pin_name)
+            raise
         clone = LakeTable(self.spark, dest_root)
         os.makedirs(clone._meta_dir, exist_ok=True)
         os.makedirs(clone._data_dir, exist_ok=True)
-        clone_name = os.path.basename(os.path.normpath(dest_root))
         new_files: list[DataFile] = []
         for f in m.files:
             src_abs = os.path.join(src_abs_root, f.path)
@@ -1451,7 +1519,19 @@ class LakeTable:
                 path = os.path.relpath(src_abs, dest_abs_root)
             else:
                 path = f.path
-                dest_abs = os.path.join(dest_root, path)
+                if not os.path.abspath(
+                    os.path.join(dest_abs_root, path)
+                ).startswith(dest_abs_root + os.sep):
+                    # deep clone of a shallow clone: normalize escaping
+                    # ../ references to canonical clone-LOCAL paths so
+                    # the copy lands inside the dest root and the deep
+                    # clone is genuinely self-contained
+                    path = os.path.join(
+                        "data",
+                        f"{BUCKET_COL}={f.bucket}",
+                        os.path.basename(f.path),
+                    )
+                dest_abs = os.path.join(dest_abs_root, path)
                 os.makedirs(os.path.dirname(dest_abs), exist_ok=True)
                 shutil.copy2(src_abs, dest_abs)
             new_files.append(
@@ -1465,10 +1545,12 @@ class LakeTable:
                     stats=f.stats,
                 )
             )
+        props = dict(m.properties)
         if shallow:
-            # source-side retention root: shared files survive source
-            # expiry for the clone's lifetime
-            self.pin_version(f"clone.{clone_name}", v)
+            # discoverability: the clone records which pin protects it
+            # and where — release is mechanical once the fork is local
+            props["clone.pin"] = pin_name
+            props["clone.source"] = src_abs_root
         nm = Manifest(
             version=0,
             snapshot_id=0,
@@ -1488,7 +1570,7 @@ class LakeTable:
                 }
             ],
             parent_version=None,
-            properties=dict(m.properties),
+            properties=props,
         )
         clone._write_manifest(nm)
         return clone

@@ -63,8 +63,11 @@ def test_shallow_clone_zero_copy_read_parity(spark, tmp_path):
     assert {tuple(r) for r in c.read().collect()} == {
         tuple(r) for r in t.read(version=v).collect()
     }
-    # the source holds a retention pin at the cloned version
-    assert t.pinned_versions().get("clone.fork") == v
+    # the source holds a retention pin at the cloned version; the
+    # clone records which pin protects it (release is mechanical)
+    pin = c.current_manifest().properties["clone.pin"]
+    assert pin.startswith("clone.fork.")
+    assert t.pinned_versions().get(pin) == v
     # refuses an existing destination
     with pytest.raises(FileExistsError):
         t.clone_to(str(tmp_path / "fork"))
@@ -139,8 +142,9 @@ def test_source_expiry_keeps_pinned_clone_files(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert {r["x"] for r in c.read().collect()} == {"a1", "b1"}
     # releasing the pin opens the files to future source retention
-    t.unpin_version("clone.fork")
-    assert "clone.fork" not in t.pinned_versions()
+    pin = c.current_manifest().properties["clone.pin"]
+    t.unpin_version(pin)
+    assert pin not in t.pinned_versions()
 
 
 def test_deep_clone_copies_files_no_pin(spark, tmp_path):
@@ -178,3 +182,61 @@ def test_clone_refuses_nested_destination(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="nest"):
         t.clone_to(os.path.join(t.root, "fork"))
+
+
+def test_same_basename_clones_get_distinct_pins(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1 = t.current_version()
+    (tmp_path / "dev").mkdir()
+    (tmp_path / "qa").mkdir()
+    c1 = t.clone_to(str(tmp_path / "dev" / "fork"))
+    merge_into(
+        t,
+        spark.createDataFrame([("a", "a2", "upsert", 2)], DDL),
+        batch_id=2, source_id="s1",
+    )
+    c2 = t.clone_to(str(tmp_path / "qa" / "fork"))
+    p1 = c1.current_manifest().properties["clone.pin"]
+    p2 = c2.current_manifest().properties["clone.pin"]
+    assert p1 != p2
+    pins = t.pinned_versions()
+    assert pins[p1] == v1 and pins[p2] == v1 + 1
+    # aggressive expiry keeps BOTH clones readable
+    t.expire_snapshots(keep_last=1)
+    assert {r["x"] for r in c1.read().collect()} == {"a1", "b1"}
+    assert {r["x"] for r in c2.read().collect()} == {"a2", "b1"}
+
+
+def test_shallow_of_shallow_refused_until_local(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    c = t.clone_to(str(tmp_path / "fork"))
+    with pytest.raises(ValueError, match="shallow clone of a shallow"):
+        c.clone_to(str(tmp_path / "fork2"))
+    # once the intermediate compacts to local files, re-cloning works
+    c.compact_buckets([f.bucket for f in c.current_manifest().files])
+    c2 = c.clone_to(str(tmp_path / "fork2"))
+    assert {r["x"] for r in c2.read().collect()} == {"a1", "b1"}
+
+
+def test_deep_clone_of_shallow_clone_is_self_contained(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    c = t.clone_to(str(tmp_path / "fork"))
+    d = c.clone_to(str(tmp_path / "deepfork"), shallow=False)
+    # every referenced file lives under the deep clone root
+    for f in d.current_manifest().files:
+        p = os.path.abspath(os.path.join(d.root, f.path))
+        assert p.startswith(os.path.abspath(d.root) + os.sep), f.path
+    # fully independent of BOTH ancestors
+    import shutil
+
+    shutil.rmtree(t.root)
+    shutil.rmtree(c.root)
+    assert {r["x"] for r in d.read().collect()} == {"a1", "b1"}
+
+
+def test_clone_from_branch_ref_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create_branch("wap")
+    br = LakeTable(spark, t.root, ref="wap")
+    with pytest.raises(ValueError, match="main"):
+        br.clone_to(str(tmp_path / "bad"))
