@@ -1124,6 +1124,51 @@ def _read_diff_partition(
         yield from tbl.to_batches()
 
 
+def _resolve_changes_start(
+    table: LakeTable, options: dict, default: str
+) -> int:
+    """Resolve the change-span START from one of the mutually-exclusive
+    option forms (keys lowercased by Spark):
+
+    * ``startingversion`` — latest / earliest / snapshot / int
+      (``latest`` is refused when ``default`` is batch-shaped);
+    * ``startingtimestamp`` — changes committed AT or after ts
+      (Delta CDF rule: ``version_before``, so a commit landing at
+      exactly ts is delivered); pre-history raises;
+    * ``startingtag`` — changes committed strictly after the TAGGED
+      snapshot ("what changed since release X").
+    """
+    given = [
+        k for k in ("startingversion", "startingtimestamp", "startingtag")
+        if options.get(k) is not None
+    ]
+    if len(given) > 1:
+        raise ValueError(
+            f"pass at most one of startingVersion / startingTimestamp / "
+            f"startingTag (got {given})"
+        )
+    st_ts = options.get("startingtimestamp")
+    if st_ts is not None:
+        return table.version_before(_parse_ts_option(st_ts))
+    st_tag = options.get("startingtag")
+    if st_tag is not None:
+        return table._resolve_tag(st_tag)
+    start = str(options.get("startingversion", default)).lower()
+    if start == "latest":
+        if default != "latest":
+            raise ValueError(
+                "startingVersion=latest is a STREAMING tail default; a "
+                "batch lake_changes read needs an integer, 'earliest', "
+                "or 'snapshot'"
+            )
+        return table.current_version()
+    if start == "earliest":
+        return min(table._all_versions())
+    if start == "snapshot":
+        return -1  # empty-base sentinel: full state as inserts
+    return int(start)
+
+
 def _parse_ts_option(raw) -> object:
     """A timestamp option value: epoch seconds as a string, or ISO-8601
     (``version_as_of`` parses the latter)."""
@@ -1177,29 +1222,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
     def __init__(self, stream_schema: T.StructType, options: dict):
         table = _init_changes_reader(self, stream_schema, options)
-        st_ts = options.get("startingtimestamp")
-        if st_ts is not None and options.get("startingversion") is not None:
-            raise ValueError(
-                "pass startingVersion or startingTimestamp, not both"
-            )
-        if st_ts is not None:
-            # changes committed at or after the timestamp (Delta CDF's
-            # startingTimestamp rule — a commit landing at exactly ts IS
-            # delivered, hence version_before, not version_as_of); a ts
-            # older than retained history raises — replaying from
-            # earliest would silently MISS the expired changes a
-            # since-ts consumer asked for
-            self._start = table.version_before(_parse_ts_option(st_ts))
-        else:
-            start = str(options.get("startingversion", "latest")).lower()
-            if start == "latest":
-                self._start = table.current_version()
-            elif start == "earliest":
-                self._start = min(table._all_versions())
-            elif start == "snapshot":
-                self._start = -1  # empty-base sentinel: full table as inserts
-            else:
-                self._start = int(start)
+        self._start = _resolve_changes_start(table, options, default="latest")
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv is not None else None
         #: rate-limit position. Armed at CONSTRUCTION because Spark
@@ -1282,14 +1305,22 @@ class LakeChangesBatchReader(DataSourceReader):
     def __init__(self, stream_schema: T.StructType, options: dict):
         table = _init_changes_reader(self, stream_schema, options)
         cur = table.current_version()
+        ends = [
+            k for k in ("endingversion", "endingtimestamp", "endingtag")
+            if options.get(k) is not None
+        ]
+        if len(ends) > 1:
+            raise ValueError(
+                f"pass at most one of endingVersion / endingTimestamp / "
+                f"endingTag (got {ends})"
+            )
         end = options.get("endingversion")
         end_ts = options.get("endingtimestamp")
-        if end is not None and end_ts is not None:
-            raise ValueError(
-                "pass endingVersion or endingTimestamp, not both"
-            )
+        end_tag = options.get("endingtag")
         if end_ts is not None:
             self._end = table.version_as_of(_parse_ts_option(end_ts))
+        elif end_tag is not None:
+            self._end = table._resolve_tag(end_tag)
         else:
             self._end = int(end) if end is not None else cur
         if self._end > cur or self._end < 0:
@@ -1297,45 +1328,17 @@ class LakeChangesBatchReader(DataSourceReader):
                 f"lake_changes endingVersion={self._end} is outside the "
                 f"table's history (current version {cur}) on {self.root}"
             )
-        st_ts = options.get("startingtimestamp")
-        if st_ts is not None and options.get("startingversion") is not None:
+        self._start = _resolve_changes_start(table, options, default="earliest")
+        if self._start > self._end:
+            # start==end is the legitimate empty span ("no changes
+            # since v"); start PAST the end is a user error (wrong
+            # table / typo'd version / a start bound resolving past the
+            # ending bound) — silence would read as "no changes"
             raise ValueError(
-                "pass startingVersion or startingTimestamp, not both"
+                f"lake_changes span ({self._start}, {self._end}] is "
+                f"inverted on {self.root} (current version {cur}); the "
+                "start bound is exclusive and must be <= the end bound"
             )
-        if st_ts is not None:
-            # at-or-after delivery, matching the streaming reader
-            self._start = table.version_before(_parse_ts_option(st_ts))
-            if self._start > self._end:
-                raise ValueError(
-                    f"lake_changes span ({self._start}, {self._end}] is "
-                    f"inverted on {self.root}: startingTimestamp resolves "
-                    "past the ending bound"
-                )
-            return
-        start = str(options.get("startingversion", "earliest")).lower()
-        if start == "earliest":
-            self._start = min(table._all_versions())
-        elif start == "snapshot":
-            self._start = -1  # empty-base sentinel: full state as inserts
-        elif start == "latest":
-            raise ValueError(
-                "startingVersion=latest is a STREAMING tail default; a "
-                "batch lake_changes read needs an integer, 'earliest', "
-                "or 'snapshot'"
-            )
-        else:
-            self._start = int(start)
-            if self._start > self._end:
-                # start==end is the legitimate empty span ("no changes
-                # since v"); start PAST the end is a user error (wrong
-                # table / typo'd version) — silence would read as "no
-                # changes in that span"
-                raise ValueError(
-                    f"lake_changes span ({self._start}, {self._end}] is "
-                    f"inverted on {self.root} (current version {cur}); "
-                    "startingVersion is exclusive and must be <= "
-                    "endingVersion"
-                )
 
     def partitions(self) -> Sequence[InputPartition]:
         table = LakeTable(None, self.root, ref=self.ref)
@@ -1367,9 +1370,11 @@ class LakeChangesDataSource(DataSource):
         table = LakeTable(None, root, ref=self.options.get("branch"))
         ev = self.options.get("endingversion")
         end_ts = self.options.get("endingtimestamp")
-        if ev is not None and end_ts is not None:
+        end_tag = self.options.get("endingtag")
+        if sum(x is not None for x in (ev, end_ts, end_tag)) > 1:
             raise ValueError(
-                "pass endingVersion or endingTimestamp, not both"
+                "pass at most one of endingVersion / endingTimestamp / "
+                "endingTag"
             )
         if end_ts is not None:
             # resolve the time-domain bound to a version HERE and hand
@@ -1378,6 +1383,10 @@ class LakeChangesDataSource(DataSource):
             ev = table.version_as_of(_parse_ts_option(end_ts))
             self.options["endingversion"] = str(ev)
             del self.options["endingtimestamp"]
+        elif end_tag is not None:
+            ev = table._resolve_tag(end_tag)
+            self.options["endingversion"] = str(ev)
+            del self.options["endingtag"]
         if ev is not None and not 0 <= int(ev) <= table.current_version():
             raise ValueError(
                 f"lake_changes endingVersion={int(ev)} is outside the "

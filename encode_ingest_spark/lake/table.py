@@ -2401,7 +2401,7 @@ class LakeTable:
 
     def lookup(
         self, key: dict[str, Any], version: int | None = None,
-        include_tombstone: bool = False,
+        include_tombstone: bool = False, as_of=None,
     ) -> dict[str, Any] | None:
         """Driver-side POINT READ — zero Spark jobs.
 
@@ -2412,7 +2412,8 @@ class LakeTable:
         same pyarrow kernel the DataSource reader uses. At 10^10 rows a
         lookup costs one bucket's pruned file set, not a cluster job —
         the ops tool for "what does the table say about THIS key right
-        now / at version v". Returns the resolved row as a dict
+        now / at version v / as of time T" (``as_of`` resolves via
+        ``version_as_of``). Returns the resolved row as a dict
         (internal columns included), or None; ``include_tombstone``
         surfaces a deleted key's tombstone row instead of None.
 
@@ -2424,6 +2425,10 @@ class LakeTable:
         from .datasource import _arrow_schema, _resolve_bucket
         from .hashing import bucket_of
 
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_as_of(as_of)
         m = self.manifest_at(
             version if version is not None else self.current_version()
         )

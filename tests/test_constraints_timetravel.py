@@ -287,3 +287,15 @@ def test_version_before_boundary(spark, tmp_path):
     assert t.version_before(ts1) == v1 - 1
     with pytest.raises(ValueError, match="committed before"):
         t.version_before(0.0)
+
+
+def test_lookup_as_of(spark, tmp_path):
+    t = _table(spark, tmp_path, "lk")
+    _merge(spark, t, [("a", "old", 1, "insert", 1)], 1)
+    ts1 = t.current_manifest().committed_at
+    time.sleep(0.05)
+    _merge(spark, t, [("a", "new", 2, "upsert", 2)], 2)
+    assert t.lookup({"id": "a"})["x"] == "new"
+    assert t.lookup({"id": "a"}, as_of=ts1)["x"] == "old"
+    with pytest.raises(ValueError, match="not both"):
+        t.lookup({"id": "a"}, version=1, as_of=ts1)

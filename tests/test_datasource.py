@@ -834,7 +834,7 @@ def test_batch_changes_timestamp_span(spark, tmp_path):
     ).option("endingVersion", v1).load(t.root)
     assert _rows(exact) == _rows(want_v1)
     # mutual exclusivity + pre-history refusal
-    with pytest.raises(Exception, match="not both"):
+    with pytest.raises(Exception, match="at most one"):
         spark.read.format("lake_changes").option(
             "startingVersion", v1
         ).option("startingTimestamp", repr(ts1)).load(t.root).collect()
@@ -859,5 +859,53 @@ def test_stream_changes_starting_timestamp(spark, tmp_path):
     )
     want = spark.read.format("lake_changes").option(
         "startingVersion", v0
+    ).load(t.root)
+    assert _rows(got) == _rows(want)
+
+
+def test_batch_changes_between_tags(spark, tmp_path):
+    """startingTag/endingTag: 'what changed between release X and Y' —
+    tag-addressed incremental scan, parity with the version span."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    snaps = t.snapshots()
+    v1, v2 = snaps[1].version, snaps[2].version
+    t.tag("rel1", v1)
+    t.tag("rel2", v2)
+    by_tag = (
+        spark.read.format("lake_changes")
+        .option("startingTag", "rel1")
+        .option("endingTag", "rel2")
+        .load(t.root)
+    )
+    by_ver = (
+        spark.read.format("lake_changes")
+        .option("startingVersion", v1)
+        .option("endingVersion", v2)
+        .load(t.root)
+    )
+    assert _rows(by_tag) == _rows(by_ver)
+    with pytest.raises(Exception, match="at most one"):
+        spark.read.format("lake_changes").option(
+            "startingTag", "rel1"
+        ).option("startingVersion", v1).load(t.root).collect()
+    # inverted tag span is a loud error, not an empty result
+    with pytest.raises(Exception, match="inverted"):
+        spark.read.format("lake_changes").option(
+            "startingTag", "rel2"
+        ).option("endingTag", "rel1").load(t.root).collect()
+
+
+def test_stream_changes_starting_tag(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    v1 = t.snapshots()[1].version
+    t.tag("rel1", v1)
+    got = _drain_stream(
+        spark, t.root, "tag_tail", str(tmp_path / "ck_tag"),
+        startingTag="rel1",
+    )
+    want = spark.read.format("lake_changes").option(
+        "startingVersion", v1
     ).load(t.root)
     assert _rows(got) == _rows(want)
