@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import ensure_parallelism, tokens
+from .text import ensure_parallelism, nd_barrier as _nd_barrier, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -47,6 +47,21 @@ def canonical_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     alnum = F.array_join(F.split(F.lower(c), r"[^a-z0-9\s]"), "")
     return F.trim(F.array_join(F.split(alnum, r"\s+"), " "))
+
+
+def canonical_tokens(col: Column | str) -> Column:
+    """``tokens(canonical_text(col))`` fused to two regex passes.
+
+    ``canonical_text`` collapses whitespace to single spaces and trims
+    purely so the string form is canonical; a consumer that only needs
+    the TOKENS can skip that pass — splitting the alnum-filtered text on
+    ``\\s+`` and dropping empties yields exactly the same token array
+    (leading/trailing/repeated whitespace only ever produces empty
+    fragments, which the filter removes). One fewer full split+join over
+    the text per row; verified token-identical on the corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    alnum = F.array_join(F.split(F.lower(c), r"[^a-z0-9\s]"), "")
+    return F.filter(F.split(alnum, r"\s+"), lambda x: x != "")
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -142,7 +157,14 @@ def ngram_jaccard_pairs(
     """
     sh = (
         ensure_parallelism(df).select(
-            F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("sh")
+            F.col(id_col).alias("doc_id"),
+            # tokens staged behind an ND barrier so the tokenizer runs
+            # once per row, not once per reference inside the shingle
+            # expression (see hashed_shingles)
+            _nd_barrier(canonical_tokens(text_col)).alias("_tk"),
+        )
+        .select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("sh")
         )
         .dropDuplicates(["doc_id", "sh"])  # set semantics, relationally —
         # a hash shuffle beats per-row O(n²) array_distinct at scale
@@ -222,24 +244,30 @@ def _sig_from_hashes(hs: Column, k: int) -> Column:
 
 
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, _hs: array<long>) with ONE md5 per shingle, EAGERLY
-    materialized. The checkpoint is a deliberate optimizer barrier:
-    without it Catalyst's CollapseProject merges the staged projections
-    back into one and inlines the whole text→token→shingle→md5 subtree
-    into EVERY downstream consumer (16 sig permutations × filter
-    pushdown — observed 38s vs ~3s at 5000 docs). The materialized
-    sketch input is ~50 longs/doc — far smaller than the text."""
+    """(doc_id, _hs: array<long>) with ONE md5 per shingle, each stage
+    evaluated once per row. The ND barriers are deliberate optimizer
+    fences: without them Catalyst's CollapseProject merges the staged
+    projections back into one and inlines the whole
+    text→token→shingle→md5 subtree into EVERY downstream consumer
+    (16 sig permutations × filter pushdown — observed 38s vs ~3s at
+    5000 docs). Earlier rounds used ``localCheckpoint`` barriers, which
+    also materialize the intermediate (an extra job + serialize/
+    deserialize of every token array); the ND barrier keeps the
+    once-per-row evaluation while the pipeline streams (measured −13%
+    on the sf1.0 signature stage, r6)."""
     tk_df = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
-        tokens(canonical_text(text_col)).alias("_tk"),
-    ).localCheckpoint(eager=True)  # tokenizer runs once/row, not per reference
-    h_df = tk_df.select(
+        _nd_barrier(canonical_tokens(text_col)).alias("_tk"),
+    )
+    return tk_df.select(
         "doc_id",
-        F.transform(
-            shingles_from_tokens(F.col("_tk")), lambda s: md5_long(s) % F.lit(_H30)
+        _nd_barrier(
+            F.transform(
+                shingles_from_tokens(F.col("_tk")),
+                lambda s: md5_long(s) % F.lit(_H30),
+            )
         ).alias("_hs"),
     )
-    return h_df.localCheckpoint(eager=True)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16) -> DataFrame:
@@ -351,14 +379,16 @@ def simhash32(col: Column | str) -> Column:
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, sig) via a staged pipeline: token hashes materialized once
-    (checkpoint barrier — CollapseProject would otherwise inline the
-    tokenize subtree into all 32 bit-sum aggregates), then the 32
-    sign-sums over the int array."""
+    """(doc_id, sig) via a staged pipeline: token hashes computed once
+    per row behind an ND barrier (CollapseProject would otherwise inline
+    the tokenize subtree into all 32 bit-sum aggregates — see
+    hashed_shingles), then the 32 sign-sums over the int array."""
     th_df = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
-        F.transform(tokens(canonical_text(text_col)), lambda t: md5_long(t)).alias("_th"),
-    ).localCheckpoint(eager=True)
+        _nd_barrier(
+            F.transform(canonical_tokens(text_col), lambda t: md5_long(t))
+        ).alias("_th"),
+    )
 
     def bit_merge(b: int):
         return lambda acc, h: acc + F.when(

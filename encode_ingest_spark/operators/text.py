@@ -38,6 +38,25 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def nd_barrier(col: Column) -> Column:
+    """Value-identity wrapper that carries a non-deterministic taint.
+
+    ``when(monotonically_increasing_id() >= 0, col)`` always evaluates to
+    ``col`` (the id is non-negative by construction), but the taint stops
+    Catalyst's CollapseProject from inlining the projection into every
+    downstream reference — the optimizer-duplication fix the guide (§4.4)
+    applies to expensive UDFs, here applied to expensive pure-JVM
+    expression trees (tokenizers, per-shingle md5). Unlike a
+    ``localCheckpoint`` barrier this costs NO extra job and NO
+    materialization: the staged projection is evaluated once per row,
+    streaming, and its result is referenced as a concrete value by the
+    consuming projection. (Measured on the sf1.0 minhash signature
+    pipeline: 2.26 s with checkpoint barriers → 1.97 s with ND barriers,
+    identical output.) Deterministic in effect — the wrapped value never
+    depends on the id — so retry/replay semantics are unchanged."""
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of trimmed, lowercased text; empty text →
     empty array (split('') yields [''] — filtered)."""
@@ -73,12 +92,17 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
-    """Fraction of tokens that are (given-language) stopwords."""
-    toks = tokens(col)
+def stopword_ratio_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """:func:`stopword_ratio` over a precomputed token array (stage it
+    behind :func:`nd_barrier` — the column form tokenizes per reference)."""
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are (given-language) stopwords."""
+    return stopword_ratio_from_tokens(tokens(col), lang)
 
 
 def mean_token_len(col: Column | str) -> Column:
@@ -87,28 +111,48 @@ def mean_token_len(col: Column | str) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column | str) -> Column:
-    """Heuristic document-quality score in [0, 1]: rewards moderate
-    length, healthy stopword density, low punctuation noise, plausible
-    word lengths. The shape (clipped linear mix of cheap signals) follows
-    published pretraining-corpus quality filters."""
-    c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c).cast("double")
+def quality_score_from_tokens(
+    toks: Column, text: Column, lang: str = "en"
+) -> Column:
+    """:func:`quality_score` over a PRECOMPUTED token array.
+
+    Same arithmetic, operation for operation (the DuckDB oracle mirrors
+    it), but the caller stages ``toks`` once — the column form re-inlines
+    the tokenizer into each of its three consumers (token count, stopword
+    ratio, mean token length: 3 full splits of the text per row).
+    Stage with :func:`nd_barrier` (verified output-identical on the
+    corpus; measured −13% on t3 at sf1.0)."""
+    n_tok = F.size(toks).cast("double")
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    sw = stopword_ratio(c)
+    sw_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    sw = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
     sw_score = F.least(sw / F.lit(0.3), F.lit(1.0))
-    punct = punct_ratio(c)
+    stripped = F.array_join(F.split(text, r"[A-Za-z0-9\s]"), "")
+    punct = F.when(
+        F.length(text) > 0, F.length(stripped) / F.length(text)
+    ).otherwise(F.lit(0.0))
     punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 2)
-    mlen = mean_token_len(c)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mlen = F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
     mlen_score = F.when((mlen >= 3) & (mlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round(
         len_score * 0.3 + sw_score * 0.3 + punct_score * 0.2 + mlen_score * 0.2, 4
     )
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language stopword-hit counts (the language-ID evidence)."""
-    toks = tokens(col)
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document-quality score in [0, 1]: rewards moderate
+    length, healthy stopword density, low punctuation noise, plausible
+    word lengths. The shape (clipped linear mix of cheap signals) follows
+    published pretraining-corpus quality filters. Column form — for the
+    cheaper staged pipeline see :func:`quality_score_from_tokens`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return quality_score_from_tokens(tokens(c), c)
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over a precomputed token array."""
     out = {}
     for lang, words in LANG_STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
@@ -116,11 +160,15 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(col: Column | str) -> Column:
-    """argmax over language scores via max(struct(score, lang)); ties are
-    broken deterministically toward the lexicographically LARGER language
-    code (struct comparison); all-zero scores → 'und'."""
-    scores = lang_scores(col)
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID evidence)."""
+    return lang_scores_from_tokens(tokens(col))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """:func:`lang_id` over a precomputed token array (stage it behind
+    :func:`nd_barrier` — the column form tokenizes once per language)."""
+    scores = lang_scores_from_tokens(toks)
     best = F.array_max(
         F.array(
             *[
@@ -130,6 +178,13 @@ def lang_id(col: Column | str) -> Column:
         )
     )
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over language scores via max(struct(score, lang)); ties are
+    broken deterministically toward the lexicographically LARGER language
+    code (struct comparison); all-zero scores → 'und'."""
+    return lang_id_from_tokens(tokens(col))
 
 
 def fingerprint(col: Column | str) -> Column:

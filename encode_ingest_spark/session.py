@@ -79,6 +79,26 @@ def get_spark(
         )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (guide §3.1/§9): let the planner pick shuffled
+        # hash join when its size conditions hold (sort-merge pays two
+        # sorts for no benefit when a per-partition build side fits in
+        # memory), and let AQE rewrite a planned sort-merge to shuffled
+        # hash at runtime when every post-shuffle partition is small.
+        # The 64m runtime threshold matches advisoryPartitionSizeInBytes
+        # — after AQE coalescing a build partition is ~64 MB, well
+        # within executor memory at any scale; the planner-side choice
+        # is additionally guarded by Spark's own canBuildLocalHashMap
+        # (plan size < shuffle.partitions × autoBroadcastJoinThreshold).
+        # Measured on this suite (sf1.0): j2 −20%, q3 −28%, q1 −8%,
+        # no regressions. Override via env for A/B.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # PySpark 4 wraps EVERY DataFrame/Column API call with a
         # call-site capture for error context: a conf.get py4j round

@@ -1008,13 +1008,18 @@ _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in LANG_STOPWORDS.
 def t1_token_stats(spark, sf_dir):
     """Text-feature bundle — token/BPE-ish counts, punct/stopword ratios,
     and the rolling document fingerprint (one per-doc grain, one slot)."""
+    from .operators.text import nd_barrier, stopword_ratio_from_tokens, tokens
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    # tokens staged once (ND barrier, r6): token_count + stopword_ratio
+    # would otherwise re-inline the tokenizer per reference
+    staged = d.select("doc_id", "text", nd_barrier(tokens("text")).alias("_tk"))
+    return staged.select(
         "doc_id",
-        token_count("text").cast("long").alias("n_tokens"),
+        F.size("_tk").cast("long").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_pieces"),
         F.round(punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(stopword_ratio_from_tokens(F.col("_tk")), 4).alias("stopword_ratio"),
         fingerprint("text").alias("fp"),
     )
 
@@ -1046,9 +1051,14 @@ def _sql_lang_score(lang: str) -> str:
     """,
 )
 def t2_lang_id(spark, sf_dir):
+    from .operators.text import lang_id_from_tokens, nd_barrier, tokens
+
     d = _t(spark, sf_dir, "documents")
+    # tokens staged once (ND barrier, r6): lang_id's per-language filters
+    # would otherwise re-inline the tokenizer once per language
+    staged = d.select(nd_barrier(tokens("text")).alias("_tk"))
     return (
-        d.select(lang_id("text").alias("lang_pred"))
+        staged.select(lang_id_from_tokens(F.col("_tk")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -1081,8 +1091,18 @@ def t2_lang_id(spark, sf_dir):
     """,
 )
 def t3_quality_score(spark, sf_dir):
+    from .operators.text import nd_barrier, quality_score_from_tokens, tokens
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
+    # tokens staged once behind an ND barrier: the column-form
+    # quality_score re-inlines the tokenizer into its three consumers
+    # (3 full splits of the text per row — guide §4.4's duplication fix
+    # applied to a pure-JVM expression; r6, measured −13% at sf1.0)
+    staged = d.select("doc_id", "text", nd_barrier(tokens("text")).alias("_tk"))
+    return staged.select(
+        "doc_id",
+        quality_score_from_tokens(F.col("_tk"), F.col("text")).alias("quality"),
+    )
 
 
 @q(
