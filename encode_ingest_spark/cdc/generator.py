@@ -106,6 +106,13 @@ def _affine_coeffs(n: int, seed: int) -> tuple[int, int]:
     return a, (seed * 7919) % n
 
 
+#: plan-template memo for repo_file_events — see the comment at its use.
+#: Maps (applicationId, generator params) → list[Column]. Holds at most
+#: one entry (cleared on key change) so stale-JVM references never pile
+#: up across session restarts.
+_EVENT_EXPRS_CACHE: dict[tuple, list] = {}
+
+
 def repo_file_events(
     spark: SparkSession,
     n_keys: int,
@@ -138,8 +145,20 @@ def repo_file_events(
     n = n_keys * events_per_key
     lo, hi = slot_range if slot_range is not None else (0, n)
     df = spark.range(lo, hi, 1, partitions or spark.sparkContext.defaultParallelism)
-    return df.select(
-        *event_exprs(
+    # The expression template is identical for every micro-batch slice of
+    # one stream (only the range bounds differ), but building it costs
+    # ~600 py4j round trips (~70 ms) — pure driver fixed cost per batch
+    # (guide §1.2: per-task work includes the driver's). Column objects
+    # are immutable and reusable across DataFrames, so memoize the list
+    # per (params, JVM application). This caches a PLAN TEMPLATE, never
+    # data: every batch still computes its rows from the range source.
+    key = (
+        spark.sparkContext.applicationId,
+        n_keys, events_per_key, seed, n_repos, delete_pct, flood_key_pct,
+    )
+    exprs = _EVENT_EXPRS_CACHE.get(key)
+    if exprs is None:
+        exprs = event_exprs(
             F.col("id"),
             n_keys=n_keys,
             events_per_key=events_per_key,
@@ -148,7 +167,9 @@ def repo_file_events(
             delete_pct=delete_pct,
             flood_key_pct=flood_key_pct,
         )
-    )
+        _EVENT_EXPRS_CACHE.clear()  # one app's templates at a time
+        _EVENT_EXPRS_CACHE[key] = exprs
+    return df.select(*exprs)
 
 
 def event_exprs(

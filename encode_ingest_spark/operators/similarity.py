@@ -60,14 +60,34 @@ def cosine_topk(
     result sets are reproducible and oracle-comparable. The corpus side
     streams; only the query side is broadcast.
     """
+    from .text import nd_barrier
+
+    # Norms precomputed BELOW the fan-out join (r6): the inlined
+    # cosine() recomputed norm(_nv) once per (query, neighbor) pair —
+    # |Q|× redundant interpreted folds per corpus vector. The staged
+    # norm is the identical left-to-right fold, so norm_q*norm_n and
+    # the rounded quotient are bit-equal; the ND barrier keeps the
+    # projection from being collapsed into the per-pair stage.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        nd_barrier(norm(F.col(vec_col))).alias("_qn"),
     )
-    n = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    n = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        nd_barrier(norm(F.col(vec_col))).alias("_nn"),
+    )
     scored = (
         n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits))
-        .drop("_qv", "_nv")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")),
+                round_digits,
+            ),
+        )
+        .drop("_qv", "_nv", "_qn", "_nn")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
