@@ -364,7 +364,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16) -
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
     src = ensure_parallelism(df).select(F.col(id_col).alias(id_col), text_col)
-    return src.mapInPandas(kernel, "doc_id long, sig array<long>")
+    # the id column keeps its INPUT type (the JVM twin aliases it through
+    # unchanged; ids are not always numeric — e.g. string doc keys)
+    id_dt = df.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(kernel, f"doc_id {id_dt}, sig array<long>")
 
 
 def minhash_lsh_pairs(
@@ -501,7 +504,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
     src = ensure_parallelism(df).select(F.col(id_col).alias(id_col), text_col)
-    return src.mapInPandas(kernel, "doc_id long, sig long")
+    id_dt = df.schema[id_col].dataType.simpleString()  # see minhash twin note
+    return src.mapInPandas(kernel, f"doc_id {id_dt}, sig long")
 
 
 def simhash_signatures_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

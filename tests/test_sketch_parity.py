@@ -59,6 +59,20 @@ def test_sketch_parity_edge_docs(spark):
     )
 
 
+def test_sketch_parity_string_ids(spark):
+    """Ids keep their input type (regression: the kernels once declared
+    ``doc_id long`` and string-keyed corpora crashed in Arrow casts)."""
+    d = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in EDGE_DOCS], "doc_id string, text string"
+    )
+    mh = minhash_signatures(d, "doc_id", "text")
+    assert dict(mh.dtypes)["doc_id"] == "string"
+    assert _sig_map(mh) == _sig_map(minhash_signatures_jvm(d, "doc_id", "text"))
+    assert _sig_map(simhash_signatures(d, "doc_id", "text")) == _sig_map(
+        simhash_signatures_jvm(d, "doc_id", "text")
+    )
+
+
 def test_jvm_impl_selectable(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SKETCH_IMPL", "jvm")
     d = spark.createDataFrame(EDGE_DOCS[:3], "doc_id long, text string")
