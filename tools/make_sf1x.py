@@ -75,10 +75,16 @@ def scale_table(name: str, reps: int, out_dir: str) -> None:
                 )
             cols.append(col)
         batches.append(pa.table(dict(zip(t.column_names, cols))))
-    out = pa.concat_tables(batches)
-    pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"),
-                   compression="snappy", row_group_size=1 << 20)
-    print(f"{name}: {t.num_rows} -> {out.num_rows}")
+    # one file per replica under a directory named <table>.parquet — the
+    # multi-file layout a Spark-side generator produces, so scans split
+    # across tasks like the driver's own sf1.0 (a single 80 MB file would
+    # serialize e.g. the whole q1 scan on one core)
+    d = os.path.join(out_dir, f"{name}.parquet")
+    os.makedirs(d, exist_ok=True)
+    for r, b in enumerate(batches):
+        pq.write_table(b, os.path.join(d, f"part-{r:03d}.parquet"),
+                       compression="snappy", row_group_size=128 * 1024)
+    print(f"{name}: {t.num_rows} -> {sum(b.num_rows for b in batches)}")
 
 
 def main() -> None:
