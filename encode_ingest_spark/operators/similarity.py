@@ -46,6 +46,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: query-set size above which the Arrow scorer falls back to the JVM
+#: expression path (the collected query block must stay driver/executor-
+#: memory-bounded, like any broadcast side).
+_COSINE_QUERY_CAP = 4096
+
+
+def _cosine_impl() -> str:
+    """'jvm' (default) or 'arrow'. Measured at the bench shape (|Q| = 8,
+    |N| = 20k, dim 64, interleaved min-of-10): jvm 0.57 s vs arrow
+    0.71 s — with the norms staged below the fan-out join the
+    interpreted-fold cost at 8 probes is smaller than the Python
+    boundary cost of shipping the corpus vectors. The Arrow scorer is
+    the large-|Q| play (per-pair fold work scales with |Q|·|N| on the
+    JVM side but stays one vectorized matmul-shaped loop in the kernel);
+    select it per run via SPARK_GRAFT_COSINE_IMPL=arrow."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_COSINE_IMPL", "jvm")
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -58,8 +78,150 @@ def cosine_topk(
 
     Tie-break: (cosine desc, neighbor id asc) — fully deterministic, so
     result sets are reproducible and oracle-comparable. The corpus side
-    streams; only the query side is broadcast.
+    streams; only the query side is broadcast (JVM path) or shipped in
+    the kernel closure (Arrow path — default; the scoring loop is
+    sequential across dimensions so every double is bit-identical to the
+    JVM fold, pinned by tests/test_cosine_parity.py). Falls back to the
+    JVM path when the query set exceeds _COSINE_QUERY_CAP rows.
     """
+    if _cosine_impl() == "arrow":
+        q_rows = (
+            queries.select(F.col(id_col), F.col(vec_col))
+            .limit(_COSINE_QUERY_CAP + 1)
+            .collect()
+        )
+        if len(q_rows) <= _COSINE_QUERY_CAP:
+            return _cosine_topk_arrow(
+                vectors, q_rows, id_col, vec_col, k, round_digits
+            )
+    return cosine_topk_jvm(vectors, queries, id_col, vec_col, k, round_digits)
+
+
+def _cosine_topk_arrow(
+    vectors: DataFrame,
+    q_rows: list,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """Arrow scorer (guide §4.2): the |Q|-per-corpus-row fan-out join of
+    interpreted folds becomes one mapInPandas kernel whose accumulation
+    loop runs ACROSS rows (vectorized) but SEQUENTIALLY across vector
+    dimensions — the identical left-to-right IEEE fold as F.aggregate,
+    so dot, norm and quotient are bit-equal to the JVM path. The kernel
+    pre-reduces each partition to the per-query top-k with a rounding-
+    safe margin (2·10^-digits); the final round + window over the tiny
+    survivor set is unchanged Spark."""
+    import numpy as np
+
+    qs = [(r[0], r[1]) for r in q_rows]
+    valid_q = [(qid, v) for qid, v in qs if v is not None]
+    null_q_ids = [qid for qid, v in qs if v is None]
+    dim = len(valid_q[0][1]) if valid_q else 0
+    q_ids = [qid for qid, _ in valid_q]
+    Q = (
+        np.array([v for _, v in valid_q], dtype=np.float64)
+        if valid_q
+        else np.zeros((0, dim))
+    )
+    # query norms: same sequential fold as norm()
+    qn = np.zeros(len(q_ids))
+    for j in range(dim):
+        qn += Q[:, j] * Q[:, j]
+    qn = np.sqrt(qn)
+    margin = 2.0 * (10.0 ** -round_digits)
+
+    id_dt = vectors.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col]
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            out_q, out_n, out_c = [], [], []
+            if ok.any():
+                V = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )
+                n_ids = ids[ok]
+                # dot and norm: sequential across dims (exact JVM fold)
+                acc = np.zeros((V.shape[0], len(q_ids)))
+                nn = np.zeros(V.shape[0])
+                for j in range(dim):
+                    col = V[:, j]
+                    acc = acc + col[:, None] * Q[None, :, j]
+                    nn = nn + col * col
+                nn = np.sqrt(nn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (qn[None, :] * nn[:, None])
+                for qi, qid in enumerate(q_ids):
+                    c = cos[:, qi]
+                    keep = n_ids != qid
+                    # rounding-safe per-partition top-k prefilter: keep
+                    # NaN rows (Spark orders NaN above all doubles) and
+                    # everything within margin of the k-th best
+                    finite = keep & ~np.isnan(c)
+                    if finite.sum() > k:
+                        kth = np.partition(c[finite], -k)[-k]
+                        keep = keep & (np.isnan(c) | (c >= kth - margin))
+                    idx = np.nonzero(keep)[0]
+                    out_q.extend([qid] * len(idx))
+                    out_n.extend(n_ids[idx])
+                    # NaN (zero-norm pair) -> NULL cosine: the ANSI-mode
+                    # JVM twin would raise DIVIDE_BY_ZERO here; NULL
+                    # matches the null-vector contract (ranks last)
+                    out_c.extend(
+                        None if np.isnan(x) else float(x) for x in c[idx]
+                    )
+            # null / ragged corpus rows: cos is NULL for every query,
+            # exactly like the JVM zip_with over a null array
+            for bad_id in ids[~ok]:
+                for qid in q_ids:
+                    if qid != bad_id:
+                        out_q.append(qid)
+                        out_n.append(bad_id)
+                        out_c.append(None)
+            # null-vector QUERIES still rank every neighbor (cos NULL),
+            # matching the JVM fan-out join
+            for qid in null_q_ids:
+                for nid in ids:
+                    if qid != nid:
+                        out_q.append(qid)
+                        out_n.append(nid)
+                        out_c.append(None)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    src = vectors.select(F.col(id_col), F.col(vec_col))
+    scored = src.mapInPandas(
+        kernel, f"query_id {id_dt}, neighbor_id {id_dt}, cos double"
+    ).withColumn("cos", F.round("cos", round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_topk_jvm(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pure-JVM expression twin of :func:`cosine_topk` (fan-out join +
+    interpreted folds); also the fallback for over-cap query sets."""
     from .text import nd_barrier
 
     # Norms precomputed BELOW the fan-out join (r6): the inlined
