@@ -113,14 +113,58 @@ def zorder_value_py(row_get, cols: list[str], boundaries: dict[str, list], bits:
     return z
 
 
+def _encode_bounds(b: dict[str, list]) -> dict:
+    """Type-tagged JSON form of the boundary lists. date/timestamp/
+    decimal boundaries are NOT JSON-native: the old ``default=str``
+    freeze reloaded them as strings, so ``zorder_value_py`` hit
+    TypeError comparing str to date and silently degraded every row to
+    rank 0, and the Spark path leaned on implicit string-literal casts."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    enc: dict = {}
+    for c, vals in b.items():
+        if vals and isinstance(vals[0], _dt.datetime):
+            enc[c] = {"t": "ts", "v": [v.isoformat() for v in vals]}
+        elif vals and isinstance(vals[0], _dt.date):
+            enc[c] = {"t": "date", "v": [v.isoformat() for v in vals]}
+        elif vals and isinstance(vals[0], _Dec):
+            enc[c] = {"t": "dec", "v": [str(v) for v in vals]}
+        else:
+            enc[c] = {"t": "raw", "v": list(vals)}
+    return enc
+
+
+def _decode_bounds(d: dict) -> dict[str, list]:
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    out: dict[str, list] = {}
+    for c, spec in d.items():
+        if isinstance(spec, list):  # legacy untagged freeze
+            out[c] = spec
+            continue
+        t, v = spec.get("t"), spec.get("v", [])
+        if t == "ts":
+            out[c] = [_dt.datetime.fromisoformat(x) for x in v]
+        elif t == "date":
+            out[c] = [_dt.date.fromisoformat(x) for x in v]
+        elif t == "dec":
+            out[c] = [_Dec(x) for x in v]
+        else:
+            out[c] = v
+    return out
+
+
 def load_boundaries(properties: dict) -> tuple[dict[str, list], int]:
     """(boundaries, bits) from the frozen table property; ({}, 0) when
-    absent (zorder spec without boundaries degrades to lexicographic)."""
+    absent (zorder spec without boundaries degrades to lexicographic).
+    Boundaries reload with their ORIGINAL types (see _encode_bounds)."""
     raw = (properties or {}).get(BOUNDARIES_PROP)
     if not raw:
         return {}, 0
     d = json.loads(raw)
-    return d.get("boundaries", {}), int(d.get("bits", 4))
+    return _decode_bounds(d.get("boundaries", {})), int(d.get("bits", 4))
 
 
 def compute_boundaries(
@@ -197,7 +241,8 @@ def rewrite_clustered(
             {
                 SORT_PROP: f"zorder({','.join(cols)})",
                 BOUNDARIES_PROP: json.dumps(
-                    {"boundaries": b, "bits": bits}, default=str
+                    {"boundaries": _encode_bounds(b), "bits": bits},
+                    default=str,
                 ),
             }
         )

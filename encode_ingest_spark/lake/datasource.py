@@ -100,6 +100,7 @@ LAKE_FORMAT = "lake"
 LAKE_CHANGES_FORMAT = "lake_changes"
 #: transient column marking delta-vs-base provenance during resolution
 _MOR_FLAG = "_mor_delta"
+_MOR_PRI = "_mor_pri"  # real-over-dml tie-break, see DataFile.dml
 
 
 def register_lake_sources(spark) -> None:
@@ -197,15 +198,21 @@ def _resolve_bucket(
                 _MOR_FLAG,
                 pa.array(np.full(len(t), 1 if f["is_delta"] else 0, dtype=np.int8)),
             )
+            # real CDC rows (1) beat DML-minted rows (0) on an exact
+            # (seq, delta) tie — same rule as LakeTable.read
+            t = t.append_column(
+                _MOR_PRI,
+                pa.array(np.full(len(t), 0 if f.get("dml") else 1, dtype=np.int8)),
+            )
         parts.append(t)
     pdf = pa.concat_tables(parts).to_pandas(use_threads=False)
     if any_delta:
         order = pdf[SEQ_COL].fillna(-1)
         pdf = (
             pdf.assign(_ord=order)
-            .sort_values(["_ord", _MOR_FLAG], kind="stable")
+            .sort_values(["_ord", _MOR_FLAG, _MOR_PRI], kind="stable")
             .drop_duplicates(subset=key_cols, keep="last")
-            .drop(columns=["_ord", _MOR_FLAG])
+            .drop(columns=["_ord", _MOR_FLAG, _MOR_PRI])
         )
     if not keep_tombstones and DELETED_COL in pdf.columns:
         dead = pdf[DELETED_COL].astype(object).map(lambda v: bool(v) if v is not None and v == v else False)

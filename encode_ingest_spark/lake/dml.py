@@ -127,6 +127,12 @@ def _land(
         mode=mode,
         batch_unique=True,
         expected_watermark=expected_watermark,
+        # DML mints event_seq = current+1; with a dense upstream
+        # sequence the next REAL event for a matched key carries exactly
+        # that seq. The origin flag makes these rows lose that tie at
+        # MOR resolution, so "a later real CDC event still supersedes
+        # it" holds even at equal seq (ADVICE r5).
+        dml_origin=True,
     )
     return DmlResult(n, res)
 

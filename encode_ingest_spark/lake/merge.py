@@ -160,10 +160,15 @@ class ConstraintViolationError(ValueError):
 
 
 def table_constraints(m) -> tuple[list[str], dict[str, str]]:
-    """(not_null columns, {name: check expr}) from manifest properties."""
+    """(not_null columns, {name: check expr}) from manifest properties.
+
+    Tokens are whitespace-stripped: a natural "repo, path" value would
+    otherwise yield the unresolvable column ' path' and fail every
+    subsequent merge with an analysis error instead of enforcing."""
     nn = [
-        c for c in m.properties.get("constraints.not_null", "").split(",")
-        if c
+        c.strip()
+        for c in m.properties.get("constraints.not_null", "").split(",")
+        if c.strip()
     ]
     checks = {
         k[len("constraints.check."):]: v
@@ -270,6 +275,7 @@ def merge_into(
     merge_strategy: str | None = None,
     batch_unique: bool = False,
     expected_watermark: int | None = None,
+    dml_origin: bool = False,
 ) -> MergeResult:
     """Apply one CDC batch to the table. See module docstring.
 
@@ -302,6 +308,9 @@ def merge_into(
     than the corpus. A violated assertion degrades, not corrupts: equal
     event_seq duplicates resolve to an arbitrary-but-atomic whole-row
     winner at read time, exactly like a replay tie.
+    ``dml_origin``: marks MOR delta files written by this merge as
+    DML-minted (manifest flag, see DataFile.dml) so their rows lose an
+    exact event_seq tie to real CDC rows at read time.
     ``expected_watermark``: optional compare-and-swap on this source's
     CURRENT watermark batch_id (-1 = none yet) — when it no longer
     matches, the commit is skipped with ``stale=True`` instead of
@@ -386,7 +395,7 @@ def merge_into(
             observed = winners.observe(obs, F.count(F.lit(1)).alias("n"))
             new_files = table._stage_write(
                 observed, m.current_schema_version, is_delta=True,
-                pre_partitioned=winners_bucket_aligned,
+                dml=dml_origin, pre_partitioned=winners_bucket_aligned,
             )
         finally:
             if constrained:
@@ -427,6 +436,14 @@ def merge_into(
         # explicit prune request implies the staged path (the probe needs
         # a materialized batch); otherwise size decides
         stage_batch = bool(prune_buckets) or table_rows > threshold
+    if constrained:
+        # constraints need a MATERIALIZED batch: the direct path's write
+        # consumes `payload` while the check would run over the `winners`
+        # subtree — the batch source would execute twice, and for a non-
+        # deterministic source the rows validated are not the rows that
+        # land. The staged path validates the already-staged parquet (a
+        # free re-read), so it is the only sound shape here.
+        stage_batch = True
 
     if not stage_batch:
         if prune_buckets:
@@ -435,8 +452,6 @@ def merge_into(
                 "probing an unstaged batch would re-execute its source"
             )
         touched = list(range(m.num_buckets))
-        if constrained:
-            _enforce_constraints(winners, m)
         src = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
         return _merge_cow_write(
             table, m, src, touched, [], [f for f in m.files], data_cols, keys,

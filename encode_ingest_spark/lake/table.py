@@ -150,6 +150,13 @@ class DataFile:
     bytes: int
     schema_version: int
     is_delta: bool = False  # merge-on-read delta file (lake/merge.py mode="mor")
+    #: rows minted by a DML statement (lake/dml.py) rather than a real
+    #: CDC event. DML mints event_seq = current+1, so with a dense
+    #: upstream sequence the NEXT legitimate event for a key can carry
+    #: the same seq; this manifest-level flag (no file-format change)
+    #: makes DML rows LOSE that tie at MOR resolution instead of
+    #: nondeterministically shadowing the real update (ADVICE r5).
+    dml: bool = False
     #: footer-derived column statistics, collected at write time for
     #: driver-side pruning (the Iceberg manifest-stats pattern):
     #: {"has_tombstones": bool, "min_seq": int, "max_seq": int}.
@@ -165,6 +172,7 @@ class DataFile:
             "bytes": self.bytes,
             "schema_version": self.schema_version,
             "is_delta": self.is_delta,
+            "dml": self.dml,
             "stats": self.stats,
         }
 
@@ -172,7 +180,7 @@ class DataFile:
     def from_json(d: dict[str, Any]) -> "DataFile":
         return DataFile(
             d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"],
-            d.get("is_delta", False), d.get("stats"),
+            d.get("is_delta", False), d.get("dml", False), d.get("stats"),
         )
 
 
@@ -748,17 +756,22 @@ class LakeTable:
         if not files:
             df = self.spark.createDataFrame([], target_schema)
         else:
-            by_ver: dict[tuple[int, bool], list[DataFile]] = {}
+            by_ver: dict[tuple[int, bool, bool], list[DataFile]] = {}
             for f in files:
-                by_ver.setdefault((f.schema_version, f.is_delta), []).append(f)
+                by_ver.setdefault(
+                    (f.schema_version, f.is_delta, f.dml), []
+                ).append(f)
             parts: list[DataFrame] = []
-            for (sv, is_delta), group in sorted(by_ver.items()):
+            for (sv, is_delta, is_dml), group in sorted(by_ver.items()):
                 file_schema = T.StructType.fromJson(json.loads(m.schemas[sv]))
                 paths = [os.path.join(self.root, f.path) for f in group]
                 raw = self.spark.read.schema(file_schema).parquet(*paths)
                 part = align_to_schema(raw, target_schema)
                 if has_delta:
                     part = part.withColumn("_mor_delta", F.lit(1 if is_delta else 0))
+                    # real CDC rows (1) beat DML-minted rows (0) on an
+                    # exact (seq, delta) tie — see DataFile.dml
+                    part = part.withColumn("_mor_pri", F.lit(0 if is_dml else 1))
                 parts.append(part)
             df = parts[0]
             for p in parts[1:]:
@@ -767,13 +780,19 @@ class LakeTable:
             # merge-on-read: base rows and delta rows coexist per key;
             # resolve last-writer-wins at scan time with ONE whole-row
             # max_by (tied rows can never blend column values) ordered by
-            # (event_seq, delta-over-base). An event_seq tie between two
-            # DELTA rows (replay) is contract-identical content, so the
-            # arbitrary-but-atomic winner is still deterministic state.
-            non_key = [c for c in df.columns if c not in m.key_cols and c != "_mor_delta"]
+            # (event_seq, delta-over-base, real-over-dml). An event_seq
+            # tie between two real DELTA rows (replay) is contract-
+            # identical content, so the arbitrary-but-atomic winner is
+            # still deterministic state; a DML row deterministically
+            # LOSES its tie to the next real event (DataFile.dml).
+            non_key = [
+                c for c in df.columns
+                if c not in m.key_cols and c not in ("_mor_delta", "_mor_pri")
+            ]
             order = F.struct(
                 F.coalesce(F.col(SEQ_COL), F.lit(-1)).alias("s"),
                 F.col("_mor_delta").alias("d"),
+                F.col("_mor_pri").alias("p"),
             )
             df = (
                 df.groupBy(*m.key_cols)
@@ -1217,6 +1236,7 @@ class LakeTable:
         schema_version: int,
         num_buckets: int | None = None,
         is_delta: bool = False,
+        dml: bool = False,
         pre_partitioned: bool = False,
     ) -> list[DataFile]:
         """Write df (which must carry BUCKET_COL) into a staging dir
@@ -1303,6 +1323,7 @@ class LakeTable:
                         bytes=os.path.getsize(dest),
                         schema_version=schema_version,
                         is_delta=is_delta,
+                        dml=dml,
                         stats=stats,
                     )
                 )
@@ -1542,6 +1563,7 @@ class LakeTable:
                     bytes=f.bytes,
                     schema_version=f.schema_version,
                     is_delta=f.is_delta,
+                    dml=f.dml,
                     stats=f.stats,
                 )
             )
@@ -1551,6 +1573,15 @@ class LakeTable:
             # and where — release is mechanical once the fork is local
             props["clone.pin"] = pin_name
             props["clone.source"] = src_abs_root
+        else:
+            # a deep clone holds no pin and has no shared fate: clone.*
+            # properties inherited from a shallow-clone SOURCE would
+            # name the pin still protecting that intermediate — running
+            # the documented mechanical release against this copy would
+            # unpin the intermediate and expose its shared files to
+            # source expiry
+            props.pop("clone.pin", None)
+            props.pop("clone.source", None)
         nm = Manifest(
             version=0,
             snapshot_id=0,
@@ -1592,6 +1623,21 @@ class LakeTable:
                 merged[k] = str(v)
         if merged == m.properties:
             return m  # no-op
+        # constraint column names are validated at ALTER time so a typo
+        # (or unstripped whitespace) fails HERE with the bad name, not
+        # as an unresolved-column analysis error inside every later merge
+        nn_val = merged.get("constraints.not_null")
+        if nn_val is not None:
+            known = {f.name for f in m.schema.fields}
+            bad = [
+                c.strip() for c in nn_val.split(",")
+                if c.strip() and c.strip() not in known
+            ]
+            if bad:
+                raise ValueError(
+                    f"constraints.not_null names unknown column(s) {bad}; "
+                    f"table columns: {sorted(known)}"
+                )
         nm = Manifest(
             version=m.version + 1,
             snapshot_id=m.snapshot_id + 1,

@@ -109,6 +109,21 @@ def get_spark(
         # for Spark-3-style errors; plan construction drops to one
         # py4j round trip per expression.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Spark 4.1's single-pass analyzer: every DataFrame operation
+        # eagerly analyzes its plan, and at micro-batch cadence that
+        # fixed-point analysis is pure driver fixed cost (profiled: the
+        # memoized 8-expression CDC generator template still paid ~40 ms
+        # per batch INSIDE Dataset.select; single-pass cuts it to
+        # ~17 ms, 2.4x). Worth real wall time on every merge/epoch/plan-
+        # heavy path; the full suite (incl. all 50 DuckDB oracle
+        # parities) gates its semantics. Opt out via env for A/B.
+        # "Tentatively": single-pass resolves what it supports and falls
+        # back to the fixed-point analyzer per-plan otherwise (the plain
+        # .enabled flag instead THROWS on e.g. RepartitionByExpression).
+        .config(
+            "spark.sql.analyzer.singlePassResolver.enabledTentatively",
+            os.environ.get("SPARK_GRAFT_SINGLE_PASS_ANALYZER", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Spark 4.1 HARD-FAILS a Python DataSource reader that
         # implements pushFilters while this is false — and the native

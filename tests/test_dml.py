@@ -502,3 +502,34 @@ def test_merge_apply_cow_matches_mor_and_pushdown_cap(spark, tmp_path):
     assert res.counts == {"inserted": 1, "updated": 1, "deleted": 0}
     got = {r["id"]: r["x"] for r in t2.read().collect()}
     assert got["a"] == "Z" and got["q"] == "Q"
+
+
+def test_dml_loses_seq_tie_to_real_cdc_event(spark, tmp_path):
+    """ADVICE r5: DML mints event_seq = current+1; with a DENSE upstream
+    sequence the next real event for that key carries the same seq. In
+    MOR mode both are delta rows — the DML row must deterministically
+    LOSE that tie (manifest origin flag), so the legitimate update is
+    never shadowed."""
+    t = _mk(spark, tmp_path, "tie", ROWS)  # every row at seq 1
+    # DML delete mints seq = 2 for 'a' as a MOR delta
+    res = delete_where(t, "id = 'a'", mode="mor", batch_id=10)
+    assert res.rows_matched == 1
+    # the real CDC stream's next event for 'a' also carries seq 2
+    late = spark.createDataFrame(
+        [("a", "ax2", "ay2", 11, "update", 2)],
+        "id string, x string, y string, n long, op string, event_seq long",
+    )
+    merge_into(t, late, batch_id=11, mode="mor")
+    live = {r["id"]: r["x"] for r in t.read().collect()}
+    assert live.get("a") == "ax2"  # real update wins the tie, not the delete
+    # and the flag round-trips through the manifest
+    assert any(f.dml for f in t.current_manifest().files)
+    # native reader agrees with LakeTable.read
+    from encode_ingest_spark.lake.datasource import register_lake_sources
+
+    register_lake_sources(spark)
+    nat = (
+        spark.read.format("lake").load(t.root)
+        .filter(F.col("id") == "a").collect()
+    )
+    assert len(nat) == 1 and nat[0]["x"] == "ax2"

@@ -168,3 +168,37 @@ def test_bucket_subset_rewrite_touches_only_named_buckets(spark, tmp_path):
     # bad column refuses
     with pytest.raises(ValueError, match="not in table schema"):
         rewrite_clustered(t, ["nope"])
+
+
+def test_zorder_date_boundaries_roundtrip_typed(spark, tmp_path):
+    """ADVICE r5: boundaries froze via json default=str, so date/ts/
+    decimal boundaries reloaded as STRINGS — zorder_value_py hit
+    TypeError comparing str to date and degraded every row to rank 0.
+    Typed freeze must round-trip real types and rank correctly."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("d", T.DateType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "dt"), schema, ["id"], num_buckets=1
+    )
+    df = spark.range(400).select(
+        F.col("id"),
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.lit("insert").alias("op"),
+        F.lit(1).alias("event_seq"),
+    )
+    merge_into(t, df, batch_id=1)
+    rewrite_clustered(t, ["d"], strategy="zorder", bits=2)
+    bnd, bits = load_boundaries(t.current_manifest().properties)
+    assert bnd["d"] and all(isinstance(b, dt.date) for b in bnd["d"])
+    # the Python twin must produce nonzero ranks for late dates
+    z_hi = zorder_value_py(
+        lambda c: dt.date(2020, 12, 31), ["d"], bnd, bits
+    )
+    z_lo = zorder_value_py(lambda c: dt.date(2020, 1, 1), ["d"], bnd, bits)
+    assert z_hi > z_lo >= 0
