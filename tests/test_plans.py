@@ -57,28 +57,34 @@ def test_overlap_join_is_broadcast_not_cartesian(spark):
     assert_no_cartesian(j)
 
 
-def test_dedupe_latest_is_single_shuffle_partial_agg(spark):
-    """A7 must be ONE Exchange with map-side partial aggregation (each
-    map task collapses its local events per key before the shuffle), and
-    no Window operator. Note: with string/timestamp payloads max_by uses
-    SortAggregate (non-mutable agg buffer), which still partial-
-    aggregates — the property that matters at 10^10 events is the
-    pre-shuffle collapse, not hash-vs-sort within a partition."""
+def test_dedupe_latest_is_single_shuffle_map_side_collapse(spark):
+    """A7 must be ONE Exchange with a MAP-SIDE collapse (each task
+    reduces its local events per key before the shuffle) in both
+    physical forms: primitive payloads hash-aggregate via max_by
+    (partial agg); string payloads take the rank-limit window, whose
+    Spark-4 WindowGroupLimit performs the same pre-shuffle top-1 per key
+    (Partial mode below the exchange) without SortAggregate's second
+    full sort."""
     from encode_ingest_spark.plans import plan_string
 
     ev = spark.read.parquet(f"{SF}/events.parquet")
     out = dedupe_latest(ev, ["user_id", "event_type"], "event_id")
     assert count_shuffles(out) == 1
     plan = plan_string(out, "simple")
-    assert "partial_max_by" in plan  # map-side combine present
-    assert "Window" not in plan
-    # primitive-only payload DOES hash-aggregate
+    # string payload (props) routes to the rank-limit window form with
+    # the map-side group-limit present
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "SortAggregate" not in plan
+    # primitive-only payload keeps the partial-agg max_by HashAggregate
     slim = dedupe_latest(
         ev.select("user_id", "event_type", "event_id", "value"),
         ["user_id", "event_type"],
         "event_id",
     )
-    assert "HashAggregate" in plan_string(slim, "simple")
+    slim_plan = plan_string(slim, "simple")
+    assert count_shuffles(slim) == 1
+    assert "HashAggregate" in slim_plan and "partial_max_by" in slim_plan
+    assert "Window" not in slim_plan
 
 
 def test_merge_batch_pruning_reads_only_touched_buckets(spark, tmp_path):
