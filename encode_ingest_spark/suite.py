@@ -948,13 +948,18 @@ def q3_top_revenue_orders(spark, sf_dir):
     # long at any corpus scale — no two-level split needed here.
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    li = _t(spark, sf_dir, "lineitem")
     pc, dc = _cents("l_extendedprice"), _cents("l_discount")
+    # project the revenue product BELOW the join (guide §2.3): the
+    # lineitem exchange carries one long instead of two doubles, and the
+    # per-row arithmetic runs before the shuffle
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (pc * (F.lit(100) - dc)).alias("_r")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey")
-        .agg(F.sum(pc * (F.lit(100) - dc)).alias("_sd"))
+        .agg(F.sum("_r").alias("_sd"))
         .select(
             "l_orderkey",
             (F.col("_sd").cast("decimal(38,0)") / 10000)
@@ -990,6 +995,9 @@ def q5_nation_revenue(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     pc, dc = _cents("l_extendedprice"), _cents("l_discount")
+    # revenue product projected BELOW the join (guide §2.3) — the
+    # lineitem exchange carries (orderkey, suppkey, one long)
+    li = li.select("l_orderkey", "l_suppkey", (pc * (F.lit(100) - dc)).alias("_r"))
     joined = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
@@ -1000,7 +1008,7 @@ def q5_nation_revenue(spark, sf_dir):
     # two-level long-cents revenue (see q1): nation groups are unbounded,
     # so long partials per (nation, partition) merge in decimal
     part = joined.groupBy("n_name", F.spark_partition_id().alias("_pid")).agg(
-        F.sum(pc * (F.lit(100) - dc)).alias("_sd")
+        F.sum("_r").alias("_sd")
     )
     return part.groupBy("n_name").agg(
         _cents_sum_to_double("_sd", 10000).alias("revenue")
