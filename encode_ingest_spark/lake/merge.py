@@ -351,30 +351,45 @@ def merge_into(
     non_key = [c for c in payload.columns if c not in keys]
     seq_order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
     winners_bucket_aligned = False
-    if batch_unique:
-        # caller-asserted one-row-per-key batch: the winners ARE the
-        # payload — no shuffle
-        winners = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
-    else:
-        # ONE bucket-aligned shuffle for agg AND write (same trick as
-        # _merge_cow_write): repartition(B, keys) is HashPartitioning
-        # (keys, B) = pmod(murmur3(keys), B) = bucket_expr, so the
-        # aggregate inserts no exchange of its own and every post-agg
-        # partition holds exactly one bucket — _stage_write can skip its
-        # routing shuffle. The alternative (groupBy straight off the
-        # batch) shuffles through AQE's initialPartitionNum fan-out and
-        # then _stage_write shuffles AGAIN by bucket token: measured on
-        # the 15k-event bench batch, agg-only 0.56 s vs 0.22 s
-        # bucket-aligned (guide §2.4 — two operations keyed the same
-        # way share one exchange).
-        winners = (
-            payload.repartition(m.num_buckets, *[F.col(c) for c in keys])
-            .groupBy(*keys)
+
+    def build_winners(bucket_aligned: bool):
+        src = payload
+        if bucket_aligned:
+            # ONE bucket-aligned shuffle for agg AND write (same trick
+            # as _merge_cow_write): repartition(B, keys) is
+            # HashPartitioning(keys, B) = pmod(murmur3(keys), B) =
+            # bucket_expr, so the aggregate inserts no exchange of its
+            # own and every post-agg partition holds exactly one bucket
+            # — _stage_write can skip its routing shuffle. The
+            # alternative (groupBy straight off the batch) shuffles
+            # through AQE's initialPartitionNum fan-out and then
+            # _stage_write shuffles AGAIN by bucket token: measured on
+            # the 15k-event bench batch, agg-only 0.56 s vs 0.22 s
+            # bucket-aligned (guide §2.4 — two operations keyed the
+            # same way share one exchange). Used by the MOR append,
+            # whose agg output IS the written layout; the staged COW
+            # path keeps the AQE shape instead — its stage file is
+            # re-shuffled by the union-agg anyway, and a forced
+            # B-partition stage would just write B tiny files.
+            src = payload.repartition(
+                m.num_buckets, *[F.col(c) for c in keys]
+            )
+        return (
+            src.groupBy(*keys)
             .agg(F.max_by(F.struct(*non_key), seq_order).alias("_w"))
             .select(*keys, "_w.*")
             .withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
         )
+
+    if batch_unique:
+        # caller-asserted one-row-per-key batch: the winners ARE the
+        # payload — no shuffle
+        winners = payload.withColumn(BUCKET_COL, bucket_expr(keys, m.num_buckets))
+    elif mode == "mor":
+        winners = build_winners(bucket_aligned=True)
         winners_bucket_aligned = True
+    else:
+        winners = build_winners(bucket_aligned=False)
 
     # Constraint enforcement is PER PATH so the validation action never
     # doubles the batch pipeline: MOR persists the winners across the
