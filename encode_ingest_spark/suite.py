@@ -52,15 +52,80 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
-        # tiny single-file scans feeding CPU-heavy per-row expressions:
-        # spread across cores first (no-op when the scan already splits)
+#: memoized bare-path parquet scans, keyed (session, path, spread,
+#: on-disk stat signature) — see _scan
+_SCAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _path_sig(path: str) -> tuple | None:
+    """Cheap on-disk state signature for a parquet file or directory:
+    (name, mtime_ns, size) of the file, or of every direct entry for a
+    directory (a Spark/DuckDB rewrite adds/removes/replaces part-files,
+    each bumping its own stat). None when the path is unreadable — the
+    caller then skips the memo and lets Spark raise its own error."""
+    import stat as _stat
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not _stat.S_ISDIR(st.st_mode):
+        return (st.st_mtime_ns, st.st_size)
+    sig = []
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    s = e.stat()
+                except OSError:
+                    continue
+                sig.append((e.name, s.st_mtime_ns, s.st_size))
+    except OSError:
+        return None
+    return tuple(sorted(sig))
+
+
+def _scan(spark: SparkSession, path: str, spread: bool = False) -> DataFrame:
+    """Memoized parquet scan: pay schema inference + file listing +
+    relation resolution (+ the parallelism probe for ``spread``) ONCE
+    per (session, path, on-disk state) instead of on every query build
+    — measured 86-108 ms/call inferred vs 16-19 ms with an explicit
+    schema vs ~0 memoized; the per-pass suite does ~15 such reads.
+
+    Metadata caching only, guide §6's manifest-metadata idea applied to
+    bare-path scans: the memoized value is an UNEXECUTED plan, so every
+    action still reads the parquet bytes from disk; any change to the
+    file set or file bytes changes the stat signature and forces a
+    fresh resolution. Keying on id(spark) is safe because the memoized
+    DataFrame strongly references its session — the id cannot be reused
+    while the entry lives."""
+    sig = _path_sig(path)
+    key = (id(spark), path, spread, sig)
+    if sig is not None:
+        hit = _SCAN_MEMO.get(key)
+        if hit is not None:
+            return hit
+    df = spark.read.parquet(path)
+    if spread:
         from .operators.text import ensure_parallelism
 
         df = ensure_parallelism(df)
+    if sig is not None:
+        if len(_SCAN_MEMO) > 512:
+            _SCAN_MEMO.clear()
+        _SCAN_MEMO[key] = df
     return df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # documents/embeddings: tiny single-file scans feeding CPU-heavy
+    # per-row expressions — spread across cores first (no-op when the
+    # scan already splits)
+    return _scan(
+        spark,
+        f"{sf_dir}/{name}.parquet",
+        spread=name in ("documents", "embeddings"),
+    )
 
 
 def q(name: str, oracle: str | None = None):
@@ -1527,7 +1592,7 @@ def staged_repo_events(spark) -> DataFrame:
             os.rename(tmp, _FLAGSHIP_EVENTS)
         except OSError:  # lost the race — another process staged it first
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(_FLAGSHIP_EVENTS)
+    return _scan(spark, _FLAGSHIP_EVENTS)
 
 
 @q(
@@ -1660,8 +1725,8 @@ def staged_donor_inputs(spark) -> tuple[DataFrame, DataFrame]:
         _ORGANISMS_RAW,
     )
     return (
-        spark.read.parquet(_DONOR_RAW),
-        spark.read.parquet(_ORGANISMS_RAW),
+        _scan(spark, _DONOR_RAW),
+        _scan(spark, _ORGANISMS_RAW),
     )
 
 
